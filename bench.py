@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "first_order_per_customer",
+    "segment_year_pivot",
+    "custkey_status_skeleton",
+    "nearest_feature_distance",
+    "features_within_radius",
+    "events_hourly_rollup",
+    "sessionize_users",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from duckpipe_spark.queries import REGISTRY
+    from duckpipe_spark.session import get_spark
+
+    spark = get_spark("duckpipe-spark-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # extend with any registered queries not in the headline list
+    names += [n for n in REGISTRY if n not in names and REGISTRY[n].bench]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if name in ("custkey_status_skeleton",) else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Event-table operators: batch analogs of the streaming surface
+(SURVEY.md §2.13) plus window-function sessionization.
+
+The same tumbling-window aggregation is available as a true Structured
+Streaming job in ``duckpipe_spark.streaming``; here it runs in batch so the
+DuckDB oracle can verify the semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from duckpipe_spark.queries.base import register
+from duckpipe_spark.sources.tables import load_table
+
+_HOURLY_ORACLE = """
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+  count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_hourly_rollup", _HOURLY_ORACLE, "tumbling-window rollup, batch analog of streaming agg")
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact integer-cents sum: order-independent, bit-identical vs oracle
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+_SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT
+    user_id,
+    CASE
+      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           > {_SESSION_GAP_US}
+        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      THEN 1 ELSE 0
+    END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM flagged
+GROUP BY user_id
+"""
+
+
+@register("sessionize_users", _SESSIONIZE_ORACLE, "gap-based sessionization via lag + cumulative flag")
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        prev_us.isNull() | ((F.unix_micros("ts") - prev_us) > F.lit(_SESSION_GAP_US)), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_extract", _JSON_ORACLE, "semi-structured JSON property extraction + agg")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,68 @@
+"""Parquet/CSV/cloud source layer.
+
+Reference equivalents: direct `FROM '{path}.parquet'` scans inside generated
+SQL (`duckpipe/calculator/AirportDistanceCalculator.py:42,82`), CSV example
+ingest (`test/example.py:19`), and R2/S3 `httpfs` secrets
+(`duckpipe/core.py:87-115`). Here every source is a Spark DataFrameReader so
+Catalyst keeps predicate pushdown / column pruning / partition pruning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Filters/projections applied by callers are
+    pushed into the scan by Catalyst (verify via .explain → PushedFilters)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long nanos
+    # (spark.sql.legacy.parquet.nanosAsLong). Truncate to micros like DuckDB.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register temp views so operators can also be expressed via spark.sql."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_csv_points(spark: SparkSession, path: str) -> DataFrame:
+    """CSV ingest, mirrors reference `test/example.py:19`."""
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def configure_s3(
+    spark: SparkSession,
+    access_key: str,
+    secret_key: str,
+    endpoint: str | None = None,
+) -> None:
+    """Cloud object store access — replaces DuckDB `CREATE SECRET` replay
+    (`duckpipe/core.py:103-114`). Set once on the session; executors inherit."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.s3a.access.key", access_key)
+    hconf.set("fs.s3a.secret.key", secret_key)
+    if endpoint:
+        hconf.set("fs.s3a.endpoint", endpoint)
+    hconf.set("fs.s3a.path.style.access", "true")
