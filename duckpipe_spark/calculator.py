@@ -1,0 +1,357 @@
+"""Fluent Calculator API — the reference's public surface
+(`duckpipe/core.py:15-214`, `duckpipe/mixin.py`) re-architected for Spark.
+
+A user of the reference writes::
+
+    result = (
+        dp.Calculator(data_dir=..., n_workers=2)
+        .add_point_with_table(df, x_col="lon", y_col="lat", epsg=4326)
+        .chunk_by_centroid(max_cluster_size=100, distance_threshold=10000)
+        .calculate_airport_distance(years=[2000, 2005])
+        .calculate_landuse_area_ratio(years=[2000], buffer_sizes=[100.0])
+        .get_result(pivot=True)
+    )
+
+This class keeps that exact surface but composes *lazy DataFrames* instead of
+SQL strings + worker queues: every ``calculate_*`` appends a long-form
+``(id, varname, year, value)`` DataFrame, and ``get_result`` unions, pivots,
+joins attributes, and collects — Spark's scheduler replaces the whole
+`Worker.py` multiprocess scatter-gather (`Worker.py:49-208`), and
+``chunk_by_*`` become partitioning hints instead of driver-side clustering
+(`Clustering.py:53-188`).
+
+Differences from the reference, by design:
+* ids are stamped once and shared by geometry and attributes (the reference
+  relies on two independent `ROW_NUMBER() OVER ()` passes agreeing on
+  arrival order, `core.py:143,156` — a landmine Spark would trip).
+* no worker modes: CHUNKED_MULTI/CHUNKED_SINGLE/TOTAL_SINGLE
+  (`Worker.py:19-23`) collapse into one distributed plan; the ``mode`` and
+  ``n_workers`` arguments are accepted and ignored for API compatibility.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from duckpipe_spark.geo.crs import transform
+from duckpipe_spark.geo.hilbert import hilbert_key
+from duckpipe_spark.operators.coordinate import coordinates
+from duckpipe_spark.operators.distance import nearest_distance
+from duckpipe_spark.operators.elevation import relative_elevation
+from duckpipe_spark.operators.overlay import (
+    intersecting_oa,
+    landuse_area_ratio,
+    main_road_llw,
+    road_llw,
+)
+from duckpipe_spark.operators.result import assemble_result, union_results
+from duckpipe_spark.session import get_spark
+
+REF_EPSG = 5179  # `duckpipe/common.py:6`
+
+# table name, varname, valid years — one row per reference distance calculator
+_DISTANCE_SPECS = {
+    "airport": ("airport", "D_Airport", [2000, 2005, 2010, 2015, 2020], None),
+    "bus_stop": ("bus_stop", "D_Bus", [2020, 2021, 2023], None),
+    "coastline": ("coastline", "D_Coast", [2000, 2005, 2010, 2015, 2020], 1.0),
+    "mdl": ("mdl", "D_North", [2000, 2005, 2010, 2015, 2020, 2023], None),
+    "port": ("ports", "D_Port", [2000, 2005, 2010, 2015, 2020], None),
+    "railstation": ("railstation", "D_Rail", [2005, 2010, 2015, 2020], None),
+    "river": ("river", "D_River", [2023], None),
+    "road": ("roads", "D_Road", [2005, 2010, 2015, 2020], None),
+}
+_MR_YEARS = [2005, 2010, 2015, 2020]
+_LANDUSE_YEARS = [2000, 2005, 2010, 2015, 2020]
+_ELEV_TYPES = ["dem", "dsm"]
+
+
+def _as_list(v, typ):
+    if isinstance(v, typ):
+        return [v]
+    return list(v)
+
+
+def _check_years(years, valid, label="year"):
+    for y in years:
+        if y not in valid:
+            raise ValueError(f"Invalid {label} '{y}'. Valid {label}s are: {valid}")
+    return sorted(years)
+
+
+class Calculator:
+    """Drop-in fluent API over Spark. See module docstring."""
+
+    def __init__(
+        self,
+        data_dir: str | Path | None = None,
+        spark: SparkSession | None = None,
+        mode: str | None = None,  # accepted for reference API compat; unused
+        n_workers: int = 8,  # idem
+        verbose: bool = True,
+    ):
+        self.spark = spark or get_spark("duckpipe-spark-calculator")
+        self.data_dir = str(data_dir) if data_dir is not None else None
+        self.verbose = verbose
+        self.start_time = datetime.now()
+        self.points: DataFrame | None = None
+        self.attrs: DataFrame | None = None
+        self._results: list[DataFrame] = []
+        self.oa_intersection_df: DataFrame | None = None
+        self._n_partitions: int | None = None
+
+    # ------------------------------------------------------------------ io
+
+    def connect_local_database(self, data_dir: str | Path):
+        """Path config (`core.py:71-84`); storage is plain Parquet."""
+        self.data_dir = str(data_dir)
+        return self
+
+    def connect_cloud_storage(
+        self, s3_key_id: str, s3_secret: str, s3_account_id: str, s3_bucket_name: str
+    ):
+        """R2/S3 via s3a (`core.py:87-115`)."""
+        from duckpipe_spark.sources.tables import configure_s3
+
+        endpoint = f"https://{s3_account_id}.r2.cloudflarestorage.com"
+        configure_s3(self.spark, s3_key_id, s3_secret, endpoint)
+        self.data_dir = f"s3a://{s3_bucket_name}/airhealth"
+        return self
+
+    def _table(self, name: str) -> DataFrame:
+        if self.data_dir is None:
+            raise ValueError("data_dir not set — pass data_dir= or connect_local_database()")
+        return self.spark.read.parquet(f"{self.data_dir}/{name}.parquet")
+
+    # --------------------------------------------------------------- ingest
+
+    def add_point_with_table(
+        self,
+        df: pd.DataFrame | DataFrame,
+        x_col: str = "longitude",
+        y_col: str = "latitude",
+        epsg: int = 4326,
+    ):
+        """Ingest points (`core.py:117-166`): stamp arrival-order ids 1..N,
+        project to EPSG:5179, keep one cached DataFrame carrying id + x/y +
+        original attributes (single source of truth for both the reference's
+        `wkt_df` and `attr_df`)."""
+        if isinstance(df, pd.DataFrame):
+            pdf = df.reset_index(drop=True)
+            x, y = transform(pdf[x_col].to_numpy(), pdf[y_col].to_numpy(), epsg, REF_EPSG)
+            ingest = pdf.copy()
+            ingest["_dp_id"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+            ingest["_dp_x"] = x
+            ingest["_dp_y"] = y
+            sdf = self.spark.createDataFrame(ingest)
+        else:
+            # distributed ingest: stable arrival-order ids via zipWithIndex
+            fields = df.columns
+            rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1))
+            sdf = self.spark.createDataFrame(rdd, df.schema.add("_dp_id", "long"))
+            from duckpipe_spark.operators.coordinate import pandas_udf  # noqa: F401
+            from duckpipe_spark.geo.crs import lonlat_to_tm
+
+            import pandas as _pd
+            from pyspark.sql.functions import pandas_udf as _pudf
+
+            @_pudf("struct<x:double,y:double>")
+            def _fwd(xs: _pd.Series, ys: _pd.Series) -> _pd.DataFrame:
+                tx, ty = transform(xs.values, ys.values, epsg, REF_EPSG)
+                return _pd.DataFrame({"x": tx, "y": ty})
+
+            sdf = (
+                sdf.withColumn("_xy", _fwd(F.col(x_col), F.col(y_col)))
+                .withColumn("_dp_x", F.col("_xy.x"))
+                .withColumn("_dp_y", F.col("_xy.y"))
+                .drop("_xy")
+            )
+        self.attrs = sdf.drop("_dp_x", "_dp_y").withColumnRenamed("_dp_id", "id").cache()
+        self.points = (
+            sdf.select(
+                F.col("_dp_id").alias("id"),
+                F.col("_dp_x").alias("x"),
+                F.col("_dp_y").alias("y"),
+            )
+            .cache()
+        )
+        self._results = []
+        return self
+
+    # ------------------------------------------------------- chunking hints
+
+    def chunk_by_order(self, max_cluster_size: int = 50):
+        """`Clustering.py:127-153` → plain repartition (points arrive in
+        arbitrary order per partition; count mirrors N/chunk_size)."""
+        n = max(1, self.points.count() // max(max_cluster_size, 1))
+        self._n_partitions = min(n, 2048)
+        self.points = self.points.repartition(self._n_partitions).cache()
+        return self
+
+    def chunk_by_hilbert(self, max_cluster_size: int = 50):
+        """`Clustering.py:155-188` → range partition on a Hilbert key: the
+        scalable version of the reference's locality sort (O2)."""
+        pts = self.points
+        stats = pts.agg(
+            F.min("x").alias("x0"), F.min("y").alias("y0"),
+            F.max("x").alias("x1"), F.max("y").alias("y1"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _hk(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            return pd.Series(
+                hilbert_key(xs.values, ys.values, stats.x0, stats.y0, stats.x1, stats.y1)
+            )
+
+        n = max(1, int(stats.n) // max(max_cluster_size, 1))
+        self._n_partitions = min(n, 2048)
+        self.points = (
+            pts.withColumn("_hk", _hk(F.col("x"), F.col("y")))
+            .repartitionByRange(self._n_partitions, "_hk")
+            .drop("_hk")
+            .cache()
+        )
+        return self
+
+    def chunk_by_centroid(
+        self,
+        max_cluster_size: int = 50,
+        distance_threshold: float = 2000,
+        max_rows: int = 20000,
+    ):
+        """`Clustering.py:53-125` (hierarchical clustering) — spatial
+        locality without the O(n²) linkage: Hilbert range partitioning gives
+        the same property (nearby points share partitions) at any scale."""
+        return self.chunk_by_hilbert(max_cluster_size=max_cluster_size)
+
+    def get_chunks(self) -> int:
+        """`Clustering.py:34-51` — expose the partitioning plan."""
+        return self.points.rdd.getNumPartitions() if self.points is not None else 0
+
+    # ------------------------------------------------------------ operators
+
+    def _append(self, df: DataFrame):
+        self._results.append(df)
+
+    def _calc_distance(self, key: str, years):
+        table, varname, valid, simplify_tol = _DISTANCE_SPECS[key]
+        years = _check_years(_as_list(years, int), valid)
+        feats = self._table(table)
+        for year in years:
+            self._append(
+                nearest_distance(self.points, feats, varname, year, simplify_tol=simplify_tol)
+            )
+        return self
+
+    def calculate_airport_distance(self, years):
+        return self._calc_distance("airport", years)
+
+    def calculate_bus_stop_distance(self, years):
+        return self._calc_distance("bus_stop", years)
+
+    def calculate_coastline_distance(self, years):
+        return self._calc_distance("coastline", years)
+
+    def calculate_mdl_distance(self, years):
+        return self._calc_distance("mdl", years)
+
+    def calculate_port_distance(self, years):
+        return self._calc_distance("port", years)
+
+    def calculate_railstation_distance(self, years):
+        return self._calc_distance("railstation", years)
+
+    def calculate_river_distance(self, years):
+        return self._calc_distance("river", years)
+
+    def calculate_road_distance(self, years):
+        return self._calc_distance("road", years)
+
+    def calculate_main_road_distance(self, mr_types, years):
+        mr_types = sorted(_as_list(mr_types, str))
+        years = _check_years(_as_list(years, int), _MR_YEARS)
+        for mr in mr_types:
+            if mr not in ("mr1", "mr2"):
+                raise ValueError(f"Invalid mr_type '{mr}'. Valid mr_types are: ['mr1', 'mr2']")
+            feats = self._table(mr)
+            varname = {"mr1": "D_MR1", "mr2": "D_MR2"}[mr]
+            for year in years:
+                self._append(nearest_distance(self.points, feats, varname, year))
+        return self
+
+    def calculate_road_llw(self, buffer_sizes, years):
+        buffer_sizes = sorted(_as_list(buffer_sizes, float))
+        years = _check_years(_as_list(years, int), _MR_YEARS)
+        roads = self._table("roads")
+        for year in years:
+            self._append(road_llw(self.points, roads, buffer_sizes, year))
+        return self
+
+    def calculate_main_road_llw(self, mr_types, buffer_sizes, years):
+        mr_types = sorted(_as_list(mr_types, str))
+        buffer_sizes = sorted(_as_list(buffer_sizes, float))
+        years = _check_years(_as_list(years, int), _MR_YEARS)
+        roads = self._table("roads")
+        for mr in mr_types:
+            mr_df = self._table(mr)
+            for year in years:
+                self._append(
+                    main_road_llw(self.points, roads, mr_df, buffer_sizes, year, mr.upper())
+                )
+        return self
+
+    def calculate_landuse_area_ratio(self, years, buffer_sizes):
+        years = _check_years(_as_list(years, int), _LANDUSE_YEARS)
+        buffer_sizes = sorted(_as_list(buffer_sizes, float)) if buffer_sizes is not None else [0.0]
+        for year in years:
+            lu = self._table(f"landuse_{year}")
+            self._append(landuse_area_ratio(self.points, lu, buffer_sizes, year))
+        return self
+
+    def calculate_relative_elevation(self, elev_types, buffer_sizes):
+        elev_types = sorted(_as_list(elev_types, str))
+        buffer_sizes = sorted(_as_list(buffer_sizes, float))
+        for et in elev_types:
+            if et not in _ELEV_TYPES:
+                raise ValueError(
+                    f"Invalid elevation type '{et}'. Valid types are: {_ELEV_TYPES}"
+                )
+            cells = self._table(et)
+            self._append(relative_elevation(self.points, cells, buffer_sizes, et))
+        return self
+
+    def calculate_coordinate(self, mode: str = "centroid"):
+        self._append(coordinates(self.points, mode))
+        return self
+
+    def calculate_intersecting_oa(self, buffer_sizes):
+        """Cached separately, not in result_df
+        (`_IntersectingOACalculator.py:100-113`)."""
+        buffer_sizes = sorted(_as_list(buffer_sizes, float))
+        oa = self._table("jgg_borders_2023")
+        self.oa_intersection_df = intersecting_oa(self.points, oa, buffer_sizes)
+        return self
+
+    # -------------------------------------------------------------- results
+
+    def result_long(self) -> DataFrame | None:
+        """The lazy long-form union (engine-native access path)."""
+        return union_results(self._results)
+
+    def get_result_spark(self, pivot: bool = True) -> DataFrame:
+        return assemble_result(self.attrs, self.result_long(), pivot=pivot)
+
+    def get_result(self, pivot: bool = True) -> pd.DataFrame:
+        """Reference-compatible: returns pandas (`core.py:169-214`)."""
+        out = self.get_result_spark(pivot=pivot).toPandas()
+        if self.verbose:
+            print(f"Elapsed time: {datetime.now() - self.start_time}")
+        return out
