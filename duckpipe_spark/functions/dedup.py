@@ -1,0 +1,149 @@
+"""Deduplication operator family (SURVEY.md §2.14): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Design for 100 TB:
+* exact dedup = hash-groupBy on a normalized fingerprint (one shuffle on the
+  16-byte key, not the document bodies);
+* near-dup pipelines all run through an *inverted index* (explode shingles →
+  equi-join) or *LSH banding* (equi-join on band keys) — never an O(n²)
+  cross join over documents;
+* every hash is deterministic integer math (31-base rolling hash mod 1e9+7,
+  affine MinHash permutations) so results are reproducible across engines,
+  partitionings, and reruns — and exactly checkable against the DuckDB
+  oracle.
+
+No Python UDFs anywhere: shingling and hashing are higher-order-function
+column expressions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from duckpipe_spark.functions.text import fingerprint_col, tokens_col
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+# fixed affine MinHash permutations (a*h + b) % POLY_MOD — deterministic
+MINHASH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869]
+MINHASH_B = [12582917, 25165843, 50331653, 100663319, 201326611, 402653189, 805306457, 1610612741, 53, 97, 193, 389]
+N_HASHES = len(MINHASH_A)
+BAND_SIZE = 3  # 4 bands of 3 rows
+SIMHASH_BITS = 30
+
+
+def char_poly_hash(col: Column) -> Column:
+    """31-base rolling hash over the string's codepoints, mod 1e9+7.
+    Exactly mirrored in DuckDB via list_reduce (see dedup_q oracles)."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * POLY_BASE + x) % POLY_MOD,
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document → (id, shingle)."""
+    toks = tokens_col(F.col(text_col))
+    df = df.withColumn("_t", toks).where(F.size("_t") >= k)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - k),
+        lambda i: F.concat_ws(" ", *[F.element_at("_t", (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized content with
+    the canonical (min) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint_col(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Document pairs with word-k-gram Jaccard ≥ threshold, via inverted
+    index: shingle equi-join gives |A∩B|; |A∪B| = |A|+|B|−|A∩B|."""
+    sh = word_shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """MinHash signature per document: s_i = min over shingles of
+    (a_i·h(shingle) + b_i) mod 1e9+7. Output columns s0..s{N-1}."""
+    sh = word_shingles(df, text_col, id_col, k)
+    h = sh.select("id", char_poly_hash(F.col("shingle")).alias("hv"))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("hv") + F.lit(MINHASH_B[i])) % POLY_MOD).alias(f"s{i}")
+        for i in range(N_HASHES)
+    ]
+    return h.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding over MinHash signatures: a pair is a candidate iff it
+    collides in ≥1 band of BAND_SIZE consecutive signature rows. Equi-join
+    per band on the band key, unioned + distinct."""
+    n_bands = N_HASHES // BAND_SIZE
+    pairs = None
+    for b in range(n_bands):
+        cols = [f"s{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        banded = sigs.select(F.col("id"), key.alias("bk"))
+        left = banded.select(F.col("id").alias("id_a"), "bk")
+        right = banded.select(F.col("id").alias("id_b"), "bk")
+        p = left.join(right, "bk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """SIMHASH_BITS-bit SimHash over shingle hashes: bit j is set when the
+    majority of shingles have bit j set (sum of ±1 > 0)."""
+    sh = word_shingles(df, text_col, id_col, k)
+    h = sh.select("id", char_poly_hash(F.col("shingle")).alias("hv"))
+    bit_aggs = [
+        F.sum(
+            F.when(((F.col("hv") / (1 << j)).cast("bigint") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = h.groupBy("id").agg(*bit_aggs)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return bits.select("id", sim.alias("simhash"))

@@ -1,0 +1,170 @@
+"""Multimodal column plumbing (SURVEY.md §2.14): image/audio/video as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` kernels.
+
+The Spark-side machinery — schema, partitioning, UDF signatures, batch shapes
+— is real and tested. The media *decode* step itself is stubbed behind an
+import-try (no image/audio libraries in this container): with
+``fake_decode=True`` it produces a deterministic pseudo-decode derived from
+the blob bytes, otherwise it raises ``NotImplementedError`` at the exact
+point a real codec (Pillow/ffmpeg) would plug in.
+
+Byte-level feature extraction (histogram, entropy, byte stats) is fully real
+— those are the kernels a 100 TB curation pipeline runs before any decode
+(corruption checks, format sniffing, dedup on content hash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+BLOB_META_SCHEMA = "blob_id bigint, n_bytes bigint, sha1 string, format string"
+
+
+def with_blob_metadata(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id") -> DataFrame:
+    """Typed metadata columns for an opaque binary column (JVM-side where
+    possible: length; sha1/format sniff via one mapInPandas pass)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(getattr(row, blob_col))
+                fmt = _sniff_format(blob)
+                out.append(
+                    (getattr(row, id_col), len(blob), hashlib.sha1(blob).hexdigest(), fmt)
+                )
+            yield pd.DataFrame(out, columns=["blob_id", "n_bytes", "sha1", "format"])
+
+    return df.mapInPandas(gen, BLOB_META_SCHEMA)
+
+
+def _sniff_format(blob: bytes) -> str:
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def byte_histogram(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id") -> DataFrame:
+    """256-bin byte histogram + entropy per blob (numpy bincount per Arrow
+    batch) — the real pre-decode corruption/quality kernel."""
+    schema = "blob_id bigint, entropy double, histogram array<bigint>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ents, hists = [], [], []
+            for row in pdf.itertuples(index=False):
+                blob = np.frombuffer(bytes(getattr(row, blob_col)), dtype=np.uint8)
+                hist = np.bincount(blob, minlength=256).astype(np.int64)
+                p = hist[hist > 0] / max(len(blob), 1)
+                ids.append(getattr(row, id_col))
+                ents.append(float(-(p * np.log2(p)).sum()) if len(blob) else 0.0)
+                hists.append(hist.tolist())
+            yield pd.DataFrame({"blob_id": ids, "entropy": ents, "histogram": hists})
+
+    return df.mapInPandas(gen, schema)
+
+
+DECODED_IMAGE_SCHEMA = "blob_id bigint, width int, height int, channels int, mean_pixel double"
+
+
+def decode_images(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Image decode → (width, height, channels, mean_pixel).
+
+    Real path requires an image codec; STUBBED in this environment. The fake
+    path derives deterministic dimensions/statistics from the blob's sha1 so
+    the downstream plumbing (schema, joins, aggregations) is exercised
+    end-to-end with stable results.
+    """
+    try:  # pragma: no cover - not present in this container
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(getattr(row, blob_col))
+                bid = getattr(row, id_col)
+                if have_pil:  # pragma: no cover
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(blob))
+                    arr = np.asarray(img)
+                    out.append(
+                        (bid, img.width, img.height, arr.shape[2] if arr.ndim == 3 else 1,
+                         float(arr.mean()))
+                    )
+                elif fake_decode:
+                    h = hashlib.sha1(blob).digest()
+                    width = 64 + h[0]
+                    height = 64 + h[1]
+                    channels = 1 + (h[2] % 4)
+                    mean_pixel = float(int.from_bytes(h[3:5], "big")) / 65535.0 * 255.0
+                    out.append((bid, width, height, channels, mean_pixel))
+                else:
+                    raise NotImplementedError(
+                        "image decode requires an image codec (PIL) — not available "
+                        "in this environment; pass fake_decode=True for plumbing tests"
+                    )
+            yield pd.DataFrame(
+                out, columns=["blob_id", "width", "height", "channels", "mean_pixel"]
+            )
+
+    return df.mapInPandas(gen, DECODED_IMAGE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """Video frame sampling STUB: emits (blob_id, frame_idx, frame_offset)
+    rows — the explode shape a real ffmpeg-backed sampler produces — with
+    offsets spread deterministically across the blob."""
+    schema = "blob_id bigint, frame_idx int, frame_offset bigint"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(getattr(row, blob_col))
+                bid = getattr(row, id_col)
+                n = max(len(blob), 1)
+                for i in range(n_frames):
+                    out.append((bid, i, (i * n) // n_frames))
+            yield pd.DataFrame(out, columns=["blob_id", "frame_idx", "frame_offset"])
+
+    return df.mapInPandas(gen, schema)
+
+
+def documents_as_blobs(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as blobs so the multimodal
+    machinery is exercised against the driver's testdata."""
+    return docs.select(
+        F.col("doc_id").alias("blob_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
+    )

@@ -1,0 +1,131 @@
+"""Embedding similarity search (SURVEY.md §2.14): brute-force cosine top-k
+baseline + random-hyperplane LSH bucketing as the scale path.
+
+Determinism: dot products are computed as an ordered left fold over the
+vector elements (float→double each step), so Spark and DuckDB produce
+bit-identical doubles; ranking ties are broken on the neighbor id.
+
+Scale notes: brute-force is O(Q·N) with the query side broadcast — the right
+baseline and exact. The LSH path buckets vectors by the sign pattern of dot
+products with fixed hyperplanes: candidate generation becomes a hash
+equi-join on the bucket key (shuffle-partitionable), trading recall for a
+~2^planes reduction in pair count. Hyperplanes are a fixed deterministic
+matrix so bucket assignment is reproducible everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+N_PLANES = 8
+_DIM = 64
+
+
+def _hyperplanes(dim: int = _DIM, n_planes: int = N_PLANES) -> np.ndarray:
+    rng = np.random.default_rng(20240813)
+    return rng.standard_normal((n_planes, dim)).round(6)
+
+
+HYPERPLANES = _hyperplanes()
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Ordered left-fold dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2_fold(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_fold(a, b) / F.sqrt(norm2_fold(a) * norm2_fold(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (excluding self), deterministic
+    ranking on (rounded cosine desc, neighbor id asc)."""
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = embeddings.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("query_id"))
+    cos = F.round(cosine_col(F.col("qvec"), F.col(vec_col)), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def lsh_bucket_col(vec: Column) -> Column:
+    """Bucket id = integer of sign bits of <vec, plane_i>."""
+    out = F.lit(0).cast("bigint")
+    for i in range(N_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[i]])
+        bit = F.when(dot_fold(vec, plane) > 0.0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        out = out + bit
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (hash equi-join), then exact cosine ranking within the bucket."""
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col)))
+    q = bucketed.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    pairs = bucketed.join(F.broadcast(q), "bucket").where(F.col(id_col) != F.col("query_id"))
+    cos = F.round(cosine_col(F.col("qvec"), F.col(vec_col)), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets (pairs must
+    share a bucket), exact cosine filter afterwards."""
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col)))
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

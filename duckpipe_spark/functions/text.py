@@ -1,0 +1,101 @@
+"""Text-analysis operators over a document table (SURVEY.md §2.14).
+
+All kernels are built from JVM-side `pyspark.sql.functions` (split, regexp,
+higher-order lambdas) — no Python UDFs in any hot path, so they run inside
+whole-stage codegen and scale linearly with the scan. Every operator has an
+exactly-matching DuckDB SQL formulation (used by the oracle gate); the
+deterministic-integer design notes from `queries/relational.py` apply.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# shared constants (mirrored into the oracle SQL)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "les", "et", "que", "est"],
+}
+PUNCT_CLASS = "[^.!?,;:]"
+BPE_ISH_REGEX = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; trim first so both engines agree on
+    leading/trailing empties."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs + single digits + single
+    punctuation marks — a cheap deterministic proxy for BPE token counts."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), F.lit(0)))
+
+
+def stopword_count(toks: Column, words: list[str] | None = None) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*(words or STOPWORDS))))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics + quality ratios."""
+    t = tokens_col(F.col(text_col))
+    df = df.withColumn("_t", t)
+    n_tokens = F.size("_t")
+    n_chars_nospace = F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    n_stop = F.size(F.filter(F.col("_t"), lambda x: x.isin(*STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("bigint").alias("n_uniq_tokens"),
+        (n_stop.cast("double") / n_tokens).alias("stop_ratio"),
+        (n_punct.cast("double") / F.length(F.col(text_col))).alias("punct_ratio"),
+        (n_chars_nospace.cast("double") / n_tokens).alias("avg_token_len"),
+        token_count_bpe_ish(F.col(text_col)).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def with_language_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language ID: count hits per language, pick the max
+    with a deterministic precedence (en > de > es > fr > und)."""
+    toks = tokens_col(F.col(text_col))
+    df = df.withColumn("_t", toks)
+
+    def _count(words: list[str]):
+        # single-arg lambda (a 2-arg callable would be read as (element, index))
+        return F.size(F.filter(F.col("_t"), lambda x: x.isin(*words)))
+
+    counts = {lang: _count(words) for lang, words in LANG_MARKERS.items()}
+    en, de, es, fr = counts["en"], counts["de"], counts["es"], counts["fr"]
+    guess = (
+        F.when((en > 0) & (en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de > 0) & (de >= es) & (de >= fr), "de")
+        .when((es > 0) & (es >= fr), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return df.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score from cheap surface statistics:
+    in-range token count, in-range mean word length, low punct ratio."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    n_chars_nospace = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    avg_len = n_chars_nospace.cast("double") / n
+    punct_ratio = F.length(F.regexp_replace(text, PUNCT_CLASS, "")).cast("double") / F.length(text)
+    s_count = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    s_wordlen = F.when((avg_len >= 2.0) & (avg_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    s_punct = F.when(punct_ratio <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (s_count + s_wordlen + s_punct) / F.lit(3.0)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercase,
+    whitespace-collapsed text (document identity for exact dedup)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))

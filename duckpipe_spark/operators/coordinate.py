@@ -17,10 +17,15 @@ from pyspark.sql.functions import pandas_udf
 from duckpipe_spark.geo.crs import tm_to_lonlat
 
 
-@pandas_udf("struct<lon:double,lat:double>")
-def _tm_to_lonlat_udf(x: pd.Series, y: pd.Series) -> pd.DataFrame:
-    lon, lat = tm_to_lonlat(x.values, y.values)
-    return pd.DataFrame({"lon": lon, "lat": lat})
+def _tm_to_lonlat_udf(*cols):
+    """Lazy pandas UDF (needs an active SparkSession at creation time)."""
+
+    @pandas_udf("struct<lon:double,lat:double>")
+    def _kernel(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        lon, lat = tm_to_lonlat(x.values, y.values)
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return _kernel(*cols)
 
 
 def coordinates(points: DataFrame, mode: str = "centroid") -> DataFrame:

@@ -158,22 +158,25 @@ def main_road_llw(
 # ---------------------------------------------------------------------------
 
 
-@pandas_udf("double")
-def _circle_poly_area_udf(
-    px: pd.Series, py: pd.Series, r: pd.Series, raw: pd.Series
-) -> pd.Series:
-    """Exact circle∩polygon area; WKB decode memoized per Arrow batch (the
-    same feature polygon appears in many candidate pairs)."""
-    cache: dict[bytes, object] = {}
-    out = []
-    for x, y, rad, b in zip(px.values, py.values, r.values, raw.values):
-        key = bytes(b)
-        g = cache.get(key)
-        if g is None:
-            g = wkb.from_wkb(key)
-            cache[key] = g
-        out.append(geom.circle_polygon_area(float(x), float(y), float(rad), g))
-    return pd.Series(out, dtype="float64")
+def _circle_poly_area_udf(*cols):
+    """Exact circle∩polygon area pandas UDF; WKB decode memoized per Arrow
+    batch (the same feature polygon appears in many candidate pairs).
+    Created lazily — pandas_udf needs an active SparkSession."""
+
+    @pandas_udf("double")
+    def _kernel(px: pd.Series, py: pd.Series, r: pd.Series, raw: pd.Series) -> pd.Series:
+        cache: dict[bytes, object] = {}
+        out = []
+        for x, y, rad, b in zip(px.values, py.values, r.values, raw.values):
+            key = bytes(b)
+            g = cache.get(key)
+            if g is None:
+                g = wkb.from_wkb(key)
+                cache[key] = g
+            out.append(geom.circle_polygon_area(float(x), float(y), float(rad), g))
+        return pd.Series(out, dtype="float64")
+
+    return _kernel(*cols)
 
 
 def landuse_area_ratio(

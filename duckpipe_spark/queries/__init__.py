@@ -15,6 +15,10 @@ try:
 except ImportError:
     pass
 try:
+    from duckpipe_spark.queries import multimodal_q  # noqa: F401
+except ImportError:
+    pass
+try:
     from duckpipe_spark.queries import geo_q  # noqa: F401
 except ImportError:
     pass

@@ -1,0 +1,129 @@
+"""Near-duplicate detection queries (MinHash+LSH, SimHash, n-gram Jaccard)
+with exact DuckDB oracles generated from the same hash constants."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from duckpipe_spark.functions.dedup import (
+    BAND_SIZE,
+    MINHASH_A,
+    MINHASH_B,
+    N_HASHES,
+    POLY_BASE,
+    POLY_MOD,
+    SIMHASH_BITS,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from duckpipe_spark.queries.base import register
+from duckpipe_spark.sources.tables import load_table
+
+# shared SQL snippets ---------------------------------------------------------
+
+_SHINGLES_SQL = """
+toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents{filter}
+),
+idx AS (
+  SELECT id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx
+)"""
+
+_HASH_SQL = f"""
+h AS (
+  SELECT id, list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD}
+  ) AS hv
+  FROM sh
+)"""
+
+_SIG_EXPRS = ", ".join(
+    f"min(({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {POLY_MOD}) AS s{i}" for i in range(N_HASHES)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_SQL.format(filter='')},
+{_HASH_SQL}
+SELECT id, {_SIG_EXPRS} FROM h GROUP BY id
+"""
+
+
+@register("doc_minhash_signatures", _MINHASH_ORACLE, "MinHash signatures (shingle→hash→min) per doc")
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_N_BANDS = N_HASHES // BAND_SIZE
+_BAND_SELECTS = "\nUNION\n".join(
+    "SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b ON "
+    + " AND ".join(f"a.s{b * BAND_SIZE + j} = b.s{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+    + " AND a.id < b.id"
+    for b in range(_N_BANDS)
+)
+
+_LSH_ORACLE = f"""
+WITH {_SHINGLES_SQL.format(filter='')},
+{_HASH_SQL},
+sig AS (SELECT id, {_SIG_EXPRS} FROM h GROUP BY id)
+{_BAND_SELECTS}
+"""
+
+
+@register("doc_lsh_candidates", _LSH_ORACLE, "MinHash-LSH banding candidate pairs (equi-join per band)")
+def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs)
+
+
+_BIT_AGGS = ", ".join(
+    f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(SIMHASH_BITS)
+)
+_SIM_SUM = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH {_SHINGLES_SQL.format(filter='')},
+{_HASH_SQL},
+bits AS (SELECT id, {_BIT_AGGS} FROM h GROUP BY id)
+SELECT id, {_SIM_SUM} AS simhash FROM bits
+"""
+
+
+@register("doc_simhash", _SIMHASH_ORACLE, "SimHash (majority bit vote over shingle hashes)")
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_LIMIT = 200  # bound the pair blow-up in the oracle comparison
+_JACCARD_THRESHOLD = 0.1
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_SQL.format(filter=f' WHERE doc_id < {_JACCARD_LIMIT}')},
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("doc_jaccard_pairs", _JACCARD_ORACLE, "n-gram Jaccard near-dup pairs via inverted shingle index")
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _JACCARD_LIMIT)
+    return ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)

@@ -1,0 +1,118 @@
+"""Embedding similarity-search queries with exact DuckDB oracles.
+
+Dot products on both engines are ordered left folds (float→double), so the
+cosines are bit-identical and the (rounded cos, id) ranking is deterministic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from duckpipe_spark.functions.similarity import (
+    HYPERPLANES,
+    N_PLANES,
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from duckpipe_spark.queries.base import register
+from duckpipe_spark.sources.tables import load_table
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_K = 5
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"round({dot} / sqrt({na} * {nb}), 6)"
+
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("embedding_cosine_topk", _TOPK_ORACLE, "brute-force cosine top-k ANN baseline")
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K)
+
+
+def _plane_sql(i: int) -> str:
+    vals = ", ".join(repr(float(v)) for v in HYPERPLANES[i])
+    return f"([{vals}]::DOUBLE[])"  # parens so `plane[i]` indexing parses
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_DOT_SQL.format(a='embedding', b=_plane_sql(i))} > 0.0 "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(N_PLANES)
+)
+
+_LSH_TOPK_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bucketed
+  WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'e.embedding')} AS cos
+  FROM bucketed e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("embedding_lsh_topk", _LSH_TOPK_ORACLE, "LSH-bucketed approximate top-k (scale path)")
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K)
+
+
+_NEARDUP_THRESHOLD = 0.3
+
+_NEARDUP_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_NEARDUP_THRESHOLD}
+"""
+
+
+@register("embedding_neardup_pairs", _NEARDUP_ORACLE, "embedding-cosine near-dup pairs via LSH buckets")
+def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=_NEARDUP_THRESHOLD
+    )
