@@ -98,3 +98,47 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+_SESSION_WINDOW_ORACLE = f"""
+WITH flagged AS (
+  SELECT
+    user_id, ts, event_id,
+    CASE
+      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           > {_SESSION_GAP_US}
+        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      THEN 1 ELSE 0
+    END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT
+  user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  count(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@register("events_session_window", _SESSION_WINDOW_ORACLE,
+          "built-in session_window (batch twin of the streaming sessionizer)")
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.streaming.events import session_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_windows(ev, watermark=None)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+    )

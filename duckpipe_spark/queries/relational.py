@@ -382,3 +382,104 @@ def brand_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(part.p_brand, part.p_partkey, part.p_retailprice.alias("min_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# semi/anti joins + set ops — engine completeness beyond the reference
+# (the reference has none of these, SURVEY.md §2.3/§2.7 notes)
+# ---------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+@register("customers_without_orders", _ANTI_ORACLE, "left anti join")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SEMI_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_quantity > 45
+)
+"""
+
+
+@register("suppliers_with_big_lineitems", _SEMI_ORACLE, "left semi join (EXISTS)")
+def suppliers_with_big_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+_SETOP_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("custkeys_f_and_o_intersect", _SETOP_ORACLE, "INTERSECT set operation")
+def custkeys_f_and_o_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(o)
+
+
+_EXCEPT_ORACLE = """
+SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 300000
+EXCEPT
+SELECT l_orderkey FROM lineitem WHERE l_quantity > 40
+"""
+
+
+@register("orders_except", _EXCEPT_ORACLE, "EXCEPT set operation")
+def orders_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = orders.filter(F.col("o_totalprice") > 300000).select(F.col("o_orderkey").alias("k"))
+    heavy = li.filter(F.col("l_quantity") > 40).select(F.col("l_orderkey").alias("k"))
+    # subtract = EXCEPT (set semantics); exceptAll would be bag semantics
+    return big.subtract(heavy)
+
+
+_ROLLUP_ORACLE = """
+SELECT
+  coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  count(*) AS n,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("orders_rollup", _ROLLUP_ORACLE, "ROLLUP hierarchical aggregation")
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )

@@ -33,7 +33,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long nanos
     # (spark.sql.legacy.parquet.nanosAsLong). Truncate to micros like DuckDB.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer DIV: `/` would go through double and lose exactness >2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

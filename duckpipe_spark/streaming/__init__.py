@@ -1,0 +1,13 @@
+from duckpipe_spark.streaming.events import (
+    read_event_stream,
+    sessionize_stateful,
+    session_windows,
+    windowed_rollup,
+)
+
+__all__ = [
+    "read_event_stream",
+    "windowed_rollup",
+    "session_windows",
+    "sessionize_stateful",
+]

@@ -1,0 +1,149 @@
+"""Structured Streaming surface (SURVEY.md §2.13 — beyond-reference).
+
+The reference is batch-only; the engine adds the streaming operators a
+training-data pipeline needs on an event feed: watermarked tumbling/sliding
+window rollups, built-in session windows, and a custom stateful sessionizer
+via ``applyInPandasWithState`` (the extension point for operators Spark lacks
+natively).
+
+Every transformation here works identically on a batch DataFrame (Spark's
+unified API) — the batch twins are oracle-checked in
+``queries/events_q.py``; streaming-specific behavior (incremental processing,
+late-data handling, state timeouts) is covered by ``tests/test_streaming.py``
+with file sources and memory sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """File-based event stream (one new parquet file per micro-batch in
+    tests; the same code takes a Kafka source in production)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation — the streaming twin
+    of `events_hourly_rollup`. Late events beyond the watermark are dropped;
+    state for closed windows is purged automatically."""
+    ev = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return ev.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = SESSION_GAP, watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Built-in gap-based session windows per user. With a watermark,
+    sessions are finalized (and state evicted) once event time passes
+    session_end + watermark — required for append mode; pass watermark=None
+    for complete-mode parity with batch."""
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return ev.groupBy("user_id", F.session_window("ts", gap).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+_STATE_SCHEMA = "start_us long, last_us long, n long"
+_OUT_SCHEMA = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+
+
+def _session_fn(
+    key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful sessionizer: closes a session when the event gap
+    exceeds SESSION_GAP or the state times out."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+        return
+
+    ts_us = (
+        pd.concat([pdf["ts"] for pdf in pdf_iter]).sort_values().astype("int64") // 1000
+    )
+    closed = []
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = int(ts_us.iloc[0])
+        n = 0
+    for t in ts_us:
+        t = int(t)
+        if n > 0 and t - last_us > SESSION_GAP_US:
+            closed.append((user_id, start_us, last_us, n))
+            start_us, n = t, 0
+        last_us = max(last_us, t)
+        n += 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutDuration(60_000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                "n_events": [c[3] for c in closed],
+            }
+        )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """`applyInPandasWithState` sessionization — the template for custom
+    stateful operators the built-ins can't express (emits a session only
+    once it is closed by a gap or a processing-time timeout)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,98 @@
+"""Structured Streaming tests: file source → memory sink, incremental
+micro-batches, streaming results equal the batch twins."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from duckpipe_spark.sources.tables import load_table
+from duckpipe_spark.streaming import (
+    read_event_stream,
+    session_windows,
+    sessionize_stateful,
+    windowed_rollup,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_files(tmp_path_factory, spark):
+    """Split the events table into 3 parquet files (3 micro-batches),
+    partitioned by time so later files carry later events."""
+    d = tmp_path_factory.mktemp("eventstream")
+    ev = load_table(spark, SF_SMOKE, "events").orderBy("ts")
+    pdf = ev.toPandas()
+    n = len(pdf)
+    for i, chunk in enumerate([pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]):
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(f"{d}/batch{i}")
+    files = [str(p) for p in sorted(d.glob("batch*/*.parquet"))]
+    stream_dir = d / "stream"
+    stream_dir.mkdir()
+    import shutil
+
+    for i, f in enumerate(files):
+        shutil.copy(f, stream_dir / f"part-{i:03d}.parquet")
+    return str(stream_dir)
+
+
+def _run_stream(spark, sdf, name, mode="complete", timeout=120):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", f"/tmp/ckpt-{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return spark.table(name)
+
+
+def test_windowed_rollup_matches_batch(spark, event_files, tmp_path):
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    got = _run_stream(spark, windowed_rollup(stream), "rollup_t").toPandas()
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    exp = windowed_rollup(batch).toPandas()
+    got_s = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    exp_s = exp.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert len(got_s) == len(exp_s)
+    assert (got_s["n_events"].to_numpy() == exp_s["n_events"].to_numpy()).all()
+    assert abs(got_s["sum_value"].to_numpy() - exp_s["sum_value"].to_numpy()).max() < 1e-6
+
+
+def test_session_windows_matches_batch(spark, event_files):
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    # watermark=None → no state eviction → complete-mode output equals batch
+    got = _run_stream(spark, session_windows(stream, watermark=None), "sess_t").toPandas()
+    batch = load_table(spark, SF_SMOKE, "events")
+    exp = session_windows(batch).toPandas()
+    g = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    e = exp.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
+    # session counts per user must also equal the lag/cumsum batch definition
+    n_sessions = g.groupby("user_id").size()
+    from duckpipe_spark.queries.events_q import sessionize_users
+
+    lag_based = sessionize_users(spark, SF_SMOKE).toPandas().set_index("user_id")
+    for uid, cnt in n_sessions.items():
+        assert cnt == lag_based.loc[uid, "n_sessions"]
+
+
+def test_stateful_sessionizer_closes_sessions(spark, event_files):
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    out = _run_stream(spark, sessionize_stateful(stream), "sess_state", mode="append")
+    got = out.toPandas()
+    # append mode emits only *closed* sessions; every closed session must
+    # match a true session from the batch definition
+    batch_sessions = session_windows(load_table(spark, SF_SMOKE, "events")).toPandas()
+    merged = got.merge(
+        batch_sessions,
+        left_on=["user_id", "session_start"],
+        right_on=["user_id", "session_start"],
+        how="left",
+        suffixes=("", "_b"),
+    )
+    assert merged["n_events_b"].notna().all()
+    assert (merged["n_events"] == merged["n_events_b"]).all()
+    assert len(got) > 0
