@@ -14,17 +14,66 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "first_order_per_customer",
     "segment_year_pivot",
     "custkey_status_skeleton",
+    "orders_rollup",
+    # spatial operator family (proxy + real pipeline)
     "nearest_feature_distance",
     "features_within_radius",
+    "geo_nearest_distance_pipeline",
+    "geo_buffer_clip_pipeline",
+    # events / sessionization
     "events_hourly_rollup",
     "sessionize_users",
+    "events_session_window",
+    # text / dedup / similarity
+    "doc_token_stats",
+    "doc_minhash_signatures",
+    "doc_lsh_candidates",
+    "doc_simhash",
+    "embedding_cosine_topk",
+    "embedding_lsh_topk",
 ]
+
+
+def oracle_main() -> None:
+    """`bench.py --oracle`: time the DuckDB oracle twins at the same SF —
+    the reference point for the within-2x-of-DuckDB target (BASELINE.md)."""
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from duckpipe_spark.queries import REGISTRY
+    from duckpipe_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    timings: dict[str, float] = {}
+    for name in [n for n in HEADLINE if n in REGISTRY]:
+        q = REGISTRY[name].oracle
+        if q is None:
+            continue
+        con.execute(q).fetchall()  # warm
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -65,4 +114,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--oracle" in sys.argv:
+        oracle_main()
+    else:
+        main()

@@ -64,7 +64,7 @@ def nearest_feature_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RADII = [3000.0, 10000.0, 30000.0]
+_RADII = [500.0, 1500.0, 4000.0]
 _RADII_VALUES = ", ".join(f"({r})" for r in _RADII)
 
 _RADIUS_ORACLE = f"""
@@ -80,19 +80,48 @@ GROUP BY c_custkey, r
 """
 
 
-@register("features_within_radius", _RADIUS_ORACLE, "buffer-size VALUES cross join + left join zero-count (J2/J6)")
+@register("features_within_radius", _RADIUS_ORACLE, "buffer-size VALUES cross join + grid-bin radius count (J2/J6)")
 def features_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled radius counts via the engine's grid-bin join — a hash
+    join on cell ids instead of an O(points × features) nested loop; the
+    oracle's LEFT JOIN semantics are restored by the skeleton left join."""
+    from duckpipe_spark.operators.spatial_join import grid_join
+
     cust = _points(load_table(spark, sf_dir, "customer"), _CX, _CY, "c_custkey")
     supp = _points(load_table(spark, sf_dir, "supplier"), _SX, _SY, "s_suppkey").select(
         F.col("id").alias("fid"), F.col("x").alias("fx"), F.col("y").alias("fy")
     )
     radii = spark.createDataFrame([(r,) for r in _RADII], "radius double")
+    pb = (
+        cust.crossJoin(F.broadcast(radii))
+        .withColumn("pxmin", F.col("x") - F.col("radius"))
+        .withColumn("pymin", F.col("y") - F.col("radius"))
+        .withColumn("pxmax", F.col("x") + F.col("radius"))
+        .withColumn("pymax", F.col("y") + F.col("radius"))
+    )
+    sb = (
+        supp.withColumn("sxmin", F.col("fx"))
+        .withColumn("symin", F.col("fy"))
+        .withColumn("sxmax", F.col("fx"))
+        .withColumn("symax", F.col("fy"))
+    )
+    cand = grid_join(
+        pb,
+        sb,
+        ("pxmin", "pymin", "pxmax", "pymax"),
+        ("sxmin", "symin", "sxmax", "symax"),
+        cell_size=2 * max(_RADII),
+        broadcast_right=True,
+    )
     dist2 = (F.col("x") - F.col("fx")) * (F.col("x") - F.col("fx")) + (
         F.col("y") - F.col("fy")
     ) * (F.col("y") - F.col("fy"))
-    return (
-        cust.crossJoin(F.broadcast(radii))
-        .join(F.broadcast(supp), dist2 < F.col("radius") * F.col("radius"), "left")
+    counts = (
+        cand.where(dist2 < F.col("radius") * F.col("radius"))
         .groupBy("id", "radius")
         .agg(F.count("fid").alias("n_within"))
+    )
+    skeleton = cust.select("id").crossJoin(F.broadcast(radii))
+    return skeleton.join(counts, on=["id", "radius"], how="left").select(
+        "id", "radius", F.coalesce("n_within", F.lit(0)).alias("n_within")
     )

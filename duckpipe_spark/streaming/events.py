@@ -124,7 +124,7 @@ def _session_fn(
         last_us = max(last_us, t)
         n += 1
     state.update((start_us, last_us, n))
-    state.setTimeoutDuration(60_000)
+    state.setTimeoutDuration(600_000)  # flush sessions idle for 10 min of processing time
     if closed:
         yield pd.DataFrame(
             {

@@ -1,0 +1,69 @@
+"""Physical-plan property tests: pin the plan shapes that matter at 100 TB
+(pushdown, pruning, broadcast strategy, codegen, bounded shuffles) so a
+regression fails CI instead of a cluster run."""
+
+import pytest
+
+from duckpipe_spark.plans.audit import audit_plan, no_aqe
+from tests.conftest import SF_SMOKE
+
+
+def _q(name):
+    from duckpipe_spark.queries import REGISTRY
+
+    return REGISTRY[name].fn
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("q1_pricing_summary")(spark, SF_SMOKE))
+    assert any("l_shipdate" in f for f in a.pushed_filters()), a.pushed_filters()
+    cols = a.read_columns()[0]
+    # only the 7 needed columns reach the scan — no SELECT *
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    assert a.codegen_spans >= 1
+
+
+def test_q5_broadcast_join_chain(spark):
+    a = audit_plan(_q("q5_local_supplier")(spark, SF_SMOKE))
+    assert a.broadcast_hash_joins >= 5  # every dim side broadcast
+    assert a.sort_merge_joins == 0
+    assert a.shuffle_hash_joins == 0
+    # the fact table shuffles at most twice (agg partial→final under AQE)
+    assert a.exchanges <= 2
+    # region filter reached its scan
+    assert any("r_name" in f for f in a.pushed_filters())
+
+
+def test_distance_operator_plan(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("geo_nearest_distance_pipeline")(spark, SF_SMOKE))
+    # feature decode is the only Python stage; per-pair math is JVM
+    assert a.sort_merge_joins == 0
+    assert a.exchanges <= 2  # only the final per-id aggregation shuffles
+    assert a.codegen_spans >= 1
+
+
+def test_llw_operator_has_no_scalar_python(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("geo_buffer_clip_pipeline")(spark, SF_SMOKE))
+    # decode via MapInPandas is expected; no ArrowEvalPython scalar UDF —
+    # the circle-clip kernel must be column arithmetic
+    assert "ArrowEvalPython" not in a.text
+    assert a.codegen_spans >= 1
+
+
+def test_minhash_is_pure_jvm(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_minhash_signatures")(spark, SF_SMOKE))
+    assert a.python_stages == 0  # shingling+hashing entirely in codegen
+    assert a.codegen_spans >= 1
+
+
+def test_skeleton_fill_broadcasts_small_sides(spark):
+    a = audit_plan(_q("custkey_status_skeleton")(spark, SF_SMOKE))
+    assert a.broadcast_hash_joins + a.broadcast_nl_joins >= 1
+    assert a.sort_merge_joins == 0

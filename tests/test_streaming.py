@@ -35,11 +35,14 @@ def event_files(tmp_path_factory, spark):
 
 
 def _run_stream(spark, sdf, name, mode="complete", timeout=120):
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", f"/tmp/ckpt-{name}")
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
