@@ -349,12 +349,16 @@ def _dp_mask(coords: np.ndarray, tol: float) -> np.ndarray:
             continue
         a, b = coords[i0], coords[i1]
         ab = b - a
-        ab_len = math.hypot(ab[0], ab[1])
+        len2 = float(ab[0] * ab[0] + ab[1] * ab[1])
         pts = coords[i0 + 1 : i1]
-        if ab_len == 0.0:
+        if len2 == 0.0:
             d = np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
         else:
-            d = np.abs((pts[:, 0] - a[0]) * ab[1] - (pts[:, 1] - a[1]) * ab[0]) / ab_len
+            # clamped point-to-SEGMENT distance (GEOS semantics) — the
+            # infinite-line distance would wrongly drop points beyond the
+            # chord's endpoints
+            t = np.clip(((pts[:, 0] - a[0]) * ab[0] + (pts[:, 1] - a[1]) * ab[1]) / len2, 0.0, 1.0)
+            d = np.hypot(pts[:, 0] - (a[0] + t * ab[0]), pts[:, 1] - (a[1] + t * ab[1]))
         imax = int(d.argmax())
         if d[imax] > tol:
             k = i0 + 1 + imax

@@ -35,7 +35,8 @@ def pivot_wide(long_df: DataFrame) -> DataFrame:
     list is small (≤ hundreds) and bounded by calculator configs."""
     names = sorted(r[0] for r in long_df.select(VAR).distinct().collect())
     piv = long_df.groupBy(ID, YEAR).pivot(VAR, names).agg(F.first(VAL))
-    return piv.select(ID, YEAR, *names)
+    # backtick-quote: varnames may contain dots (e.g. Alt_k_above_20_1000.0)
+    return piv.select(ID, YEAR, *[F.col(f"`{n}`") for n in names])
 
 
 def assemble_result(

@@ -68,7 +68,10 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     a.broadcast_nl_joins = len(re.findall(r"BroadcastNestedLoopJoin", text))
     a.sort_merge_joins = len(re.findall(r"SortMergeJoin", text))
     a.shuffle_hash_joins = len(re.findall(r"ShuffledHashJoin", text))
-    a.exchanges = len(re.findall(r"\bExchange\b|\n\(?\d+\)? Exchange", text))
+    # count unique Exchange nodes via their detail-section headers
+    # ("(12) Exchange"); falls back to tree lines when no detail section
+    headers = re.findall(r"\n\(\d+\) Exchange", text)
+    a.exchanges = len(headers) if headers else len(re.findall(r"\+- Exchange", text))
     # whole-stage-codegen span ids appear as `*(N)` in the simple plan
     a.codegen_spans = len(set(re.findall(r"\*\((\d+)\)", simple)))
     a.python_stages = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", text))

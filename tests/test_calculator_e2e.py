@@ -220,6 +220,15 @@ def test_pivot_shape_and_attr_preservation(spark, geo):
     assert null_rows["D_Airport"].isna().all()
 
 
+def test_pivot_with_dotted_varnames(spark, geo):
+    # relative-elevation varnames contain '.' (buffer cast to VARCHAR, e.g.
+    # Alt_k_above_20_500.0) — pivot column selection must backtick-quote
+    c = _calc(spark, geo).calculate_relative_elevation("dem", buffer_sizes=[500.0])
+    wide = c.get_result(pivot=True)
+    assert any("." in col for col in wide.columns)
+    assert "Alt_k_above_20_500.0" in wide.columns
+
+
 def test_get_result_long_mode(spark, geo):
     c = _calc(spark, geo).calculate_airport_distance(years=[2000])
     long = c.get_result(pivot=False)

@@ -1,0 +1,128 @@
+"""Property-based tests (SURVEY.md §5 item 4) over the geometry kernel and
+the result-assembly contract."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckpipe_spark.geo import geom, wkb
+from duckpipe_spark.geo.crs import lonlat_to_tm, tm_to_lonlat
+from duckpipe_spark.geo.hilbert import hilbert_d
+
+coord = st.floats(-1e6, 1e6, allow_nan=False, width=64)
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=2, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_wkb_roundtrip_linestring(coords):
+    g = wkb.linestring(coords)
+    g2 = wkb.from_wkb(wkb.to_wkb(g))
+    assert np.allclose(g2.data, np.asarray(coords), rtol=0, atol=0)
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=20), coord, coord)
+@settings(max_examples=200, deadline=None)
+def test_distance_symmetry_point_vertices(coords, px, py):
+    g = wkb.linestring(coords)
+    d = geom.distance_point(px, py, g)
+    assert d >= 0
+    # distance to any vertex bounds the min distance from above
+    v = np.asarray(coords)
+    dmin_vertex = np.hypot(v[:, 0] - px, v[:, 1] - py).min()
+    assert d <= dmin_vertex + 1e-9
+
+
+@given(
+    st.floats(1.0, 10000.0),
+    st.floats(1.0, 10000.0),
+    coord,
+    coord,
+)
+@settings(max_examples=100, deadline=None)
+def test_buffer_area_monotone(r1, r2, cx, cy):
+    """Larger buffer ⇒ intersection area with a fixed polygon can't shrink."""
+    ring = [(cx - 3000, cy - 3000), (cx + 3000, cy - 3000), (cx + 3000, cy + 3000), (cx - 3000, cy + 3000)]
+    g = wkb.polygon([ring])
+    lo, hi = sorted((r1, r2))
+    a_lo = geom.circle_polygon_area(cx + 100, cy - 50, lo, g)
+    a_hi = geom.circle_polygon_area(cx + 100, cy - 50, hi, g)
+    assert a_hi >= a_lo - 1e-6
+    assert a_hi <= geom.circle_area(hi) + 1e-6
+    assert a_hi <= geom.area(g) + 1e-6
+
+
+@given(st.floats(100.0, 5000.0), coord, coord)
+@settings(max_examples=100, deadline=None)
+def test_circle_area_contained(r, cx, cy):
+    """Circle fully inside a big polygon ⇒ intersection = πr² exactly."""
+    ring = [
+        (cx - 2 * r - 10, cy - 2 * r - 10),
+        (cx + 2 * r + 10, cy - 2 * r - 10),
+        (cx + 2 * r + 10, cy + 2 * r + 10),
+        (cx - 2 * r - 10, cy + 2 * r + 10),
+    ]
+    a = geom.circle_polygon_area(cx, cy, r, wkb.polygon([ring]))
+    assert a == pytest.approx(math.pi * r * r, rel=1e-9)
+
+
+@given(
+    st.floats(124.5, 131.5),
+    st.floats(33.0, 39.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_crs_roundtrip_property(lon, lat):
+    x, y = lonlat_to_tm(lon, lat)
+    lon2, lat2 = tm_to_lonlat(x, y)
+    assert abs(float(lon2) - lon) < 1e-9
+    assert abs(float(lat2) - lat) < 1e-9
+
+
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+@settings(max_examples=300, deadline=None)
+def test_hilbert_bijective_sample(x, y):
+    d = hilbert_d(np.array([x]), np.array([y]), order=16)
+    assert 0 <= int(d[0]) < 4**16
+
+
+@given(
+    st.lists(st.tuples(coord, coord), min_size=4, max_size=40),
+    st.floats(0.1, 100.0),
+)
+@settings(max_examples=150, deadline=None)
+def test_simplify_reduces_and_bounds(coords, tol):
+    g = wkb.linestring(coords)
+    s = geom.simplify(g, tol)
+    assert 2 <= len(s.data) <= len(g.data)
+    # every dropped vertex is within tol of the simplified line
+    for x, y in np.asarray(coords):
+        assert geom.distance_point(float(x), float(y), s) <= tol + 1e-6
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """pivot(unpivot(x)) == x for the result contract."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.operators.result import pivot_wide
+
+    data = [(i, v, 2020, float(i * 10 + k)) for i in range(1, 6) for k, v in enumerate(["A", "B", "C"])]
+    long = spark.createDataFrame(data, "id bigint, varname string, year int, value double")
+    wide = pivot_wide(long)
+    back = wide.unpivot(["id", "year"], ["A", "B", "C"], "varname", "value")
+    a = long.orderBy("id", "varname").collect()
+    b = back.orderBy("id", "varname").select("id", "varname", "year", "value").collect()
+    assert a == b
+
+
+def test_skeleton_cardinality(spark):
+    """Skeleton densification always yields |ids|×|codes|×|buffers| rows
+    (`LanduseCalculator.py:51-61`)."""
+    import pyspark.sql.functions as F
+
+    ids = spark.range(1, 8).select(F.col("id"))
+    codes = spark.createDataFrame([(c,) for c in [110, 210]], "code int")
+    buffers = spark.createDataFrame([(b,) for b in [100.0, 300.0, 500.0]], "buffer_size double")
+    skeleton = ids.crossJoin(codes).crossJoin(buffers)
+    assert skeleton.count() == 7 * 2 * 3

@@ -1,0 +1,57 @@
+"""Sink tests: partitioned writes prune at read time; bucketed tables join
+without a shuffle; salted aggregation equals direct aggregation."""
+
+import pyspark.sql.functions as F
+
+from duckpipe_spark.plans.audit import audit_plan, no_aqe
+from duckpipe_spark.sources.sinks import salted_count, write_bucketed, write_partitioned
+from duckpipe_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn("yr", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["yr"])
+    back = spark.read.parquet(path).where(F.col("yr") == 1996)
+    a = audit_plan(back)
+    # partition pruning: the scan location list contains only yr=1996
+    assert back.count() == orders.where(F.col("yr") == 1996).count()
+    assert "PartitionFilters" in a.text and "yr" in a.text
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import shutil
+
+    for t in ("t_orders_b", "t_cust_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed(orders, "t_orders_b", "o_custkey", n_buckets=8)
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "t_cust_b", "o_custkey", n_buckets=8
+    )
+    o = spark.table("t_orders_b")
+    c = spark.table("t_cust_b")
+    with no_aqe(spark):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = o.join(c, "o_custkey").groupBy("c_mktsegment").count()
+            a = audit_plan(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # co-located buckets: the join itself requires no Exchange; only the
+    # groupBy aggregation shuffles
+    assert a.exchanges <= 1, a.text
+    assert j.count() == 5
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_salted_count_equals_direct(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    direct = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    salted = {r["user_id"]: r["count"] for r in salted_count(ev, "user_id").collect()}
+    salted = {int(k): v for k, v in salted.items()}
+    assert salted == {int(k): v for k, v in direct.items()}
