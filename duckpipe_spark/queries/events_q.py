@@ -142,3 +142,41 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", fmt).alias("session_end"),
         "n_events",
     )
+
+
+_QUANTILE_ORACLE = """
+SELECT
+  event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.95), 4) AS p95,
+  count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_value_quantiles", _QUANTILE_ORACLE,
+          "grouped quantiles via applyInPandas (custom grouped-map operator)")
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map operator: per-group numpy quantiles with
+    linear interpolation (same definition as quantile_cont). This is the
+    extension template for per-group logic the built-ins can't express."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf["value"].to_numpy())
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "p50": [round(float(np.quantile(v, 0.5)), 4)],
+                "p95": [round(float(np.quantile(v, 0.95)), 4)],
+                "n": [len(v)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        quantiles, "event_type string, p50 double, p95 double, n bigint"
+    )

@@ -225,3 +225,98 @@ def _wkb_points_from(supp: DataFrame) -> DataFrame:
             )
 
     return supp.mapInPandas(gen, "geometry binary, year int")
+
+
+# ---------------------------------------------------------------------------
+# relative-elevation pipeline vs closed-form oracle (pure box math — the one
+# overlay operator with no circular-arc kernel, so SQL can mirror it exactly)
+# ---------------------------------------------------------------------------
+
+_CELL = 400.0  # synthetic raster resolution (meters)
+_ELEV_BUFFER = 3000.0
+_DONUT = 30.0
+
+# synthetic raster cells derived from the part table: a 50x40 grid
+_CELLS_SQL = f"""
+  SELECT
+    CAST(p_partkey % 50 AS DOUBLE) * {_CELL} AS xmin,
+    CAST(p_partkey % 50 AS DOUBLE) * {_CELL} + {_CELL} AS xmax,
+    CAST((p_partkey // 50) % 40 AS DOUBLE) * {_CELL} AS ymin,
+    CAST((p_partkey // 50) % 40 AS DOUBLE) * {_CELL} + {_CELL} AS ymax,
+    p_retailprice - 900.0 AS value
+  FROM part
+"""
+
+_ELEV_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id, {_CX} AS px, {_CY} AS py FROM customer
+),
+cells AS ({_CELLS_SQL}),
+containing AS (
+  SELECT id, avg(coalesce(value, 0)) AS ref_elev
+  FROM pts JOIN cells
+    ON px >= xmin AND px <= xmax AND py >= ymin AND py <= ymax
+  GROUP BY id
+),
+ref AS (
+  SELECT p.id, c.ref_elev FROM pts p LEFT JOIN containing c ON p.id = c.id
+),
+donut AS (
+  SELECT pts.id, r.ref_elev, cells.value AS elev
+  FROM pts
+  JOIN ref r ON pts.id = r.id
+  JOIN cells ON
+    (greatest(cells.xmin - px, px - cells.xmax, 0.0) * greatest(cells.xmin - px, px - cells.xmax, 0.0)
+     + greatest(cells.ymin - py, py - cells.ymax, 0.0) * greatest(cells.ymin - py, py - cells.ymax, 0.0))
+      <= ({_ELEV_BUFFER} + {_DONUT}) * ({_ELEV_BUFFER} + {_DONUT})
+    AND
+    (greatest(px - cells.xmin, cells.xmax - px) * greatest(px - cells.xmin, cells.xmax - px)
+     + greatest(py - cells.ymin, cells.ymax - py) * greatest(py - cells.ymin, cells.ymax - py))
+      >= {_ELEV_BUFFER} * {_ELEV_BUFFER}
+),
+ratios AS (
+  SELECT id,
+    avg(CAST(elev - ref_elev > 20 AS INT)) AS above_20,
+    avg(CAST(elev - ref_elev < -20 AS INT)) AS below_20,
+    avg(CAST(elev - ref_elev > 50 AS INT)) AS above_50,
+    avg(CAST(elev - ref_elev < -50 AS INT)) AS below_50
+  FROM donut GROUP BY id
+),
+unp AS (
+  SELECT id, stat, value FROM ratios
+  UNPIVOT (value FOR stat IN (above_20, below_20, above_50, below_50))
+),
+rel AS (
+  SELECT id, printf('Alt_k_%s_%s', stat, '{_ELEV_BUFFER}') AS varname,
+         CAST(NULL AS INT) AS year, value
+  FROM unp
+),
+refv AS (
+  SELECT id, 'Altitude_k' AS varname, CAST(NULL AS INT) AS year, ref_elev AS value
+  FROM containing
+)
+SELECT * FROM rel
+UNION ALL
+SELECT * FROM refv
+"""
+
+
+@register("geo_elevation_pipeline", _ELEV_ORACLE,
+          "real relative-elevation operator (grid join + annulus box math) vs closed-form oracle")
+def geo_elevation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.operators.elevation import relative_elevation
+
+    pts = _points(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    cells = part.select(
+        ((F.col("p_partkey") % 50).cast("double") * _CELL).alias("xmin"),
+        ((F.col("p_partkey") % 50).cast("double") * _CELL + _CELL).alias("xmax"),
+        (((F.col("p_partkey") / 50).cast("bigint") % 40).cast("double") * _CELL).alias("ymin"),
+        (((F.col("p_partkey") / 50).cast("bigint") % 40).cast("double") * _CELL + _CELL).alias("ymax"),
+        (F.col("p_retailprice") - 900.0).alias("value"),
+    )
+    out = relative_elevation(pts, cells, [_ELEV_BUFFER], "dem", broadcast_cells=True)
+    # ref rows exist for every id in Spark (LEFT JOIN with NULL value); the
+    # oracle's refv only lists ids with a containing cell — align by
+    # dropping NULL-value ref rows (DuckDB UNPIVOT-style NULL dropping)
+    return out.where(F.col("value").isNotNull())
