@@ -151,19 +151,15 @@ class Calculator:
             sdf = self.spark.createDataFrame(ingest)
         else:
             # distributed ingest: stable arrival-order ids via zipWithIndex
-            fields = df.columns
             rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1))
             sdf = self.spark.createDataFrame(rdd, df.schema.add("_dp_id", "long"))
-            from duckpipe_spark.operators.coordinate import pandas_udf  # noqa: F401
-            from duckpipe_spark.geo.crs import lonlat_to_tm
 
-            import pandas as _pd
-            from pyspark.sql.functions import pandas_udf as _pudf
+            from pyspark.sql.functions import pandas_udf
 
-            @_pudf("struct<x:double,y:double>")
-            def _fwd(xs: _pd.Series, ys: _pd.Series) -> _pd.DataFrame:
+            @pandas_udf("struct<x:double,y:double>")
+            def _fwd(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
                 tx, ty = transform(xs.values, ys.values, epsg, REF_EPSG)
-                return _pd.DataFrame({"x": tx, "y": ty})
+                return pd.DataFrame({"x": tx, "y": ty})
 
             sdf = (
                 sdf.withColumn("_xy", _fwd(F.col(x_col), F.col(y_col)))

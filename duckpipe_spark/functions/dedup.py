@@ -116,7 +116,12 @@ def minhash_signatures(
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """LSH banding over MinHash signatures: a pair is a candidate iff it
     collides in ≥1 band of BAND_SIZE consecutive signature rows. Equi-join
-    per band on the band key, unioned + distinct."""
+    per band on the band key, unioned + distinct.
+
+    The signature table is cached: each band self-join reads it twice, and
+    without caching the whole shingle→hash→min pipeline would re-run
+    2×n_bands times."""
+    sigs = sigs.cache()
     n_bands = N_HASHES // BAND_SIZE
     pairs = None
     for b in range(n_bands):

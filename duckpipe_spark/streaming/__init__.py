@@ -1,4 +1,5 @@
 from duckpipe_spark.streaming.events import (
+    dedup_event_stream,
     read_event_stream,
     sessionize_stateful,
     session_windows,
@@ -10,4 +11,5 @@ __all__ = [
     "windowed_rollup",
     "session_windows",
     "sessionize_stateful",
+    "dedup_event_stream",
 ]

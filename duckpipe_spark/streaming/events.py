@@ -83,6 +83,16 @@ def session_windows(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated (key) rows within the watermark
+    horizon — the streaming twin of `functions.dedup.exact_dedup_groups`,
+    with bounded state (old keys are purged once the watermark passes)."""
+    ev = events.withWatermark("ts", watermark)
+    return ev.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
 _STATE_SCHEMA = "start_us long, last_us long, n long"
 _OUT_SCHEMA = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 

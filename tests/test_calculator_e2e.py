@@ -243,3 +243,20 @@ def test_chunk_hints(spark, geo):
     c.chunk_by_hilbert(max_cluster_size=10)
     got = c.calculate_airport_distance(years=[2000]).result_long().toPandas()
     assert len(got) == N_POINTS
+
+
+def test_distributed_spark_ingest_path(spark, geo):
+    """add_point_with_table with a Spark DataFrame input: ids via
+    zipWithIndex, CRS transform via pandas UDF — must agree with the
+    pandas driver-side path."""
+    from duckpipe_spark.calculator import Calculator
+
+    pdf = geo["info"]["points"]
+    sdf = spark.createDataFrame(pdf)
+    c = Calculator(data_dir=geo["dir"], spark=spark, verbose=False)
+    c.add_point_with_table(sdf, x_col="longitude", y_col="latitude", epsg=4326)
+    pts = c.points.orderBy("id").toPandas()
+    assert pts["id"].tolist() == list(range(1, N_POINTS + 1))
+    assert np.abs(pts["x"].to_numpy() - geo["info"]["px"]).max() < 1e-6
+    attrs = c.attrs.orderBy("id").toPandas()
+    assert "pid" in attrs.columns and len(attrs) == N_POINTS

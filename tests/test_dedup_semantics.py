@@ -1,0 +1,103 @@
+"""Semantic tests for the dedup/similarity family on planted duplicates —
+the oracle gate proves cross-engine parity; these prove the operators
+actually *find* what they claim to find."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from duckpipe_spark.functions.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from duckpipe_spark.functions.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    base_docs = [" ".join(rng.choice(vocab, size=60)) for _ in range(20)]
+    rows = []
+    doc_id = 0
+    for text in base_docs:
+        rows.append((doc_id, text))
+        doc_id += 1
+    # exact duplicates of doc 0 (with whitespace noise → same fingerprint)
+    rows.append((100, "  " + base_docs[0].replace(" ", "  ") + " "))
+    rows.append((101, base_docs[0].upper().lower()))
+    # near-duplicate of doc 1: change 3 of 60 words
+    words = base_docs[1].split()
+    words[5], words[20], words[40] = "zzz1", "zzz2", "zzz3"
+    rows.append((102, " ".join(words)))
+    # unrelated doc
+    rows.append((103, " ".join(rng.choice([f"q{i}" for i in range(50)], size=60))))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_collapses_planted_dups(spark, planted_docs):
+    groups = exact_dedup_groups(planted_docs).collect()
+    by_canonical = {r["canonical_id"]: r["n_dups"] for r in groups}
+    assert by_canonical[0] == 3  # doc 0 + ids 100, 101
+    assert sum(r["n_dups"] for r in groups) == planted_docs.count()
+
+
+def test_minhash_lsh_finds_near_duplicate(spark, planted_docs):
+    sigs = minhash_signatures(planted_docs)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 102) in pairs  # 57/60 shared words → high signature agreement
+    assert (1, 103) not in pairs  # disjoint vocab never collides
+
+
+def test_jaccard_scores_planted_pair(spark, planted_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted_docs, threshold=0.2).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0  # same token stream
+    assert (1, 102) in pairs and 0.5 < pairs[(1, 102)] < 1.0
+
+
+def test_simhash_hamming_close_for_neardup(spark, planted_docs):
+    sims = {r["id"]: r["simhash"] for r in simhash(planted_docs).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sims[1], sims[102]) <= 6
+    assert hamming(sims[0], sims[100]) == 0  # identical token streams
+    # unrelated docs differ in many bits
+    assert hamming(sims[1], sims[103]) > 6
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    rng = np.random.default_rng(12)
+    centers = rng.standard_normal((5, 32))
+    rows = []
+    vid = 0
+    for label, c in enumerate(centers):
+        for _ in range(20):
+            v = c + 0.1 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+
+
+def test_brute_force_topk_stays_in_cluster(spark, planted_vectors):
+    labels = {r["vec_id"]: r["label"] for r in planted_vectors.select("vec_id", "label").collect()}
+    topk = brute_force_topk(planted_vectors, query_ids=[0, 20, 40], k=5).collect()
+    for r in topk:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, planted_vectors):
+    exact = brute_force_topk(planted_vectors, query_ids=[0, 20, 40, 60, 80], k=5)
+    approx = lsh_topk(planted_vectors, query_ids=[0, 20, 40, 60, 80], k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # tight clusters land in one hyperplane bucket — high recall expected
+    assert recall >= 0.8, recall

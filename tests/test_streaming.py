@@ -99,3 +99,25 @@ def test_stateful_sessionizer_closes_sessions(spark, event_files):
     assert merged["n_events_b"].notna().all()
     assert (merged["n_events"] == merged["n_events_b"]).all()
     assert len(got) > 0
+
+
+def test_streaming_dedup_drops_replayed_events(spark, event_files, tmp_path):
+    import shutil
+    from duckpipe_spark.streaming import dedup_event_stream
+
+    # replay the first file as a later duplicate delivery
+    dup_dir = tmp_path / "dupstream"
+    dup_dir.mkdir()
+    import glob
+
+    files = sorted(glob.glob(f"{event_files}/*.parquet"))
+    for i, f in enumerate(files):
+        shutil.copy(f, dup_dir / f"part-{i:03d}.parquet")
+    shutil.copy(files[0], dup_dir / "part-900-replay.parquet")
+
+    stream = read_event_stream(spark, str(dup_dir), max_files_per_trigger=1)
+    out = _run_stream(spark, dedup_event_stream(stream), "dedup_t", mode="append")
+    got = out.toPandas()
+    n_unique = load_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+    assert len(got) == n_unique
+    assert got["event_id"].is_unique
