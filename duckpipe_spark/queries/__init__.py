@@ -1,6 +1,6 @@
 """Query catalog: importing this package registers all queries."""
 
-from duckpipe_spark.queries import events_q, relational, spatial_proxy  # noqa: F401
+from duckpipe_spark.queries import events_q, relational, relational_ext, spatial_proxy  # noqa: F401
 
 try:  # text/dedup/similarity modules are added incrementally
     from duckpipe_spark.queries import text_q  # noqa: F401
