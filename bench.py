@@ -54,8 +54,10 @@ def oracle_main() -> None:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    names = [n for n in HEADLINE if n in REGISTRY]
+    names += [n for n in REGISTRY if n not in names and REGISTRY[n].bench]
     timings: dict[str, float] = {}
-    for name in [n for n in HEADLINE if n in REGISTRY]:
+    for name in names:
         q = REGISTRY[name].oracle
         if q is None:
             continue
@@ -93,9 +95,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
+        # warm once (codegen compile + shuffle-file setup), time the second
+        # run — the DuckDB oracle twin (`--oracle`) uses the same protocol
+        def _run():
+            df = fn(spark, sf_dir)
+            return df.count() if name in ("custkey_status_skeleton",) else len(df.collect())
+
+        _run()
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count() if name in ("custkey_status_skeleton",) else len(df.collect())
+        n = _run()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -655,3 +655,82 @@ def asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("click_ts"),
         (F.col("last_pvalue_c").cast("double") / 100.0).alias("last_purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-distinct family — exact single + multi distinct aggregates.
+# Multi-distinct compiles to an Expand-based plan (one row replicated per
+# distinct group) — partial aggregation still applies, so it scales; the
+# approx variant (approx_count_distinct/HLL) is the 100 TB path and is
+# pinned by a rows-only check since sketches differ across engines.
+# ---------------------------------------------------------------------------
+
+_CNTD_ORACLE = """
+SELECT
+  l_returnflag,
+  count(DISTINCT l_partkey)  AS n_parts,
+  count(DISTINCT l_suppkey)  AS n_supps,
+  count(DISTINCT l_orderkey) AS n_orders,
+  count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_multi_distinct", _CNTD_ORACLE, "multi count-distinct (Expand plan)")
+def lineitem_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("approx_distinct_parts", None, "approx_count_distinct (HLL sketch; rows-only check)")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / cube — completes the multi-dimensional agg family
+# (reference has only plain GROUP BY; rollup already covered)
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT
+  coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(c_mktsegment, 'ALL')  AS segment,
+  grouping(o_orderstatus) AS g_status,
+  grouping(c_mktsegment)  AS g_segment,
+  count(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (o_orderstatus, c_mktsegment)
+"""
+
+
+@register("orders_cube", _CUBE_ORACLE, "CUBE + grouping() disambiguation")
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .cube("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # grouping() is only resolvable inside the Aggregate itself
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("c_mktsegment").cast("bigint").alias("g_segment"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "g_status",
+            "g_segment",
+            "n",
+        )
+    )
