@@ -25,6 +25,7 @@ from duckpipe_spark.functions.text import fingerprint_col, tokens_col
 
 POLY_MOD = 1_000_000_007
 POLY_BASE = 31
+WORD_BASE = 1_000_003  # combines word hashes into a shingle hash
 
 # fixed affine MinHash permutations (a*h + b) % POLY_MOD — deterministic
 MINHASH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869]
@@ -42,6 +43,31 @@ def char_poly_hash(col: Column) -> Column:
         F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * POLY_BASE + x) % POLY_MOD,
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct shingle *hashes* per document → (id, hv), without ever
+    materializing shingle strings: each word's characters are folded once
+    (31-base mod 1e9+7), then the k word hashes of a shingle are combined
+    with a second rolling fold (WORD_BASE). Vs hashing shingle strings this
+    does ~k× less character work and skips the concat/re-split — shingle
+    strings only exist in the Jaccard path, which joins on them."""
+    toks = tokens_col(F.col(text_col))
+    df = df.withColumn("_t", toks).where(F.size("_t") >= k)
+    wh = F.transform(F.col("_t"), lambda w: char_poly_hash(w))
+    df = df.withColumn("_wh", wh)
+    def _combine(i: Column) -> Column:
+        acc = F.element_at("_wh", (i + 1).cast("int"))
+        for j in range(1, k):
+            acc = (acc * WORD_BASE + F.element_at("_wh", (i + j + 1).cast("int"))) % POLY_MOD
+        return acc
+    hvs = F.transform(F.sequence(F.lit(0), F.size("_t") - k), _combine)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(hvs)).alias("hv"))
+        .distinct()
     )
 
 
@@ -104,8 +130,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: s_i = min over shingles of
     (a_i·h(shingle) + b_i) mod 1e9+7. Output columns s0..s{N-1}."""
-    sh = word_shingles(df, text_col, id_col, k)
-    h = sh.select("id", char_poly_hash(F.col("shingle")).alias("hv"))
+    h = shingle_hashes(df, text_col, id_col, k)
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("hv") + F.lit(MINHASH_B[i])) % POLY_MOD).alias(f"s{i}")
         for i in range(N_HASHES)
@@ -115,34 +140,45 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """LSH banding over MinHash signatures: a pair is a candidate iff it
-    collides in ≥1 band of BAND_SIZE consecutive signature rows. Equi-join
-    per band on the band key, unioned + distinct.
+    collides in ≥1 band of BAND_SIZE consecutive signature rows.
 
-    The signature table is cached: each band self-join reads it twice, and
-    without caching the whole shingle→hash→min pipeline would re-run
-    2×n_bands times."""
-    sigs = sigs.cache()
+    One self-join on exploded (band_idx, band_key) rows — a single shuffle
+    regardless of band count, vs one join per band. The band index is part
+    of the join key, so collisions never cross bands; the signature table is
+    cached because the self-join reads the banded rows twice."""
     n_bands = N_HASHES // BAND_SIZE
-    pairs = None
-    for b in range(n_bands):
-        cols = [f"s{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
-        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        banded = sigs.select(F.col("id"), key.alias("bk"))
-        left = banded.select(F.col("id").alias("id_a"), "bk")
-        right = banded.select(F.col("id").alias("id_b"), "bk")
-        p = left.join(right, "bk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("bidx"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"s{b * BAND_SIZE + j}").cast("string") for j in range(BAND_SIZE)],
+            ).alias("bk"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_entries)).alias("band")
+    ).select("id", F.col("band.bidx").alias("bidx"), F.col("band.bk").alias("bk")).cache()
+    left = banded.select(F.col("id").alias("id_a"), "bidx", "bk")
+    right = banded.select(F.col("id").alias("id_b"), "bidx", "bk")
+    return (
+        left.join(right, ["bidx", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """SIMHASH_BITS-bit SimHash over shingle hashes: bit j is set when the
     majority of shingles have bit j set (sum of ±1 > 0)."""
-    sh = word_shingles(df, text_col, id_col, k)
-    h = sh.select("id", char_poly_hash(F.col("shingle")).alias("hv"))
+    h = shingle_hashes(df, text_col, id_col, k)
+    # integer shiftright keeps the bit test inside codegen integer math
+    # (a double division + cast per bit per shingle is ~3× slower)
     bit_aggs = [
         F.sum(
-            F.when(((F.col("hv") / (1 << j)).cast("bigint") % 2) == 1, 1).otherwise(-1)
+            F.when((F.shiftright(F.col("hv"), j) % 2) == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]

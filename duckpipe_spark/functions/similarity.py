@@ -129,3 +129,81 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: centroids are the vectors of the ``n_cells``
+    smallest ids (deterministic seed centroids — a production build would
+    k-means-refine them; the assignment/probe plumbing is identical). Every
+    vector is assigned to its max-cosine centroid. Returns (centroids,
+    assignment); assignment carries (id, vec, cell_id).
+
+    Scale: centroids are broadcast (tiny), so assignment is a map-side
+    cross-score + per-id argmax — no shuffle of the embedding table beyond
+    the argmax aggregation, and the argmax window partitions on the
+    high-cardinality vector id."""
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell_id",
+        F.round(cosine_col(F.col(vec_col), F.col("cvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cell_id").asc())
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    return cents, assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score each query against the centroids, probe
+    the ``n_probe`` best cells, exact-cosine rerank only vectors assigned to
+    those cells. Candidate count scales with n_probe/n_cells of the corpus
+    instead of all of it."""
+    cents, assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qscore = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qvec",
+        "cell_id",
+        F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell_id").asc())
+    probes = (
+        qscore.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cell_id")
+    )
+    pairs = assign.join(F.broadcast(probes), "cell_id").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = F.round(cosine_col(F.col("qvec"), F.col(vec_col)), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

@@ -14,6 +14,7 @@ from duckpipe_spark.functions.dedup import (
     POLY_BASE,
     POLY_MOD,
     SIMHASH_BITS,
+    WORD_BASE,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -44,13 +45,34 @@ h AS (
   FROM sh
 )"""
 
+# word-hash pipeline (mirrors functions.dedup.shingle_hashes): fold each
+# word's chars once, combine k word hashes with a second rolling fold
+_WORD_HASH_SHINGLES_SQL = f"""
+toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+wh AS (
+  SELECT id, list_transform(t, w -> list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD}
+  )) AS w, len(t) AS n
+  FROM toks WHERE len(t) >= 3
+),
+idx AS (
+  SELECT id, w, unnest(range(1, n - 1)) AS i FROM wh
+),
+h AS (
+  SELECT DISTINCT id,
+    ((w[i] * {WORD_BASE} + w[i+1]) % {POLY_MOD} * {WORD_BASE} + w[i+2]) % {POLY_MOD} AS hv
+  FROM idx
+)"""
+
 _SIG_EXPRS = ", ".join(
     f"min(({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {POLY_MOD}) AS s{i}" for i in range(N_HASHES)
 )
 
 _MINHASH_ORACLE = f"""
-WITH {_SHINGLES_SQL.format(filter='')},
-{_HASH_SQL}
+WITH {_WORD_HASH_SHINGLES_SQL}
 SELECT id, {_SIG_EXPRS} FROM h GROUP BY id
 """
 
@@ -69,8 +91,7 @@ _BAND_SELECTS = "\nUNION\n".join(
 )
 
 _LSH_ORACLE = f"""
-WITH {_SHINGLES_SQL.format(filter='')},
-{_HASH_SQL},
+WITH {_WORD_HASH_SHINGLES_SQL},
 sig AS (SELECT id, {_SIG_EXPRS} FROM h GROUP BY id)
 {_BAND_SELECTS}
 """
@@ -91,8 +112,7 @@ _SIM_SUM = " + ".join(
 )
 
 _SIMHASH_ORACLE = f"""
-WITH {_SHINGLES_SQL.format(filter='')},
-{_HASH_SQL},
+WITH {_WORD_HASH_SHINGLES_SQL},
 bits AS (SELECT id, {_BIT_AGGS} FROM h GROUP BY id)
 SELECT id, {_SIM_SUM} AS simhash FROM bits
 """

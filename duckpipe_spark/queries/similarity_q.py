@@ -116,3 +116,56 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=_NEARDUP_THRESHOLD
     )
+
+
+_N_CELLS, _N_PROBE = 16, 4
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {_N_CELLS}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS score
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+),
+qscore AS (
+  SELECT q.query_id, q.qvec, c.cell_id,
+         {_cos_sql('q.qvec', 'c.cvec')} AS score
+  FROM q CROSS JOIN cents c
+),
+probes AS (
+  SELECT query_id, qvec, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cell_id) AS rn
+    FROM qscore
+  ) WHERE rn <= {_N_PROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p.qvec', 'a.embedding')} AS cos
+  FROM assign a JOIN probes p ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("embedding_ivf_topk", _IVF_ORACLE, "IVF coarse-quantized approximate top-k (probe best cells)")
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, _N_CELLS, _N_PROBE)

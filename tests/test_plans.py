@@ -67,3 +67,42 @@ def test_skeleton_fill_broadcasts_small_sides(spark):
     a = audit_plan(_q("custkey_status_skeleton")(spark, SF_SMOKE))
     assert a.broadcast_hash_joins + a.broadcast_nl_joins >= 1
     assert a.sort_merge_joins == 0
+
+
+def test_q10_uses_take_ordered(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("q10_returned_items")(spark, SF_SMOKE))
+    # deterministic top-k must compile to TakeOrderedAndProject (per-partition
+    # top-k + driver merge), not a single-partition global sort window
+    assert "TakeOrderedAndProject" in a.text
+
+
+def test_asof_is_one_window_no_join(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("asof_clicks_purchases")(spark, SF_SMOKE))
+    # union-merge formulation: zero joins, bounded shuffles (purchase
+    # pre-agg + window repartition), sort happens once per partition
+    assert a.sort_merge_joins + a.shuffle_hash_joins + a.broadcast_hash_joins == 0
+    assert a.exchanges <= 3
+
+
+def test_lsh_candidates_single_self_join(spark):
+    import re
+
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_lsh_candidates")(spark, SF_SMOKE))
+    # all bands go through ONE equi-join on (band_idx, band_key) — band count
+    # must not multiply join/shuffle stages. Count detail headers only: the
+    # formatted plan mentions each join twice (tree line + detail section).
+    joins = re.findall(r"\n\(\d+\) \w*(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", a.text)
+    assert len(joins) == 1, joins
+    assert a.python_stages == 0
+
+
+def test_multi_distinct_uses_expand(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("lineitem_multi_distinct")(spark, SF_SMOKE))
+    # three distinct aggregates over one scan: Expand-based rewrite, with
+    # partial aggregation still present (no raw-row shuffle of the fact)
+    assert "Expand" in a.text
+    assert a.codegen_spans >= 1
