@@ -1,5 +1,6 @@
 from duckpipe_spark.streaming.events import (
     dedup_event_stream,
+    enrich_with_dimension,
     read_event_stream,
     sessionize_stateful,
     session_windows,
@@ -8,6 +9,7 @@ from duckpipe_spark.streaming.events import (
 
 __all__ = [
     "read_event_stream",
+    "enrich_with_dimension",
     "windowed_rollup",
     "session_windows",
     "sessionize_stateful",

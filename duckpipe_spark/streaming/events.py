@@ -157,3 +157,20 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment", "c_nationkey"),
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins against the
+    broadcast dimension snapshot — no state store, no watermark needed (the
+    static side is re-resolvable per batch, so a dim refresh is picked up on
+    the next trigger). Left join keeps events with no dim row.
+
+    At scale the dim is the broadcast side; the stream never shuffles."""
+    d = dim.select(F.col(dim_key).alias(stream_key), *[F.col(c) for c in dim_cols])
+    return events.join(F.broadcast(d), stream_key, "left")

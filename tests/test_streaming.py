@@ -121,3 +121,23 @@ def test_streaming_dedup_drops_replayed_events(spark, event_files, tmp_path):
     n_unique = load_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
     assert len(got) == n_unique
     assert got["event_id"].is_unique
+
+
+def test_stream_static_enrichment_matches_batch(spark, event_files):
+    from duckpipe_spark.streaming import enrich_with_dimension
+
+    dim = load_table(spark, SF_SMOKE, "customer")
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, enrich_with_dimension(stream, dim), "enrich_t", mode="append"
+    ).toPandas()
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    exp = enrich_with_dimension(batch, dim).toPandas()
+    key = ["event_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s)
+    assert (got_s["c_mktsegment"].fillna("") == exp_s["c_mktsegment"].fillna("")).all()
+    # at least some events matched a dimension row
+    assert got_s["c_mktsegment"].notna().any()
