@@ -68,3 +68,46 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
         .groupBy(key)
         .agg(F.sum("count").alias("count"))
     )
+
+
+def write_spatially_clustered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 32,
+    order: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write points clustered by Hilbert key: range-partition on the curve
+    distance so each output file covers a compact region. Parquet min/max
+    column stats on x/y then let any bbox-filtered scan skip most files —
+    the write-side complement of the reference's `ST_Hilbert` ORDER BY
+    (`Clustering.py:174-178`), applied to the storage layout instead of the
+    chunk queue. The global bounds come from one cheap agg over the input."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from duckpipe_spark.geo.hilbert import hilbert_key
+
+    b = df.agg(
+        F.min(x_col).alias("x0"), F.min(y_col).alias("y0"),
+        F.max(x_col).alias("x1"), F.max(y_col).alias("y1"),
+    ).collect()[0]
+    x0, y0, x1, y1 = float(b.x0), float(b.y0), float(b.x1), float(b.y1)
+
+    # no annotations: postponed-evaluation strings (future-annotations) break
+    # the UDF signature parser; explicit SCALAR form instead
+    def _hk_fn(xs, ys):
+        return pd.Series(hilbert_key(xs.values, ys.values, x0, y0, x1, y1, order))
+
+    _hk = pandas_udf(_hk_fn, "bigint")
+
+    (
+        df.withColumn("_hk", _hk(F.col(x_col), F.col(y_col)))
+        .repartitionByRange(n_files, "_hk")
+        .sortWithinPartitions("_hk")
+        .drop("_hk")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,6 +1,7 @@
 from duckpipe_spark.streaming.events import (
     dedup_event_stream,
     enrich_with_dimension,
+    join_click_purchase_streams,
     read_event_stream,
     sessionize_stateful,
     session_windows,
@@ -10,6 +11,7 @@ from duckpipe_spark.streaming.events import (
 __all__ = [
     "read_event_stream",
     "enrich_with_dimension",
+    "join_click_purchase_streams",
     "windowed_rollup",
     "session_windows",
     "sessionize_stateful",

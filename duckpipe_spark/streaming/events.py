@@ -174,3 +174,39 @@ def enrich_with_dimension(
     At scale the dim is the broadcast side; the stream never shuffles."""
     d = dim.select(F.col(dim_key).alias(stream_key), *[F.col(c) for c in dim_cols])
     return events.join(F.broadcast(d), stream_key, "left")
+
+
+def join_click_purchase_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joins purchases by
+    the same user within [click.ts - window, click.ts]. Both sides carry
+    watermarks and the join condition bounds event time in both directions,
+    so Spark can evict join state — the requirement for an unbounded run.
+    Inner semantics (clicks with no purchase in range are dropped)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"user_id = p_user_id AND purchase_ts >= click_ts - INTERVAL {window} "
+            "AND purchase_ts <= click_ts"
+        ),
+    ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")

@@ -55,3 +55,32 @@ def test_salted_count_equals_direct(spark):
     salted = {r["user_id"]: r["count"] for r in salted_count(ev, "user_id").collect()}
     salted = {int(k): v for k, v in salted.items()}
     assert salted == {int(k): v for k, v in direct.items()}
+
+
+def test_spatially_clustered_write_gives_tight_file_bboxes(spark, tmp_path):
+    import glob
+
+    import numpy as np
+
+    from duckpipe_spark.sources.sinks import write_spatially_clustered
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    pdf = __import__("pandas").DataFrame(
+        {"pid": np.arange(n), "x": rng.uniform(0, 1000, n), "y": rng.uniform(0, 1000, n)}
+    )
+    out = str(tmp_path / "clustered")
+    write_spatially_clustered(spark.createDataFrame(pdf), out, "x", "y", n_files=16)
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 8
+    # each file must cover a compact region: mean per-file bbox area well
+    # under an even-random split (which would give ~full-extent per file)
+    areas = []
+    for f in files:
+        fdf = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).collect()[0]
+        areas.append((fdf[1] - fdf[0]) * (fdf[3] - fdf[2]))
+    mean_area = sum(areas) / len(areas)
+    assert mean_area < 0.35 * 1000 * 1000  # vs ~1.0x for unclustered writes

@@ -141,3 +141,26 @@ def test_stream_static_enrichment_matches_batch(spark, event_files):
     assert (got_s["c_mktsegment"].fillna("") == exp_s["c_mktsegment"].fillna("")).all()
     # at least some events matched a dimension row
     assert got_s["c_mktsegment"].notna().any()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_files):
+    from duckpipe_spark.streaming import join_click_purchase_streams
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click")
+        purchases = df.where(F.col("event_type") == "purchase")
+        return clicks, purchases
+
+    sc, sp = split(read_event_stream(spark, event_files, max_files_per_trigger=1))
+    got = _run_stream(
+        spark, join_click_purchase_streams(sc, sp), "ssjoin_t", mode="append"
+    ).toPandas()
+
+    bc, bp = split(load_table(spark, SF_SMOKE, "events"))
+    exp = join_click_purchase_streams(bc, bp).toPandas()
+
+    key = ["click_id", "purchase_ts"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s) and len(exp_s) > 0
+    assert (got_s["purchase_value"].round(6) == exp_s["purchase_value"].round(6)).all()
