@@ -172,19 +172,31 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """SIMHASH_BITS-bit SimHash over shingle hashes: bit j is set when the
-    majority of shingles have bit j set (sum of ±1 > 0)."""
+    majority of shingles have bit j set (count(bit_j) * 2 > n).
+
+    Counter packing: instead of one aggregate per bit, 3 bit-counters are
+    packed per BIGINT at 21-bit offsets (counts fit: ≤2^21 shingles per doc
+    well above any real document), so the grouped aggregation runs
+    SIMHASH_BITS/3 sums + a row count instead of SIMHASH_BITS conditional
+    sums. Unpacking is shift+mask on the aggregated values. All integer
+    codegen; the oracle mirrors the identical packing."""
     h = shingle_hashes(df, text_col, id_col, k)
-    # integer shiftright keeps the bit test inside codegen integer math
-    # (a double division + cast per bit per shingle is ~3× slower)
-    bit_aggs = [
-        F.sum(
-            F.when((F.shiftright(F.col("hv"), j) % 2) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    bits = h.groupBy("id").agg(*bit_aggs)
+    packed_aggs = []
+    for s in range(SIMHASH_BITS // 3):
+        slot = None
+        for m in range(3):
+            j = 3 * s + m
+            term = (F.shiftright(F.col("hv"), j) % 2) * F.lit(1 << (21 * m)).cast("bigint")
+            slot = term if slot is None else slot + term
+        packed_aggs.append(F.sum(slot).alias(f"p{s}"))
+    packed = h.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"), *packed_aggs)
+    mask = (1 << 21) - 1
     sim = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        s, m = divmod(j, 3)
+        cnt = F.shiftright(F.col(f"p{s}"), 21 * m) % F.lit(mask + 1).cast("bigint")
+        term = F.when(cnt * 2 > F.col("n_sh"), F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sim = term if sim is None else sim + term
-    return bits.select("id", sim.alias("simhash"))
+    return packed.select("id", sim.alias("simhash"))

@@ -103,17 +103,25 @@ def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs)
 
 
-_BIT_AGGS = ", ".join(
-    f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(SIMHASH_BITS)
+# packed bit counters, 3 per BIGINT at 21-bit offsets (mirrors
+# functions.dedup.simhash exactly)
+_PACK_AGGS = ", ".join(
+    "SUM("
+    + " + ".join(
+        f"((hv >> {3 * s + m}) & 1) * CAST({1 << (21 * m)} AS BIGINT)" for m in range(3)
+    )
+    + f") AS p{s}"
+    for s in range(SIMHASH_BITS // 3)
 )
 _SIM_SUM = " + ".join(
-    f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    f"(CASE WHEN ((p{j // 3} >> {21 * (j % 3)}) & 2097151) * 2 > n_sh "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     for j in range(SIMHASH_BITS)
 )
 
 _SIMHASH_ORACLE = f"""
 WITH {_WORD_HASH_SHINGLES_SQL},
-bits AS (SELECT id, {_BIT_AGGS} FROM h GROUP BY id)
+bits AS (SELECT id, count(*) AS n_sh, {_PACK_AGGS} FROM h GROUP BY id)
 SELECT id, {_SIM_SUM} AS simhash FROM bits
 """
 
