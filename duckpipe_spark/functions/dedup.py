@@ -200,3 +200,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: in
         )
         sim = term if sim is None else sim + term
     return packed.select("id", sim.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (id, component),
+    component = min node id reachable from `id`. The closure operator for
+    near-dup dedup: LSH/Jaccard candidate PAIRS chain transitively (A~B,
+    B~C ⇒ {A,B,C} is one duplicate cluster even when A~C was never a
+    candidate), and keep-one-per-component is the correct drop rule.
+
+    Algorithm: iterative neighbor-min label propagation. Each round is one
+    equi-join of the (static, cached) symmetrized adjacency against the
+    current labels plus a map-side-combinable min-aggregate — two shuffles
+    per round, both on the node-id key, no driver-side graph state. Rounds
+    needed = graph diameter, which for dedup clusters (dense clumps of
+    near-identical docs) is 2-4; `localCheckpoint` cuts the lineage so plan
+    size stays O(1) per round instead of O(rounds). For adversarial
+    long-chain graphs swap in alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond"), which the same
+    loop skeleton supports; dedup workloads never look like that.
+
+    The per-round `count()` is the convergence test (an aggregate, not a
+    collect of data rows).
+    """
+    e = edges.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().cache()
+    labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select("u", F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.select("u", F.col("comp").alias("old")), "u")
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))

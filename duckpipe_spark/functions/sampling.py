@@ -1,0 +1,124 @@
+"""Dataset-splitting, sampling, and sequence-packing operators for
+training-data pipelines (SURVEY.md §2.14 extension — the reference has no
+sampling surface at all; these are the ops a 100 TB corpus pipeline needs
+between curation and training).
+
+Design constraints shared by every operator here:
+
+- **Deterministic and engine-portable.** Assignments derive from a Lehmer
+  multiplicative-congruential hash computed in plain BIGINT arithmetic
+  (two rounds of ``x -> (x * g) mod 2147483647``), which both Spark and
+  DuckDB evaluate bit-identically — no reliance on engine-private hash
+  functions (Spark's xxhash64 and DuckDB's hash() disagree), no RNG state.
+  Re-running on the same table always yields the same split, so train/test
+  membership is stable across runs, engines, and cluster sizes.
+- **Shuffle-minimal.** The split is a pure per-row projection (no shuffle).
+  Stratified sampling and packing shuffle once on the stratum key, and the
+  per-stratum window sort parallelizes across strata.
+- **Scale-safe integer ranges.** Ids are reduced mod 2147483647 before the
+  multiply, so the intermediate product stays < 2^47 — no BIGINT overflow
+  for any 64-bit id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# Lehmer / Park-Miller constants (public-domain classic MCG)
+_M = 2147483647  # 2^31 - 1 (Mersenne prime)
+_G1 = 48271
+_G2 = 16807
+
+
+def lehmer_hash_col(id_col: Column) -> Column:
+    """Two-round multiplicative-congruential hash of a BIGINT id.
+
+    ``h = ((((id mod M) + M) mod M + 1) * G1 mod M) * G2 mod M`` — the +1
+    keeps 0 out of the fixed point at 0; the double-mod makes negative ids
+    well-defined identically in Spark and ANSI SQL (both define % as
+    remainder-with-dividend-sign, so we canonicalize first).
+    """
+    x = ((id_col.cast("bigint") % _M + _M) % _M) + 1
+    h1 = (x * _G1) % _M
+    return (h1 * _G2) % _M
+
+
+def lehmer_hash_sql(id_expr: str) -> str:
+    """The identical hash as ANSI SQL text (for DuckDB oracles)."""
+    x = f"(((CAST({id_expr} AS BIGINT) % {_M}) + {_M}) % {_M} + 1)"
+    return f"((({x} * {_G1}) % {_M}) * {_G2}) % {_M}"
+
+
+def with_hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = hash(id) mod 100.
+
+    A pure projection — no shuffle, no RNG, no driver state; membership is a
+    function of the id alone, so late-arriving data lands in stable splits
+    (the property that matters for dedup-across-split hygiene at 100 TB).
+    """
+    w_train, w_val, _ = weights
+    bucket = lehmer_hash_col(F.col(id_col)) % 100
+    split = (
+        F.when(bucket < w_train, names[0])
+        .when(bucket < w_train + w_val, names[1])
+        .otherwise(names[2])
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample.
+
+    Rows are ranked inside each stratum by the Lehmer hash of their id (a
+    deterministic stand-in for a uniform draw) with the id itself as the
+    tiebreak, and the top k survive. One shuffle on the stratum key; the
+    rank window never sees more than one stratum per partition, so skew is
+    bounded by the largest stratum (salt upstream if a stratum dominates).
+    """
+    h = lehmer_hash_col(F.col(id_col))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    partition_col: str,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style document packing).
+
+    Documents are laid end-to-end in ``order_col`` order within each
+    ``partition_col`` stream; ``pack_id`` is the index of the fixed-size
+    token block (``budget`` tokens) in which the document *starts*:
+    ``pack_id = floor(exclusive_prefix_sum(tokens) / budget)``.
+
+    The exclusive prefix sum is one window aggregate per stream — a single
+    shuffle on the stream key, sort parallel across streams. The streams
+    (here: language) are what makes this scale: a global pack order would
+    serialize the window into one partition, per-stream packing keeps all
+    executors busy and is what a real pipeline does anyway (one packed
+    shard family per language/domain).
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("pack_id", F.floor(prefix / budget).cast("bigint"))

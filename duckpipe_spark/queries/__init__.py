@@ -22,6 +22,10 @@ try:
     from duckpipe_spark.queries import geo_q  # noqa: F401
 except ImportError:
     pass
+try:
+    from duckpipe_spark.queries import sampling_q  # noqa: F401
+except ImportError:
+    pass
 
 from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 

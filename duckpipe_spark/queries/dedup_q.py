@@ -155,3 +155,43 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
 def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _JACCARD_LIMIT)
     return ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# connected components over LSH candidate pairs — duplicate-cluster closure
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_WORD_HASH_SHINGLES_SQL},
+sig AS (SELECT id, {_SIG_EXPRS} FROM h GROUP BY id),
+pairs AS ({_BAND_SELECTS}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+"""
+
+
+@register(
+    "doc_dup_components",
+    _CC_ORACLE,
+    "connected components over LSH candidate pairs (iterative min-label propagation "
+    "vs recursive-CTE transitive closure)",
+)
+def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure: candidate PAIRS chain transitively; the
+    component id (min doc_id in the cluster) is the canonical survivor.
+    Genuinely iterative — the one operator class where a driver-side loop
+    over distributed rounds is the idiomatic Spark formulation."""
+    from duckpipe_spark.functions.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return connected_components(pairs)

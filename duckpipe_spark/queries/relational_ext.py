@@ -734,3 +734,124 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q16_supplier_part_counts — TPC-H Q16: NOT-IN anti join + count distinct
+# (testdata has no partsupp; the distinct (partkey, suppkey) pairs observed in
+# lineitem stand in for it, which preserves the shape: dedup → anti join →
+# grouped COUNT(DISTINCT). Reference has no subquery machinery at all —
+# SURVEY.md §2.3 J-family extension.)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register(
+    "q16_supplier_part_counts",
+    _Q16_ORACLE,
+    "TPC-H Q16-style NOT-IN exclusion + grouped count-distinct",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape on the lineitem-derived part↔supplier relation.
+
+    Plan choices for scale: the distinct pair set is a map-side-combinable
+    aggregate on (partkey, suppkey); the NOT-IN is a broadcast left-anti join
+    (supplier is the small side — NULL-safe here because s_suppkey is a key);
+    part is broadcast so the only shuffle is the final group-by.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad_supp = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = pairs.join(
+        F.broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti"
+    )
+    pset = part.where(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    return (
+        kept.join(F.broadcast(pset), kept.l_partkey == pset.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21_waiting_supplier — TPC-H Q21: EXISTS + NOT-EXISTS self-correlation,
+# decorrelated into one per-order aggregate (the scale-out plan)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+@register(
+    "q21_waiting_supplier",
+    _Q21_ORACLE,
+    "TPC-H Q21-style EXISTS/NOT-EXISTS self-correlation, aggregate-decorrelated",
+    bench=True,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for late multi-supplier 'F' orders.
+
+    Instead of the two correlated self-joins the SQL implies (EXISTS + NOT
+    EXISTS over lineitem — two extra shuffles of the fact table and a
+    worst-case O(n·k) probe), compute one per-order aggregate:
+    n_supps = COUNT(DISTINCT suppkey), n_late_supps = COUNT(DISTINCT suppkey
+    WHERE late). A late line qualifies iff its order has n_supps > 1 and
+    n_late_supps = 1 (that distinct late supplier is necessarily this line's).
+    One shuffle on l_orderkey + a broadcast-back; row multiplicity of l1 is
+    preserved by joining the per-order stats onto the late lines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    lif = li.join(f_orders, li.l_orderkey == f_orders.o_orderkey).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
+    )
+    per_order = lif.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    late = lif.where(F.col("is_late") == 1).select("l_orderkey", "l_suppkey")
+    qualifying = (
+        late.join(per_order, "l_orderkey")
+        .where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    )
+    return (
+        qualifying.join(F.broadcast(supp), qualifying.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

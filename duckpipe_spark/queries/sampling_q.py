@@ -1,0 +1,170 @@
+"""Sampling / splitting / packing queries over `documents` with exact DuckDB
+oracles (SURVEY.md §2.14 extension — see functions/sampling.py for the
+engine-portability and scale notes).
+
+Every assignment is verified PER ROW (the result carries one row per
+document, not just group counts), so the oracle hash-match proves the exact
+split/sample/pack membership, not merely its distribution.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from duckpipe_spark.functions.sampling import (
+    lehmer_hash_sql,
+    pack_sequences,
+    stratified_sample,
+    with_hash_split,
+)
+from duckpipe_spark.queries.base import register
+from duckpipe_spark.sources.tables import load_table
+
+_H = lehmer_hash_sql("doc_id")
+
+# ---------------------------------------------------------------------------
+# deterministic hash split — train/val/test membership per document
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+SELECT
+  doc_id,
+  ({_H}) % 100 AS bucket,
+  CASE WHEN ({_H}) % 100 < 80 THEN 'train'
+       WHEN ({_H}) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register(
+    "doc_hash_split",
+    _SPLIT_ORACLE,
+    "deterministic train/val/test hash split (pure projection, no shuffle)",
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_hash_split(docs, id_col="doc_id").select("doc_id", "bucket", "split")
+
+
+# ---------------------------------------------------------------------------
+# stratified sample — exactly k per language, deterministic
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 50
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_H} ASC, doc_id ASC)
+           AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {_STRAT_K}
+"""
+
+
+@register(
+    "doc_stratified_sample",
+    _STRAT_ORACLE,
+    "exactly-k-per-language deterministic stratified sample (hash-ordered rank)",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", _STRAT_K, id_col="doc_id").select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — concat-and-chunk block assignment per language stream
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM toks
+"""
+
+
+@register(
+    "doc_pack_sequences",
+    _PACK_ORACLE,
+    "GPT-style concat-and-chunk sequence packing (per-language exclusive prefix sum)",
+    bench=True,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(
+        toks, token_col="n_tokens", budget=_PACK_BUDGET, partition_col="lang"
+    ).select("doc_id", "lang", "n_tokens", "pack_id")
+
+
+# ---------------------------------------------------------------------------
+# top-k n-grams per language — corpus-statistics aggregation
+# ---------------------------------------------------------------------------
+
+_TOP_BIGRAMS_K = 5
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+           AS bigram
+  FROM toks
+), counted AS (
+  SELECT lang, bigram, count(*) AS n FROM grams GROUP BY lang, bigram
+)
+SELECT lang, bigram, n, rk FROM (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rk
+  FROM counted
+) WHERE rk <= {_TOP_BIGRAMS_K}
+"""
+
+
+@register(
+    "lang_top_bigrams",
+    _BIGRAM_ORACLE,
+    "top-k bigrams per language (explode -> two-level agg -> deterministic rank)",
+    bench=True,
+)
+def lang_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics. Scale shape: the explode multiplies rows by
+    ~tokens-per-doc, but the (lang, bigram) count is map-side combinable so
+    the shuffle carries only distinct bigrams; the rank window then runs on
+    the already-aggregated (small) relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    # guard: Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty like
+    # DuckDB's range(1, 1) — single-token docs must yield no bigrams
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_t) - 1),"
+            " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.withColumn("_t", t).select("lang", F.explode(bigrams).alias("bigram"))
+    counted = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _TOP_BIGRAMS_K)
+    )

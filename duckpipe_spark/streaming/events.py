@@ -117,8 +117,14 @@ def _session_fn(
             )
         return
 
+    # normalize to microseconds regardless of the Arrow-delivered resolution
+    # (Spark 4 / pandas 2 hand micro-batches over as datetime64[us]; older
+    # stacks used datetime64[ns] — casting to [us] first makes both exact)
     ts_us = (
-        pd.concat([pdf["ts"] for pdf in pdf_iter]).sort_values().astype("int64") // 1000
+        pd.concat([pdf["ts"] for pdf in pdf_iter])
+        .sort_values()
+        .astype("datetime64[us]")
+        .astype("int64")
     )
     closed = []
     if state.exists:

@@ -101,3 +101,16 @@ def test_lsh_topk_recall_vs_bruteforce(spark, planted_vectors):
     recall = len(e & a) / len(e)
     # tight clusters land in one hyperplane bucket — high recall expected
     assert recall >= 0.8, recall
+
+
+def test_connected_components_closes_multi_hop_chains(spark):
+    """A 5-node path graph (0-1, 1-2, 2-3, 3-4) needs diameter-many
+    propagation rounds — proves the fixpoint loop, not just one hop."""
+    from duckpipe_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -1,0 +1,71 @@
+"""Semantic properties of the sampling / splitting / packing family
+(functions/sampling.py) beyond the oracle hash-match: determinism,
+subset-stability, exact stratum sizes, pack-budget geometry."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from duckpipe_spark.functions.sampling import (
+    pack_sequences,
+    stratified_sample,
+    with_hash_split,
+)
+from duckpipe_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def test_split_is_deterministic_and_exhaustive(docs):
+    a = with_hash_split(docs).select("doc_id", "split").toPandas().set_index("doc_id")
+    b = with_hash_split(docs).select("doc_id", "split").toPandas().set_index("doc_id")
+    assert a.sort_index().equals(b.sort_index())
+    assert set(a["split"].unique()) <= {"train", "val", "test"}
+    # rough proportions: 80/10/10 within generous tolerance on 500 docs
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.65 <= frac.get("train", 0) <= 0.92
+    assert frac.get("val", 0) <= 0.22 and frac.get("test", 0) <= 0.22
+
+
+def test_split_membership_is_stable_under_subset(docs, spark):
+    """Hash-based membership must not depend on what other rows are present
+    (the property a random() split lacks)."""
+    full = with_hash_split(docs).select("doc_id", "split").toPandas().set_index("doc_id")
+    subset = with_hash_split(docs.where(F.col("doc_id") % 3 == 0))
+    sub = subset.select("doc_id", "split").toPandas().set_index("doc_id")
+    joined = sub.join(full, how="left", rsuffix="_full")
+    assert (joined["split"] == joined["split_full"]).all()
+
+
+def test_stratified_sample_exact_k_and_subset_of_input(docs):
+    out = stratified_sample(docs, "lang", 20).toPandas()
+    sizes = out.groupby("lang").size()
+    n_per_lang = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    for lang, n in n_per_lang.items():
+        assert sizes.get(lang, 0) == min(20, n)
+    assert out["sample_rank"].max() <= 20
+
+
+def test_pack_sequences_budget_geometry(docs):
+    """pack_id must be the block index of the document's first token:
+    non-decreasing in doc order, starting at 0, and consecutive documents
+    in one stream advance pack_id by exactly floor-progression."""
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    out = (
+        pack_sequences(toks, "n_tokens", budget=512, partition_col="lang")
+        .toPandas()
+        .sort_values(["lang", "doc_id"])
+    )
+    for _, g in out.groupby("lang"):
+        prefix = g["n_tokens"].cumsum().shift(fill_value=0)
+        assert (g["pack_id"] == prefix // 512).all()
+        assert g["pack_id"].iloc[0] == 0
+        assert (g["pack_id"].diff().dropna() >= 0).all()
