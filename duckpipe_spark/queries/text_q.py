@@ -117,3 +117,119 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.dedup import exact_dedup_groups
 
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — corpus-relative term weighting without float log():
+# score = tf * n_docs / df is order-equivalent to tf * (n_docs/df) and stays
+# IEEE-exact across engines (single double division, no transcendentals)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, term, score, rk FROM (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC, tf.term ASC
+         ) AS rk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE rk <= {_TFIDF_K}
+"""
+
+
+@register(
+    "doc_tfidf_topterms",
+    _TFIDF_ORACLE,
+    "per-document top-k TF-IDF terms (two-level agg + broadcast scalar + rank)",
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: tf is a map-side-combinable agg on (doc, term); df
+    reaggregates the (already small) tf relation by term; the corpus size is
+    a single-row aggregate broadcast with crossJoin (never collected to the
+    driver); the rank window partitions by doc_id (high cardinality, fully
+    parallel)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-language quality percentile — relative-rank quality gating
+# (percent_rank = (rank-1)/(n-1) is exact integer→double math, portable)
+# ---------------------------------------------------------------------------
+
+_QPCT_ORACLE = f"""
+WITH s AS (
+  SELECT
+    doc_id,
+    lang,
+    len(string_split_regex(trim(text), '\\s+')) AS n,
+    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+      / len(string_split_regex(trim(text), '\\s+')) AS avg_len,
+    CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+  FROM documents
+), q AS (
+  SELECT doc_id, lang,
+    (
+      (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+    ) / 3.0 AS quality
+  FROM s
+)
+SELECT doc_id, lang, quality, pr FROM (
+  SELECT doc_id, lang, quality,
+         percent_rank() OVER (PARTITION BY lang ORDER BY quality ASC, doc_id ASC) AS pr
+  FROM q
+) WHERE pr >= 0.5
+"""
+
+
+@register(
+    "doc_quality_percentile",
+    _QPCT_ORACLE,
+    "keep docs above the per-language median quality (percent_rank window gate)",
+)
+def doc_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative (per-stratum) quality gating — the robust form of a fixed
+    threshold when quality distributions differ across languages. One
+    shuffle on lang; the window sort parallelizes across languages."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "lang", quality_score_col(F.col("text")).alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    return (
+        q.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") >= 0.5)
+        .select("doc_id", "lang", "quality", "pr")
+    )
