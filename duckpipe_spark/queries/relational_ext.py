@@ -841,9 +841,16 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
     )
-    per_order = lif.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supps"),
+    # two stacked plain aggregates instead of a double COUNT(DISTINCT):
+    # the distinct-pair rollup is map-side combinable and the second agg
+    # reads the already-shuffled (orderkey, suppkey) relation — no Expand
+    # (which would triple the shuffle rows to serve two DISTINCT branches)
+    per_supp = lif.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("supp_late").alias("n_late_supps"),
     )
     late = lif.where(F.col("is_late") == 1).select("l_orderkey", "l_suppkey")
     qualifying = (

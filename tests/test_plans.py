@@ -106,3 +106,37 @@ def test_multi_distinct_uses_expand(spark):
     # partial aggregation still present (no raw-row shuffle of the fact)
     assert "Expand" in a.text
     assert a.codegen_spans >= 1
+
+
+def test_hash_split_is_shuffle_free(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_hash_split")(spark, SF_SMOKE))
+    # split assignment is a pure projection: no Exchange, no join, no Python
+    assert a.exchanges == 0, a.text
+    assert a.python_stages == 0
+    assert a.codegen_spans >= 1
+
+
+def test_q16_broadcasts_both_small_sides(spark):
+    a = audit_plan(_q("q16_supplier_part_counts")(spark, SF_SMOKE))
+    # NOT-IN exclusion and part filter both resolve as broadcast joins —
+    # the fact-side pair set never sort-merge-joins
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_hash_joins >= 1
+    assert any("p_size" in f or "p_brand" in f for f in a.pushed_filters())
+
+
+def test_q21_has_no_expand(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("q21_waiting_supplier")(spark, SF_SMOKE))
+    # stacked plain aggregates, not a double COUNT(DISTINCT) Expand rewrite
+    assert "Expand" not in a.text
+    assert a.python_stages == 0
+
+
+def test_pack_sequences_single_shuffle(spark):
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_pack_sequences")(spark, SF_SMOKE))
+    # one Exchange on the stream key feeds the prefix-sum window
+    assert a.exchanges == 1, a.text
+    assert a.python_stages == 0
