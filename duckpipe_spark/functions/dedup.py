@@ -46,15 +46,20 @@ def char_poly_hash(col: Column) -> Column:
     )
 
 
-def shingle_hashes(
+def shingle_hash_array(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """Distinct shingle *hashes* per document → (id, hv), without ever
-    materializing shingle strings: each word's characters are folded once
-    (31-base mod 1e9+7), then the k word hashes of a shingle are combined
-    with a second rolling fold (WORD_BASE). Vs hashing shingle strings this
-    does ~k× less character work and skips the concat/re-split — shingle
-    strings only exist in the Jaccard path, which joins on them."""
+    """Distinct shingle *hashes* per document as one array column
+    → (id, hvs: array<bigint>), without ever materializing shingle strings:
+    each word's characters are folded once (31-base mod 1e9+7), then the k
+    word hashes of a shingle are combined with a second rolling fold
+    (WORD_BASE). Vs hashing shingle strings this does ~k× less character
+    work and skips the concat/re-split — shingle strings only exist in the
+    Jaccard path, which joins on them.
+
+    Keeping the hash set as an ARRAY (not exploded rows) lets MinHash and
+    SimHash fold it with higher-order functions in the same codegen stage as
+    the scan — a pure projection, no explode, no shuffle."""
     toks = tokens_col(F.col(text_col))
     df = df.withColumn("_t", toks).where(F.size("_t") >= k)
     wh = F.transform(F.col("_t"), lambda w: char_poly_hash(w))
@@ -65,9 +70,16 @@ def shingle_hashes(
             acc = (acc * WORD_BASE + F.element_at("_wh", (i + j + 1).cast("int"))) % POLY_MOD
         return acc
     hvs = F.transform(F.sequence(F.lit(0), F.size("_t") - k), _combine)
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(hvs)).alias("hv"))
-        .distinct()
+    return df.select(F.col(id_col).alias("id"), F.array_distinct(hvs).alias("hvs"))
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Exploded form of `shingle_hash_array` → (id, hv) rows, for operators
+    that join on the hash (inverted-index paths)."""
+    return shingle_hash_array(df, text_col, id_col, k).select(
+        "id", F.explode("hvs").alias("hv")
     )
 
 
@@ -129,13 +141,24 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """MinHash signature per document: s_i = min over shingles of
-    (a_i·h(shingle) + b_i) mod 1e9+7. Output columns s0..s{N-1}."""
-    h = shingle_hashes(df, text_col, id_col, k)
-    aggs = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("hv") + F.lit(MINHASH_B[i])) % POLY_MOD).alias(f"s{i}")
+    (a_i·h(shingle) + b_i) mod 1e9+7. Output columns s0..s{N-1}.
+
+    Computed as `array_min(transform(hvs, …))` per permutation over the
+    per-doc shingle-hash array — a pure projection fused into the scan
+    stage by codegen. No explode, no groupBy, no shuffle (the previous
+    formulation shuffled every (id, hash) row to a grouped MIN)."""
+    arr = shingle_hash_array(df, text_col, id_col, k)
+
+    def _perm(a: int, b: int):
+        # single-arg lambda factory (a 2-arg callable would be read by
+        # transform() as (element, index))
+        return lambda h: (F.lit(a) * h + F.lit(b)) % POLY_MOD
+
+    sigs = [
+        F.array_min(F.transform("hvs", _perm(MINHASH_A[i], MINHASH_B[i]))).alias(f"s{i}")
         for i in range(N_HASHES)
     ]
-    return h.groupBy("id").agg(*aggs)
+    return arr.select("id", *sigs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -174,22 +197,32 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: in
     """SIMHASH_BITS-bit SimHash over shingle hashes: bit j is set when the
     majority of shingles have bit j set (count(bit_j) * 2 > n).
 
-    Counter packing: instead of one aggregate per bit, 3 bit-counters are
-    packed per BIGINT at 21-bit offsets (counts fit: ≤2^21 shingles per doc
-    well above any real document), so the grouped aggregation runs
-    SIMHASH_BITS/3 sums + a row count instead of SIMHASH_BITS conditional
-    sums. Unpacking is shift+mask on the aggregated values. All integer
-    codegen; the oracle mirrors the identical packing."""
-    h = shingle_hashes(df, text_col, id_col, k)
-    packed_aggs = []
-    for s in range(SIMHASH_BITS // 3):
-        slot = None
-        for m in range(3):
-            j = 3 * s + m
-            term = (F.shiftright(F.col("hv"), j) % 2) * F.lit(1 << (21 * m)).cast("bigint")
-            slot = term if slot is None else slot + term
-        packed_aggs.append(F.sum(slot).alias(f"p{s}"))
-    packed = h.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"), *packed_aggs)
+    Counter packing: 3 bit-counters ride per BIGINT at 21-bit offsets
+    (counts fit: ≤2^21 shingles per doc well above any real document), so
+    only SIMHASH_BITS/3 folds run instead of SIMHASH_BITS conditional sums.
+    Each fold is an `aggregate()` higher-order function over the per-doc
+    shingle-hash ARRAY — a pure projection fused into the scan by codegen;
+    no explode, no groupBy, no shuffle (the previous formulation shuffled
+    every (id, hash) row to a grouped SUM). Unpacking is shift+mask. All
+    integer math; the oracle mirrors the identical packing."""
+    arr = shingle_hash_array(df, text_col, id_col, k)
+
+    def _packed_fold(s: int) -> Column:
+        def _step(acc: Column, h: Column) -> Column:
+            slot = None
+            for m in range(3):
+                j = 3 * s + m
+                term = (F.shiftright(h, j) % 2) * F.lit(1 << (21 * m)).cast("bigint")
+                slot = term if slot is None else slot + term
+            return acc + slot
+
+        return F.aggregate("hvs", F.lit(0).cast("bigint"), _step).alias(f"p{s}")
+
+    packed = arr.select(
+        "id",
+        F.size("hvs").cast("bigint").alias("n_sh"),
+        *[_packed_fold(s) for s in range(SIMHASH_BITS // 3)],
+    )
     mask = (1 << 21) - 1
     sim = None
     for j in range(SIMHASH_BITS):
