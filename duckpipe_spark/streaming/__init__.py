@@ -3,6 +3,7 @@ from duckpipe_spark.streaming.events import (
     enrich_with_dimension,
     join_click_purchase_streams,
     read_event_stream,
+    running_totals_stateful,
     sessionize_stateful,
     session_windows,
     windowed_rollup,
@@ -15,5 +16,6 @@ __all__ = [
     "windowed_rollup",
     "session_windows",
     "sessionize_stateful",
+    "running_totals_stateful",
     "dedup_event_stream",
 ]

@@ -216,3 +216,64 @@ def join_click_purchase_streams(
             "AND purchase_ts <= click_ts"
         ),
     ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# transformWithState — Spark 4's typed stateful-processor API (successor to
+# applyInPandasWithState): named state variables, TTL, timers. Implemented
+# alongside the GroupState sessionizer so both extension points are covered.
+# ---------------------------------------------------------------------------
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, sum_value) maintained in a ValueState and
+    re-emitted each micro-batch — the streaming twin of
+    ``groupBy(user).agg(count, sum)``, converging to the batch aggregate
+    once the stream drains.
+
+    Scale: state is one tuple per user (bounded by user cardinality, not
+    event volume), partitioned on the group key; RocksDB-backed state store
+    keeps per-executor state off-heap and incremental-checkpointed.
+
+    Runtime requirements (cluster-side): the RocksDB state store provider
+    (`spark.sql.streaming.stateStore.providerClass`) and the `protobuf`
+    package — transformWithState's Python↔JVM state server speaks protobuf.
+    The pytest twin auto-skips where protobuf isn't installed; the
+    `applyInPandasWithState` sessionizer above has no such dependency."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    totals_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", totals_schema)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            prev = self._totals.get() if self._totals.exists() else None
+            n = int(prev[0]) if prev is not None else 0
+            s = float(prev[1]) if prev is not None else 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

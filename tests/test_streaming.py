@@ -164,3 +164,42 @@ def test_stream_stream_interval_join_matches_batch(spark, event_files):
     exp_s = exp.sort_values(key).reset_index(drop=True)
     assert len(got_s) == len(exp_s) and len(exp_s) > 0
     assert (got_s["purchase_value"].round(6) == exp_s["purchase_value"].round(6)).all()
+
+
+def test_transform_with_state_running_totals(spark, event_files):
+    """transformWithState (Spark 4 typed stateful API): the last emitted
+    update per user must equal the batch groupBy aggregate once the stream
+    drains. Requires the RocksDB state store provider and protobuf (the
+    state-server wire protocol) — skipped where protobuf isn't installed."""
+    pytest.importorskip("google.protobuf")
+    from duckpipe_spark.streaming import running_totals_stateful
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+        out = _run_stream(spark, running_totals_stateful(stream), "run_totals", mode="update")
+        got = out.toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    # memory sink in update mode appends every emitted update; the final
+    # state per user is the row with the max n_events (totals only grow)
+    final = got.sort_values("n_events").groupby("user_id").tail(1).set_index("user_id")
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert set(final.index) == set(batch.index)
+    for uid in batch.index:
+        assert final.loc[uid, "n_events"] == batch.loc[uid, "n_events"]
+        assert abs(final.loc[uid, "sum_value"] - batch.loc[uid, "sum_value"]) < 1e-6
