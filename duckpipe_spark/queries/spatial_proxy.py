@@ -48,19 +48,20 @@ def _points(df: DataFrame, x_expr: str, y_expr: str, id_col: str) -> DataFrame:
 
 @register("nearest_feature_distance", _NEAREST_ORACLE, "cross join + per-id MIN distance (J1/A1)")
 def nearest_feature_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.operators.distance import nearest_neighbor_grid
+
     cust = _points(load_table(spark, sf_dir, "customer"), _CX, _CY, "c_custkey")
     supp = _points(load_table(spark, sf_dir, "supplier"), _SX, _SY, "s_suppkey").select(
         F.col("x").alias("fx"), F.col("y").alias("fy")
     )
-    dist = F.sqrt(
-        (F.col("x") - F.col("fx")) * (F.col("x") - F.col("fx"))
-        + (F.col("y") - F.col("fy")) * (F.col("y") - F.col("fy"))
-    )
-    return (
-        cust.crossJoin(F.broadcast(supp))
-        .groupBy("id")
-        .agg(F.round(F.min(dist), 6).alias("value"))
-        .select("id", F.lit("D_Supplier").alias("varname"), "value")
+    # grid-pruned exact NN (same values as the oracle's cross join): g=1000 m
+    # ≈ 2× the mean nearest-supplier spacing at sf0.1, so pass A resolves
+    # ~98% of points with ~10 candidates each instead of |supplier|
+    nn = nearest_neighbor_grid(cust, supp, cell_size=1000.0)
+    return nn.select(
+        "id",
+        F.lit("D_Supplier").alias("varname"),
+        F.round(F.col("value"), 6).alias("value"),
     )
 
 

@@ -132,3 +132,29 @@ def test_arrow_and_hof_impls_bit_identical(spark, planted_docs):
         sh_a = sorted(map(tuple, simhash(docs, impl="arrow").collect()))
         sh_h = sorted(map(tuple, simhash(docs, impl="hof").collect()))
         assert sh_a == sh_h
+
+
+def test_nearest_neighbor_grid_equals_brute_force(spark):
+    """Grid-pruned NN must equal the brute-force cross join exactly, at cell
+    sizes that exercise both paths: tiny g (most points fall back), huge g
+    (everything resolves in pass A), and a balanced g."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    from duckpipe_spark.operators.distance import nearest_neighbor_grid
+
+    rng = np.random.default_rng(7)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 10_000, (300, 2)))]
+    fts = [(float(x), float(y)) for x, y in rng.uniform(0, 10_000, (40, 2))]
+    points = spark.createDataFrame(pts, "id bigint, x double, y double")
+    feats = spark.createDataFrame(fts, "fx double, fy double")
+
+    d = F.sqrt(
+        (F.col("x") - F.col("fx")) ** 2 + (F.col("y") - F.col("fy")) ** 2
+    )
+    brute = {
+        r["id"]: r["value"]
+        for r in points.crossJoin(feats).groupBy("id").agg(F.min(d).alias("value")).collect()
+    }
+    for g in (100.0, 1500.0, 50_000.0):
+        got = {r["id"]: r["value"] for r in nearest_neighbor_grid(points, feats, g).collect()}
+        assert got == brute, f"mismatch at cell_size={g}"
