@@ -207,3 +207,111 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos")
     )
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means → (id, cell): the trained
+    version of ``ivf_assign``'s seed centroids, and the engine's
+    demonstration that *iterative* algorithms can be exact-hash-checked
+    across engines.
+
+    Every quantity is integer so no float summation-order ambiguity exists:
+    vectors are quantized to round(x·scale) BIGINTs, distances are integer
+    squared-L2 (|x|≤0.6, dim 64 ⇒ max dist ≈ 64·(2·0.6·scale)² ≈ 2^43,
+    comfortably int64), centroid components are floor(sum/count) with the
+    division in IEEE double (exact: sums ≪ 2^53, identical bits on both
+    engines). Init is deterministic farthest-point traversal (Gonzalez
+    k-center): seed 0 = smallest (Lehmer-hash, id); seed t = the vector
+    maximizing its min distance to seeds <t, ties on (hash, id). Unlike
+    smallest-k-ids (all seeds land in whatever cluster owns the low id
+    range) or hash-uniform sampling (misses a cluster with probability
+    ≈ k·(1−1/k)^k), farthest-point provably seeds every well-separated
+    cluster once, so Lloyd converges in 1-2 sweeps. Assignment ties break
+    on the smaller cell; a cell that loses all members disappears (both
+    engines aggregate only surviving cells).
+
+    Scale shape per iteration: centroids broadcast (k·dim ints) → assignment
+    is a map-side fold + one partial-agg'd min(struct) shuffle on id;
+    centroid update posexplodes the assigned vectors and aggregates
+    (cell,pos) — a bounded k·dim-key shuffle. Lineage grows linearly with
+    iters; callers running many iterations should localCheckpoint between
+    rounds (see functions.dedup.connected_components)."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+    from duckpipe_spark.functions.sampling import lehmer_hash_col
+
+    base = (
+        embeddings.select(F.col(id_col).alias("id"), qv.alias("v"))
+        .withColumn("h", lehmer_hash_col(F.col("id")))
+        .cache()
+    )
+
+    def _dist(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    # farthest-point init: each new seed is a broadcast pass + distributed
+    # top-1 (TakeOrdered), never a global sort of the corpus
+    cents = (
+        base.orderBy("h", "id")
+        .limit(1)
+        .select(F.lit(0).cast("bigint").alias("cell"), F.col("v").alias("cv"))
+    )
+    for t in range(1, k):
+        far = (
+            base.crossJoin(F.broadcast(cents.select("cv")))
+            .select("id", _dist("v", "cv").alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("d"))
+            .join(base, "id")
+            .orderBy(F.col("d").desc(), "h", "id")
+            .limit(1)
+            .select(F.lit(t).cast("bigint").alias("cell"), F.col("v").alias("cv"))
+        )
+        cents = cents.unionByName(far)
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            "id", dist.alias("dist"), "cell"
+        )
+        return scored.groupBy("id").agg(
+            F.min(F.struct("dist", "cell")).alias("m")
+        ).select("id", F.col("m.cell").alias("cell"))
+
+    def _update(assign: DataFrame) -> DataFrame:
+        comp = (
+            base.join(assign, "id")
+            .select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cell",
+                "pos",
+                F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint").alias("c"),
+            )
+        )
+        return comp.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+
+    for _ in range(iters):
+        cents = _update(_assign(cents))
+    return _assign(cents)

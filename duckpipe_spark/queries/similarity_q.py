@@ -16,6 +16,7 @@ from duckpipe_spark.functions.similarity import (
     embedding_neardup_pairs,
     lsh_topk,
 )
+from duckpipe_spark.functions.sampling import lehmer_hash_sql
 from duckpipe_spark.queries.base import register
 from duckpipe_spark.sources.tables import load_table
 
@@ -169,3 +170,86 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.similarity import ivf_topk
 
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, _N_CELLS, _N_PROBE)
+
+
+# --- deterministic k-means (trained IVF centroids), exact iterative oracle ---
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_SCALE = 10_000
+
+
+def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the SQL twin of
+    ``kmeans_cells``'s driver loop. All-integer math (quantized vectors,
+    integer squared-L2, floor(sum/count) centroids) makes every iteration
+    bit-exact across engines, so the final assignment hash-matches."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, len(q.v) + 1), "
+        "i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT)"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT id, v, cell FROM (
+    SELECT q.id, q.v, c.cell,
+           row_number() OVER (PARTITION BY q.id ORDER BY {dist}, c.cell) AS rn
+    FROM qv q CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    h = lehmer_hash_sql("vec_id")
+    sql = f"""WITH qv AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v,
+         {h} AS h
+  FROM embeddings
+),
+cu0 AS (
+  SELECT CAST(0 AS BIGINT) AS cell, v AS cv
+  FROM (SELECT v FROM qv ORDER BY h, id LIMIT 1)
+)"""
+    # farthest-point init: seed t = argmax over the corpus of min distance
+    # to seeds <t (ties on hash then id), mirroring the Spark driver loop
+    for t in range(1, k):
+        sql += f""",
+cu{t} AS (
+  SELECT * FROM cu{t - 1}
+  UNION ALL
+  SELECT CAST({t} AS BIGINT) AS cell, v AS cv FROM (
+    SELECT q.id, q.v, q.h,
+           min({dist}) AS d
+    FROM qv q CROSS JOIN cu{t - 1} c
+    GROUP BY q.id, q.v, q.h
+    ORDER BY d DESC, q.h, q.id LIMIT 1
+  )
+)"""
+    prev = f"cu{k - 1}"
+    for t in range(1, iters + 1):
+        sql += ",\n" + assign(f"a{t}", prev)
+        sql += f""",
+c{t} AS (
+  SELECT cell, list(c ORDER BY pos) AS cv FROM (
+    SELECT cell, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS c FROM (
+      SELECT cell, pos, v[pos] AS val FROM (
+        SELECT cell, v, unnest(range(1, len(v) + 1)) AS pos FROM a{t}
+      )
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+)"""
+        prev = f"c{t}"
+    sql += ",\n" + assign("afinal", prev)
+    return sql + "\nSELECT id, cell FROM afinal"
+
+
+@register(
+    "embedding_kmeans_cells",
+    _kmeans_oracle(_KM_K, _KM_ITERS, _KM_SCALE),
+    "deterministic integer-quantized Lloyd k-means cell assignment (trained IVF)",
+)
+def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.similarity import kmeans_cells
+
+    return kmeans_cells(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )

@@ -158,3 +158,23 @@ def test_nearest_neighbor_grid_equals_brute_force(spark):
     for g in (100.0, 1500.0, 50_000.0):
         got = {r["id"]: r["value"] for r in nearest_neighbor_grid(points, feats, g).collect()}
         assert got == brute, f"mismatch at cell_size={g}"
+
+
+def test_kmeans_recovers_planted_clusters(spark, planted_vectors):
+    """On 5 well-separated planted clusters, k=5 integer-quantized Lloyd
+    must converge to the planted partition (cluster labels are arbitrary;
+    the induced partition must match), and assignment must be total and
+    deterministic across reruns."""
+    from duckpipe_spark.functions.similarity import kmeans_cells
+
+    got = kmeans_cells(planted_vectors, k=5, iters=4).collect()
+    assert len(got) == 100 and len({r["id"] for r in got}) == 100
+    labels = {r["vec_id"]: r["label"] for r in planted_vectors.select("vec_id", "label").collect()}
+    # partition match: each k-means cell maps to exactly one planted label
+    cell_to_labels: dict[int, set] = {}
+    for r in got:
+        cell_to_labels.setdefault(r["cell"], set()).add(labels[r["id"]])
+    assert all(len(s) == 1 for s in cell_to_labels.values()), cell_to_labels
+    assert len(cell_to_labels) == 5
+    again = kmeans_cells(planted_vectors, k=5, iters=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
