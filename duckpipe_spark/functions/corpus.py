@@ -36,6 +36,105 @@ from duckpipe_spark.functions.text import (
 )
 
 
+def decontamination_stats(
+    docs: DataFrame,
+    k: int = 5,
+    bench_bucket_min: int = 90,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per *training* document, how many of its
+    distinct word-``k``-gram hashes also occur in any *benchmark* document.
+
+    The benchmark/train membership is the deterministic Lehmer hash split
+    (``sampling.with_hash_split`` semantics): bucket = hash(id) mod 100,
+    benchmark = bucket ≥ ``bench_bucket_min`` — the same stable assignment
+    the split operator produces, so decontamination composes with it without
+    materializing a membership table.
+
+    Scale shape: one shingle-hash projection over the scan (no shuffle), the
+    benchmark n-gram set is ``distinct`` over the benchmark slice only (by
+    construction a small fraction of the corpus — the side you'd broadcast at
+    100 TB, hinted here), and the hit count is an equi-join on the hash plus
+    a map-side-combinable count. Never compares documents pairwise.
+
+    Returns every train doc with ≥ k tokens:
+    (doc_id, n_ngrams, n_shared, contamination).
+    """
+    from duckpipe_spark.functions.dedup import shingle_hashes
+    from duckpipe_spark.functions.sampling import lehmer_hash_col
+
+    hv = shingle_hashes(docs, text_col, id_col, k)
+    bucket = lehmer_hash_col(F.col("id")) % 100
+    hv = hv.withColumn("_b", bucket)
+    bench_hv = hv.where(F.col("_b") >= bench_bucket_min).select("hv").distinct()
+    train = hv.where(F.col("_b") < bench_bucket_min).select("id", "hv")
+    sizes = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        train.join(F.broadcast(bench_hv), "hv")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n_shared = F.coalesce("n_shared", F.lit(0)).cast("bigint")
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+            n_shared.alias("n_shared"),
+            (n_shared.cast("double") / F.col("n_ngrams")).alias("contamination"),
+        )
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    k: int = 3,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detection: a word-``k``-gram is boilerplate
+    when it occurs in ≥ ``min_docs`` distinct documents (headers, footers,
+    license blurbs — the lines C4/RefinedWeb-style pipelines strip). Reports
+    per document what fraction of its distinct k-grams are boilerplate.
+
+    Scale shape: the n-gram document frequency is one map-side-combinable
+    count over the exploded (already per-doc-distinct) hash rows — the same
+    shuffle the TF-IDF ``df`` relation pays — and the per-doc hit count
+    re-joins on the hash key. The boilerplate *set* (df ≥ min_docs) is tiny
+    relative to the corpus (heavy-hitter tail), the natural broadcast side.
+
+    Returns every doc with ≥ k tokens:
+    (doc_id, n_ngrams, n_boiler, boiler_frac).
+    """
+    from duckpipe_spark.functions.dedup import shingle_hashes
+
+    hv = shingle_hashes(docs, text_col, id_col, k)
+    boiler = (
+        hv.groupBy("hv")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("hv")
+    )
+    sizes = hv.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        hv.join(F.broadcast(boiler), "hv")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    n_boiler = F.coalesce("n_boiler", F.lit(0)).cast("bigint")
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+            n_boiler.alias("n_boiler"),
+            (n_boiler.cast("double") / F.col("n_ngrams")).alias("boiler_frac"),
+        )
+    )
+
+
 @dataclass
 class CurationReport:
     corpus: DataFrame

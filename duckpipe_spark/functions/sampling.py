@@ -94,6 +94,55 @@ def stratified_sample(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic downsampling to a target domain/language mixture.
+
+    Given integer target ``weights`` per stratum (e.g. ``{"en": 6, "de": 2,
+    "es": 1, "fr": 1}``), keep the largest corpus whose stratum proportions
+    hit the target exactly without upsampling: the scale is
+    ``S = min over strata of count_l / weight_l`` and each stratum keeps its
+    ``floor(weight_l · S)`` hash-smallest rows (Lehmer order, id tiebreak) —
+    the binding stratum is taken (nearly) whole, every other stratum is
+    downsampled to match. Strata not in ``weights`` are dropped.
+
+    Scale shape: the per-stratum counts are one map-side-combinable
+    aggregate collapsed to a single broadcast row (the global scale), and
+    membership is a rank window partitioned by stratum — one shuffle on the
+    stratum key, identical to ``stratified_sample``; determinism comes from
+    the same Lehmer order, so re-runs, engines, and cluster sizes agree on
+    the exact kept set (stable membership is what makes mixture experiments
+    reproducible at 100 TB).
+    """
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, int(w)) for s, w in sorted(weights.items())], f"{strata_col} string, w int"
+        )
+    )
+    counts = df.join(wdf, strata_col).groupBy(strata_col, "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    scale = counts.agg(
+        F.min(F.col("c").cast("double") / F.col("w")).alias("s")
+    )
+    targets = counts.crossJoin(F.broadcast(scale)).select(
+        strata_col, F.floor(F.col("w") * F.col("s")).cast("bigint").alias("target_n")
+    )
+    h = lehmer_hash_col(F.col(id_col))
+    w_rank = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(targets), strata_col)
+        .withColumn("sample_rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("sample_rank") <= F.col("target_n"))
+        .drop("target_n")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -95,6 +95,60 @@ def quality_score_col(text: Column) -> Column:
     return (s_count + s_wordlen + s_punct) / F.lit(3.0)
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of word
+    bigrams that are repeats (1 − distinct/total) and the most frequent
+    token with its mass fraction. High values flag degenerate/boilerplate
+    text that length and punctuation ratios miss.
+
+    Scale shape: the bigram stats are a pure projection (array HOFs inside
+    codegen, no shuffle); the top token is one map-side-combinable
+    (doc, term) count plus a rank window partitioned on the high-cardinality
+    doc id. Ties on the top token break lexicographically so the winner is
+    deterministic across engines and partitionings.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn("_t", toks).where(
+        F.size("_t") >= 2
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_t", (i + 1).cast("int")), F.element_at("_t", (i + 2).cast("int"))
+        ),
+    )
+    stats = base.select(
+        F.col(id_col),
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        (F.size("_t") - 1).cast("bigint").alias("n_bigrams"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / (F.size("_t") - 1)
+        ).alias("dup_bigram_frac"),
+    )
+    tf = (
+        base.select(F.col(id_col), F.explode("_t").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tf").desc(), F.col("term").asc())
+    top = (
+        tf.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(F.col(id_col), F.col("term").alias("top_token"), F.col("tf").alias("_top_tf"))
+    )
+    return stats.join(top, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_bigrams",
+        "dup_bigram_frac",
+        "top_token",
+        (F.col("_top_tf").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercase,
     whitespace-collapsed text (document identity for exact dedup)."""

@@ -26,6 +26,10 @@ try:
     from duckpipe_spark.queries import sampling_q  # noqa: F401
 except ImportError:
     pass
+try:
+    from duckpipe_spark.queries import corpus_q  # noqa: F401
+except ImportError:
+    pass
 
 from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 

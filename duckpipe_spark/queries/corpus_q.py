@@ -1,0 +1,207 @@
+"""Corpus-hygiene queries (decontamination, boilerplate, repetition,
+mixture resampling) with exact DuckDB oracles.
+
+These are the curation operators a training-data pipeline runs between raw
+ingestion and packing: strip benchmark-contaminated and boilerplate-heavy
+documents, flag degenerate repetition, and rebalance the language mixture —
+all deterministic so the kept set is reproducible across engines and runs.
+Oracle SQL is generated from the same hash constants as the Spark side (see
+dedup_q.py for the word-hash shingle pipeline this mirrors).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from duckpipe_spark.functions.dedup import POLY_BASE, POLY_MOD, WORD_BASE
+from duckpipe_spark.functions.sampling import lehmer_hash_sql
+from duckpipe_spark.queries.base import register
+from duckpipe_spark.sources.tables import load_table
+
+
+def _word_hash_shingles_sql(k: int) -> str:
+    """Word-hash shingle CTE chain for arbitrary k (generalizes dedup_q's
+    k=3 pipeline): fold each word's chars once, combine k word hashes with a
+    second rolling fold. Ends with ``hv(id, hv)`` of per-doc-distinct hashes."""
+    combine = "w[i]"
+    for j in range(1, k):
+        combine = f"({combine} * {WORD_BASE} + w[i+{j}]) % {POLY_MOD}"
+    return f"""toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+wh AS (
+  SELECT id, list_transform(t, x -> list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(x, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, y) -> (acc * {POLY_BASE} + y) % {POLY_MOD}
+  )) AS w, len(t) AS n
+  FROM toks WHERE len(t) >= {k}
+),
+idx AS (
+  SELECT id, w, unnest(range(1, n - {k - 2})) AS i FROM wh
+),
+hv AS (
+  SELECT DISTINCT id, {combine} AS hv FROM idx
+)"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — n-gram overlap between the train and benchmark
+# sides of the deterministic hash split
+# ---------------------------------------------------------------------------
+
+_DECON_K = 5
+_BENCH_BUCKET_MIN = 90
+
+_DECON_ORACLE = f"""
+WITH {_word_hash_shingles_sql(_DECON_K)},
+split AS (
+  SELECT id, hv, ({lehmer_hash_sql('id')}) % 100 AS b FROM hv
+),
+bench AS (SELECT DISTINCT hv FROM split WHERE b >= {_BENCH_BUCKET_MIN}),
+train AS (SELECT id, hv FROM split WHERE b < {_BENCH_BUCKET_MIN}),
+sizes AS (SELECT id, count(*) AS n_ngrams FROM train GROUP BY id),
+hits AS (
+  SELECT t.id, count(*) AS n_shared FROM train t JOIN bench USING (hv) GROUP BY t.id
+)
+SELECT s.id AS doc_id, s.n_ngrams,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / s.n_ngrams AS contamination
+FROM sizes s LEFT JOIN hits h USING (id)
+"""
+
+
+@register(
+    "doc_decontamination",
+    _DECON_ORACLE,
+    "per-train-doc count of word-5-gram hashes shared with the benchmark split",
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.corpus import decontamination_stats
+
+    return decontamination_stats(
+        load_table(spark, sf_dir, "documents"), k=_DECON_K, bench_bucket_min=_BENCH_BUCKET_MIN
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate n-grams
+# ---------------------------------------------------------------------------
+
+_BOILER_K = 3
+_BOILER_MIN_DOCS = 3
+
+_BOILER_ORACLE = f"""
+WITH {_word_hash_shingles_sql(_BOILER_K)},
+boiler AS (
+  SELECT hv FROM (SELECT hv, count(*) AS df FROM hv GROUP BY hv) WHERE df >= {_BOILER_MIN_DOCS}
+),
+sizes AS (SELECT id, count(*) AS n_ngrams FROM hv GROUP BY id),
+hits AS (
+  SELECT v.id, count(*) AS n_boiler FROM hv v JOIN boiler USING (hv) GROUP BY v.id
+)
+SELECT s.id AS doc_id, s.n_ngrams,
+       COALESCE(h.n_boiler, 0) AS n_boiler,
+       CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / s.n_ngrams AS boiler_frac
+FROM sizes s LEFT JOIN hits h USING (id)
+"""
+
+
+@register(
+    "doc_boilerplate",
+    _BOILER_ORACLE,
+    "fraction of each doc's 3-grams occurring in ≥3 distinct docs (boilerplate)",
+)
+def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.corpus import boilerplate_stats
+
+    return boilerplate_stats(
+        load_table(spark, sf_dir, "documents"), k=_BOILER_K, min_docs=_BOILER_MIN_DOCS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+b AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+stats AS (
+  SELECT doc_id, n AS n_tokens, n - 1 AS n_bigrams,
+         1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (n - 1) AS dup_bigram_frac
+  FROM b
+),
+tf AS (
+  SELECT doc_id, unnest(t) AS term FROM b
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+),
+top AS (
+  SELECT doc_id, term AS top_token, tf FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rk
+    FROM tfc
+  ) WHERE rk = 1
+)
+SELECT s.doc_id, s.n_tokens, s.n_bigrams, s.dup_bigram_frac,
+       t.top_token, CAST(t.tf AS DOUBLE) / s.n_tokens AS top_token_frac
+FROM stats s JOIN top t USING (doc_id)
+"""
+
+
+@register(
+    "doc_repetition_stats",
+    _REPETITION_ORACLE,
+    "Gopher-style repetition: duplicate-bigram fraction + top-token mass",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture resampling to target language weights
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"en": 5, "de": 2, "es": 2, "fr": 1, "zh": 2}
+
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+
+_MIX_ORACLE = f"""
+WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
+counts AS (
+  SELECT lang, wt, count(*) AS c FROM documents JOIN w USING (lang) GROUP BY lang, wt
+),
+scale AS (SELECT min(CAST(c AS DOUBLE) / wt) AS s FROM counts),
+targets AS (
+  SELECT lang, CAST(floor(wt * s) AS BIGINT) AS target_n FROM counts CROSS JOIN scale
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, t.target_n,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY ({lehmer_hash_sql('d.doc_id')}) ASC, d.doc_id ASC
+         ) AS sample_rank
+  FROM documents d JOIN targets t USING (lang)
+)
+SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= target_n
+"""
+
+
+@register(
+    "doc_mixture_resample",
+    _MIX_ORACLE,
+    "largest exact-mixture downsample to target language weights (Lehmer order)",
+)
+def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(docs, _MIX_WEIGHTS).select("doc_id", "lang", "sample_rank")

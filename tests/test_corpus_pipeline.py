@@ -52,3 +52,67 @@ def test_curation_lazy_mode_builds_without_action(spark, corpus_docs):
     report = curate_corpus(corpus_docs, collect_counts=False)
     assert report.n_input == -1
     assert len(report.corpus.columns) == 2
+
+
+def _lehmer_bucket(doc_id: int) -> int:
+    m = 2147483647
+    x = ((doc_id % m) + m) % m + 1
+    return ((x * 48271) % m) * 16807 % m % 100
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    """A train doc that copies a 5-gram run from a benchmark doc must be
+    flagged with the exact shared-ngram count; independent docs stay at 0."""
+    from duckpipe_spark.functions.corpus import decontamination_stats
+
+    bench_ids = [i for i in range(1000) if _lehmer_bucket(i) >= 90][:2]
+    train_ids = [i for i in range(1000) if _lehmer_bucket(i) < 90][:3]
+    leak = "alpha beta gamma delta epsilon zeta"  # 6 tokens → two 5-grams
+    rows = [
+        (bench_ids[0], f"one two three {leak} four five six"),
+        (bench_ids[1], "seven eight nine ten eleven twelve thirteen"),
+        # contaminated: contains the leaked 6-token run
+        (train_ids[0], f"aaa bbb {leak} ccc ddd"),
+        # clean train docs
+        (train_ids[1], "kkk lll mmm nnn ooo ppp qqq rrr"),
+        (train_ids[2], "sss ttt uuu vvv www xxx yyy zzz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in decontamination_stats(docs, k=5).collect()}
+    assert set(got) == set(train_ids)
+    assert got[train_ids[0]]["n_shared"] == 2  # both leaked 5-grams
+    assert got[train_ids[1]]["n_shared"] == 0
+    assert got[train_ids[2]]["n_shared"] == 0
+    assert got[train_ids[0]]["contamination"] > 0
+
+
+def test_boilerplate_planted_ngram(spark):
+    """A 3-gram planted in ≥3 docs is boilerplate; docs built from unique
+    vocabulary report zero boilerplate fraction."""
+    from duckpipe_spark.functions.corpus import boilerplate_stats
+
+    footer = "all rights reserved"
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d {footer}") for i in range(4)]
+    rows.append((100, "clean one only here nothing shared at all"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in boilerplate_stats(docs, k=3, min_docs=3).collect()}
+    for i in range(4):
+        assert got[i]["n_boiler"] == 1 and got[i]["boiler_frac"] > 0
+    assert got[100]["n_boiler"] == 0 and got[100]["boiler_frac"] == 0.0
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    """An all-one-token doc maxes both signals; an all-distinct doc zeros
+    the bigram signal and has top fraction 1/n."""
+    from duckpipe_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, " ".join(["spam"] * 20)),
+        (2, " ".join(f"w{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_bigram_frac"] == pytest.approx(1 - 1 / 19)
+    assert got[1]["top_token"] == "spam" and got[1]["top_token_frac"] == 1.0
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[2]["top_token"] == "w0" and got[2]["top_token_frac"] == pytest.approx(1 / 20)

@@ -69,3 +69,20 @@ def test_pack_sequences_budget_geometry(docs):
         assert (g["pack_id"] == prefix // 512).all()
         assert g["pack_id"].iloc[0] == 0
         assert (g["pack_id"].diff().dropna() >= 0).all()
+
+
+def test_mixture_resample_exact_targets_and_determinism(docs):
+    """Kept counts must equal floor(w_l · S) with S = min(c_l / w_l) — the
+    binding stratum nearly whole, everything else downsampled to the exact
+    target mixture — and reruns must keep the identical set."""
+    from duckpipe_spark.functions.sampling import mixture_resample
+
+    weights = {"en": 5, "de": 2, "es": 2, "fr": 1, "zh": 2}
+    counts = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    scale = min(counts[s] / w for s, w in weights.items())
+    out = mixture_resample(docs, weights).select("doc_id", "lang").toPandas()
+    sizes = out.groupby("lang").size()
+    for s, w in weights.items():
+        assert sizes.get(s, 0) == int(w * scale // 1), s
+    again = mixture_resample(docs, weights).select("doc_id", "lang").toPandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])
