@@ -209,6 +209,125 @@ def ivf_topk(
     )
 
 
+PQ_M = 8  # subspaces (64-dim → 8 segments of 8)
+PQ_CELLS = 16  # codebook entries per subspace
+PQ_SCALE = 10_000
+
+
+def _int_sqdist(a, b) -> Column:
+    """Integer squared-L2 between two quantized BIGINT arrays (|x| ≲ 0.6,
+    scale 1e4 ⇒ per-element diff² < 2^28 · segment length — int64-safe)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    n_cells: int = PQ_CELLS,
+    scale: int = PQ_SCALE,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes → (id, sub, code): each vector is split
+    into ``m`` contiguous subvectors and each subvector is replaced by the
+    index of its nearest codebook entry — the memory layout that makes
+    billion-vector ANN feasible (m bytes per vector instead of dim floats).
+
+    Codebooks are the subvectors of the ``n_cells`` smallest ids
+    (deterministic seed centroids, same convention as ``ivf_assign``; a
+    production build k-means-refines them with ``kmeans_cells``'s loop). All
+    distances are integer squared-L2 on round(x·scale) BIGINTs, so code
+    assignment is bit-exact across engines; ties break on the smaller code.
+
+    Scale shape: the codebook is m·n_cells tiny rows (broadcast); encoding
+    is a map-side join on the subspace index + one partial-agg'd min(struct)
+    shuffle keyed on the high-cardinality (id, sub) — no vector ever
+    shuffles twice, and the output is m small ints per vector."""
+    sub_dim = dim // m
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+    base = embeddings.select(F.col(id_col).alias("id"), qv.alias("v"))
+    seg_arr = F.array(*[F.slice("v", j * sub_dim + 1, sub_dim) for j in range(m)])
+    segs = base.select("id", F.posexplode(seg_arr).alias("sub", "seg"))
+    w_code = Window.orderBy("id")
+    cents = (
+        base.orderBy("id")
+        .limit(n_cells)
+        .withColumn("code", (F.row_number().over(w_code) - 1).cast("bigint"))
+        .select("code", F.posexplode(seg_arr).alias("sub", "cseg"))
+    )
+    scored = segs.join(F.broadcast(cents), "sub").select(
+        "id", "sub", F.struct(_int_sqdist("seg", "cseg").alias("d"), F.col("code")).alias("s")
+    )
+    return (
+        scored.groupBy("id", "sub")
+        .agg(F.min("s").alias("m"))
+        .select("id", F.col("sub").cast("bigint").alias("sub"), F.col("m.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = PQ_M,
+    n_cells: int = PQ_CELLS,
+    scale: int = PQ_SCALE,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact, each
+    corpus vector is its m codes, and the distance is the sum over subspaces
+    of a precomputed (query, sub, code) → d² lookup table. The scan side
+    never touches a float vector — the whole corpus pass reads m small ints
+    per row and probes a broadcast LUT of Q·m·n_cells entries, which is the
+    property that lets ADC scan billions of vectors cheaply.
+
+    Deterministic: integer LUT distances, ties on the neighbor id."""
+    sub_dim = dim // m
+    codes = pq_codes(embeddings, m, n_cells, scale, dim, id_col, vec_col)
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+    base = embeddings.select(F.col(id_col).alias("id"), qv.alias("v"))
+    seg_arr = F.array(*[F.slice("v", j * sub_dim + 1, sub_dim) for j in range(m)])
+    w_code = Window.orderBy("id")
+    cents = (
+        base.orderBy("id")
+        .limit(n_cells)
+        .withColumn("code", (F.row_number().over(w_code) - 1).cast("bigint"))
+        .select("code", F.posexplode(seg_arr).alias("sub", "cseg"))
+    )
+    qsegs = (
+        base.where(F.col("id").isin(query_ids))
+        .select(F.col("id").alias("query_id"), F.posexplode(seg_arr).alias("sub", "qseg"))
+    )
+    lut = qsegs.join(cents, "sub").select(
+        "query_id", F.col("sub").cast("bigint").alias("sub"), "code",
+        _int_sqdist("qseg", "cseg").alias("d"),
+    )
+    dists = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("d").alias("adist"))
+        .where(F.col("id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (
+        dists.select("query_id", F.col("id").alias("neighbor_id"), "adist")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist")
+    )
+
+
 def kmeans_cells(
     embeddings: DataFrame,
     k: int = 8,

@@ -172,6 +172,100 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, _N_CELLS, _N_PROBE)
 
 
+# --- product quantization: codes + asymmetric-distance top-k ---------------
+
+_PQ_M, _PQ_CELLS, _PQ_SCALE, _PQ_SUB = 8, 16, 10_000, 8
+
+_PQ_DIST = (
+    "CAST(list_sum(list_transform(range(1, {n} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+)
+
+
+def _pq_base_sql() -> str:
+    """Shared CTE chain: quantized vectors, per-subspace segments, seed
+    codebooks (subvectors of the n_cells smallest ids), code assignment."""
+    dist = _PQ_DIST.format(a="s.seg", b="c.cseg", n=_PQ_SUB)
+    return f"""qv AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+subs AS (SELECT unnest(range(0, {_PQ_M})) AS sub),
+segs AS (
+  SELECT id, sub, list_slice(v, sub * {_PQ_SUB} + 1, sub * {_PQ_SUB} + {_PQ_SUB}) AS seg
+  FROM qv CROSS JOIN subs
+),
+cent0 AS (
+  SELECT id, v, row_number() OVER (ORDER BY id) - 1 AS code
+  FROM (SELECT id, v FROM qv ORDER BY id LIMIT {_PQ_CELLS})
+),
+csegs AS (
+  SELECT code, sub, list_slice(v, sub * {_PQ_SUB} + 1, sub * {_PQ_SUB} + {_PQ_SUB}) AS cseg
+  FROM cent0 CROSS JOIN subs
+),
+assign AS (
+  SELECT id, sub, code FROM (
+    SELECT s.id, s.sub, c.code,
+           row_number() OVER (PARTITION BY s.id, s.sub ORDER BY {dist}, c.code) AS rn
+    FROM segs s JOIN csegs c USING (sub)
+  ) WHERE rn = 1
+)"""
+
+
+_PQ_CODES_ORACLE = f"""
+WITH {_pq_base_sql()}
+SELECT id, sub, code FROM assign
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    _PQ_CODES_ORACLE,
+    "product-quantization code assignment (integer squared-L2, seed codebooks)",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.similarity import pq_codes
+
+    return pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+_PQ_ADC_ORACLE = f"""
+WITH {_pq_base_sql()},
+qsegs AS (
+  SELECT id AS query_id, sub, seg AS qseg FROM segs
+  WHERE id IN ({', '.join(map(str, _QUERY_IDS))})
+),
+lut AS (
+  SELECT q.query_id, c.sub, c.code,
+         {_PQ_DIST.format(a="q.qseg", b="c.cseg", n=_PQ_SUB)} AS d
+  FROM qsegs q JOIN csegs c USING (sub)
+),
+dists AS (
+  SELECT l.query_id, a.id AS neighbor_id, sum(l.d) AS adist
+  FROM assign a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM dists WHERE neighbor_id <> query_id
+)
+SELECT query_id, rank, neighbor_id, adist FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "embedding_pq_adc_topk",
+    _PQ_ADC_ORACLE,
+    "PQ asymmetric-distance top-k (broadcast LUT over codes — the billion-vector scan shape)",
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.similarity import pq_adc_topk
+
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K)
+
+
 # --- deterministic k-means (trained IVF centroids), exact iterative oracle ---
 
 _KM_K = 8

@@ -178,3 +178,38 @@ def test_kmeans_recovers_planted_clusters(spark, planted_vectors):
     assert len(cell_to_labels) == 5
     again = kmeans_cells(planted_vectors, k=5, iters=4).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pq_codes_total_and_adc_finds_exact_twin(spark, planted_vectors):
+    """PQ codes must cover every (vector, subspace) exactly once and be
+    deterministic; ADC distance to an exact duplicate is 0, so the twin
+    must rank first; a cluster-0 query keeps a top-k majority inside
+    cluster 0 (the seed codebook is built from cluster-0 ids, so that
+    cluster is faithfully quantized — other clusters collapse onto nearby
+    codes and can occasionally intrude, which is the PQ approximation)."""
+    from duckpipe_spark.functions.similarity import pq_adc_topk, pq_codes
+
+    # interleave ids across clusters so the seed codebook (16 smallest ids)
+    # represents every cluster — a codebook trained on one mode collapses
+    # out-of-distribution vectors onto shared codes
+    remapped = planted_vectors.select(
+        ((F.col("vec_id") % 20) * 5 + F.col("label")).cast("bigint").alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    twin = remapped.where(F.col("vec_id") == 0).select(
+        F.lit(500).cast("bigint").alias("vec_id"), "embedding", "label"
+    )
+    vecs = remapped.unionByName(twin)
+    codes = pq_codes(vecs, dim=32).collect()
+    assert len(codes) == 101 * 8
+    assert {(r["id"], r["sub"]) for r in codes} == {(i, s) for i in [*range(100), 500] for s in range(8)}
+    again = pq_codes(vecs, dim=32).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+    labels = {r["vec_id"]: r["label"] for r in remapped.select("vec_id", "label").collect()}
+    topk = pq_adc_topk(vecs, query_ids=[0], k=5, dim=32).collect()
+    by_rank = {r["rank"]: r for r in topk}
+    assert by_rank[1]["neighbor_id"] == 500 and by_rank[1]["adist"] == 0
+    in_cluster = sum(1 for r in topk if labels.get(r["neighbor_id"], 0) == labels[0])
+    assert in_cluster >= 4, topk
