@@ -153,3 +153,85 @@ def fingerprint_col(text: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercase,
     whitespace-collapsed text (document identity for exact dedup)."""
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def build_vocab(
+    df: DataFrame, max_size: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Frequency-ranked tokenizer vocabulary → (token, token_id,
+    n_occurrences): the ``max_size`` most frequent whitespace tokens, ids
+    1..max_size by (count desc, token asc); id 0 is reserved for OOV.
+
+    Scale shape: the term counts are one map-side-combinable aggregate whose
+    output is corpus-VOCABULARY-sized (≪ corpus — Heaps' law), so the global
+    rank window that follows orders only that small relation; the trained
+    vocabulary is the canonical broadcast-side table for ``encode_docs``.
+    Deterministic ties (count, then token text) make the vocabulary — and
+    therefore every downstream token id — reproducible across engines."""
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        tf.withColumn("token_id", F.row_number().over(w).cast("bigint"))
+        .where(F.col("token_id") <= max_size)
+        .select("token", "token_id", "n_occurrences")
+    )
+
+
+def encode_docs(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize + map to vocabulary ids → (doc_id, pos, token_id), OOV → 0:
+    the id sequences a training pipeline feeds to packing
+    (``sampling.pack_sequences``) and shard writing.
+
+    Scale shape: explode is a projection (no shuffle); the vocabulary join
+    is broadcast (the vocab table is bounded by max_size); nothing else
+    moves. Positions are 0-based document order."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token")
+    )
+    return (
+        toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+        .select(
+            id_col,
+            F.col("pos").cast("bigint").alias("pos"),
+            F.coalesce("token_id", F.lit(0)).cast("bigint").alias("token_id"),
+        )
+    )
+
+
+# PII scrubbing patterns — regex subset valid in both Java (Spark) and RE2
+# (DuckDB): character classes, bounded repeats, alternation, \b. No
+# lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "id_number": r"\b[0-9]{6,}\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact PII-shaped spans (emails, phone-ish number groups, long digit
+    runs) → (doc_id, n_email, n_phone, n_id_number, text_scrubbed). Each
+    match is replaced by ``<PII>``; counts are per pattern class.
+
+    A pure regexp projection (JVM codegen, no shuffle) — the patterns are
+    deliberately the regex subset Java and RE2 agree on, so the scrubbed
+    text is byte-identical across engines. Patterns apply in a fixed order
+    (email, phone, id_number) so overlapping spans resolve deterministically."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    scrubbed = F.col(text_col)
+    for p in PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, p, "<PII>")
+    return df.select(F.col(id_col), *counts, scrubbed.alias("text_scrubbed"))

@@ -187,6 +187,109 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (percent_rank = (rank-1)/(n-1) is exact integer→double math, portable)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# tokenizer vocabulary + document encoding — the id sequences a training
+# pipeline feeds to packing/shard-writing (OOV id 0, ids 1..V by frequency)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 24
+
+_VOCAB_SQL = f"""toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+tf AS (
+  SELECT unnest(t) AS token FROM toks
+),
+vocab AS (
+  SELECT token, token_id, n_occurrences FROM (
+    SELECT token, count(*) AS n_occurrences,
+           row_number() OVER (ORDER BY count(*) DESC, token ASC) AS token_id
+    FROM tf GROUP BY token
+  ) WHERE token_id <= {_VOCAB_SIZE}
+)"""
+
+_VOCAB_ORACLE = f"""
+WITH {_VOCAB_SQL}
+SELECT token, token_id, n_occurrences FROM vocab
+"""
+
+
+@register(
+    "doc_vocab",
+    _VOCAB_ORACLE,
+    "frequency-ranked tokenizer vocabulary (ids 1..V, OOV reserved 0)",
+)
+def doc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.text import build_vocab
+
+    return build_vocab(load_table(spark, sf_dir, "documents"), _VOCAB_SIZE)
+
+
+_ENCODE_ORACLE = f"""
+WITH {_VOCAB_SQL},
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks
+),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS token FROM pos
+)
+SELECT doc_id, pos, COALESCE(v.token_id, 0) AS token_id
+FROM tok LEFT JOIN vocab v USING (token)
+"""
+
+
+@register(
+    "doc_encoded",
+    _ENCODE_ORACLE,
+    "documents encoded to vocabulary id sequences (broadcast vocab join, OOV→0)",
+)
+def doc_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.text import build_vocab, encode_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encode_docs(docs, build_vocab(docs, _VOCAB_SIZE))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regexes restricted to the Java∩RE2 subset so the scrubbed
+# text is byte-identical across engines
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    from duckpipe_spark.functions.text import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{name}"
+        for name, p in PII_PATTERNS.items()
+    )
+    scrubbed = "text"
+    for p in PII_PATTERNS.values():
+        scrubbed = f"regexp_replace({scrubbed}, '{p}', '<PII>', 'g')"
+    return f"""
+SELECT doc_id,
+  {counts},
+  {scrubbed} AS text_scrubbed
+FROM documents
+"""
+
+
+@register(
+    "doc_pii_scrub",
+    _pii_oracle(),
+    "PII redaction: email/phone/long-digit spans → <PII>, per-class counts",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.text import scrub_pii
+
+    return scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# per-language quality percentile — relative-rank quality gating
+# (percent_rank = (rank-1)/(n-1) is exact integer→double math, portable)
+# ---------------------------------------------------------------------------
+
 _QPCT_ORACLE = f"""
 WITH s AS (
   SELECT

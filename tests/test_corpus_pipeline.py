@@ -116,3 +116,46 @@ def test_repetition_flags_degenerate_doc(spark):
     assert got[1]["top_token"] == "spam" and got[1]["top_token_frac"] == 1.0
     assert got[2]["dup_bigram_frac"] == 0.0
     assert got[2]["top_token"] == "w0" and got[2]["top_token_frac"] == pytest.approx(1 / 20)
+
+
+def test_pii_scrub_planted_spans(spark):
+    """Planted emails / phone groups / long digit runs are redacted and
+    counted per class; clean text passes through byte-identical."""
+    from duckpipe_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.org or bob@site.io thanks"),
+        (2, "call +1 555 0100 1234 today"),
+        (3, "ssn-ish 123456789 and card 4111111111111111 end"),
+        (4, "perfectly clean text with n0 secrets at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert got[1]["n_email"] == 2 and "<PII>" in got[1]["text_scrubbed"]
+    assert "example.org" not in got[1]["text_scrubbed"]
+    assert got[2]["n_phone"] == 1 and "555" not in got[2]["text_scrubbed"]
+    assert got[3]["n_id_number"] == 2
+    assert "123456789" not in got[3]["text_scrubbed"]
+    assert got[4]["n_email"] == got[4]["n_phone"] == got[4]["n_id_number"] == 0
+    assert got[4]["text_scrubbed"] == rows[3][1]
+
+
+def test_vocab_encode_roundtrip(spark):
+    """Vocabulary ids are frequency-ranked with deterministic ties; encoding
+    maps every position, OOV tokens get id 0, and decoding through the vocab
+    reconstructs every in-vocabulary token."""
+    from duckpipe_spark.functions.text import build_vocab, encode_docs
+
+    rows = [
+        (1, "b b b a a c rare1"),
+        (2, "a b c c rare2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    vocab = build_vocab(docs, max_size=3)
+    v = {r["token"]: (r["token_id"], r["n_occurrences"]) for r in vocab.collect()}
+    # counts: b=4, a=3, c=3 → ids 1, 2, 3 (tie a<c broken lexicographically)
+    assert v == {"b": (1, 4), "a": (2, 3), "c": (3, 3)}
+    enc = encode_docs(docs, vocab).collect()
+    assert len(enc) == 12  # every token position encoded
+    ids_doc1 = [r["token_id"] for r in sorted(enc, key=lambda r: (r["doc_id"], r["pos"])) if r["doc_id"] == 1]
+    assert ids_doc1 == [1, 1, 1, 2, 2, 3, 0]  # rare1 → OOV 0
