@@ -170,3 +170,40 @@ def test_pack_sequences_single_shuffle(spark):
     # one Exchange on the stream key feeds the prefix-sum window
     assert a.exchanges == 1, a.text
     assert a.python_stages == 0
+
+
+def test_corpus_hygiene_joins_are_broadcast_only(spark):
+    """Decontamination and boilerplate must never sort-merge: the n-gram
+    hit sets (benchmark / heavy-hitter) are the broadcast sides, and the
+    only exchanges are the three aggregations (set distinct + two counts)."""
+    for name in ("doc_decontamination", "doc_boilerplate"):
+        with no_aqe(spark):
+            a = audit_plan(_q(name)(spark, SF_SMOKE))
+        assert a.sort_merge_joins == 0, name
+        assert a.shuffle_hash_joins == 0, name
+        assert a.broadcast_hash_joins >= 3, name
+        assert a.exchanges <= 3, (name, a.text)
+        assert a.python_stages == 0, name
+
+
+def test_encode_docs_is_broadcast_projection(spark):
+    """Encoding shuffles once (the vocabulary count agg); the vocab join
+    onto the exploded positions is broadcast, never a shuffle of tokens."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_encoded")(spark, SF_SMOKE))
+    assert a.exchanges <= 1, a.text
+    assert a.sort_merge_joins == 0
+    assert a.python_stages == 0
+
+
+def test_pq_adc_scan_side_never_shuffles_vectors(spark):
+    """ADC joins the code rows against a broadcast LUT; no sort-merge join
+    anywhere and the only exchanges are the (id,sub) argmin and the final
+    (query,id) sum + rank."""
+    with no_aqe(spark):
+        a = audit_plan(_q("embedding_pq_adc_topk")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0
+    assert a.shuffle_hash_joins == 0
+    assert a.broadcast_hash_joins >= 4
+    assert a.exchanges <= 3, a.text
+    assert a.python_stages == 0
