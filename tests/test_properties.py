@@ -49,9 +49,12 @@ def test_buffer_area_monotone(r1, r2, cx, cy):
     lo, hi = sorted((r1, r2))
     a_lo = geom.circle_polygon_area(cx + 100, cy - 50, lo, g)
     a_hi = geom.circle_polygon_area(cx + 100, cy - 50, hi, g)
-    assert a_hi >= a_lo - 1e-6
-    assert a_hi <= geom.circle_area(hi) + 1e-6
-    assert a_hi <= geom.area(g) + 1e-6
+    # Tolerances are relative: shoelace area at |coord|~1e6 carries ~1e-4
+    # absolute rounding, so a fixed 1e-6 slack misfires far from the origin.
+    tol = 1e-9 * max(1.0, a_hi)
+    assert a_hi >= a_lo - tol
+    assert a_hi <= geom.circle_area(hi) + tol
+    assert a_hi <= geom.area(g) + tol
 
 
 @given(st.floats(100.0, 5000.0), coord, coord)
