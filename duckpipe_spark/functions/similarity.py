@@ -434,3 +434,36 @@ def kmeans_cells(
     for _ in range(iters):
         cents = _update(_assign(cents))
     return _assign(cents)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: transitively close the
+    cosine>=threshold near-dup pairs into clusters and keep the min-id
+    representative of each cluster (singletons keep themselves).
+
+    Returns (id, component, kept) for every input vector — the drop set is
+    ``kept = 0``. The pair search is LSH-bucketed (no all-pairs shuffle) and
+    the closure is the same iterative min-label propagation used for
+    document dup clusters, so the whole operator is two bounded shuffles per
+    propagation round plus one left join back to the corpus — no step holds
+    a cluster in one task's memory, which is what makes it survive a 100 TB
+    corpus where a cluster can span executors.
+    """
+    from duckpipe_spark.functions.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(embeddings, threshold, id_col, vec_col)
+    comps = connected_components(pairs).withColumnRenamed("id", id_col)
+    return (
+        embeddings.select(F.col(id_col).cast("bigint").alias(id_col))
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+        .withColumn("kept", (F.col("component") == F.col(id_col)).cast("int"))
+    )

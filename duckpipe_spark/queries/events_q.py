@@ -180,3 +180,39 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         quantiles, "event_type string, p50 double, p95 double, n bigint"
     )
+
+
+# --- JSON property extraction (beyond reference: SURVEY.md §2.8 notes the
+# reference uses no JSON functions; event payloads at pipeline scale do) ----
+
+_PROPS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_props_rollup",
+    _PROPS_ORACLE,
+    "JSON payload extraction + rollup (get_json_object stays in codegen)",
+)
+def events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload handling: extract a JSON field JVM-side with
+    ``get_json_object`` (no Python in the row path) and aggregate. The
+    average is computed as one exact integer sum divided once, so it is
+    bit-identical across engines regardless of row order."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )

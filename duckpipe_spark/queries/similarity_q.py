@@ -347,3 +347,45 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cells(
         load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
     )
+
+
+# --- semantic dedup: keep-one-per-cluster over the near-dup closure --------
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_NEARDUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT e.vec_id,
+       COALESCE(c.component, e.vec_id) AS component,
+       CAST(COALESCE(c.component, e.vec_id) = e.vec_id AS INTEGER) AS kept
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+"""
+
+
+@register(
+    "embedding_semantic_dedup",
+    _SEMDEDUP_ORACLE,
+    "SemDeDup keep-one-per-cluster over the embedding near-dup closure",
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=_NEARDUP_THRESHOLD
+    )
