@@ -83,7 +83,7 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT
   event_type,
-  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
   count(*) AS n
 FROM events
 GROUP BY event_type
@@ -188,10 +188,10 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+       sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
 FROM events
 GROUP BY event_type
 """

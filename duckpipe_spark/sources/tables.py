@@ -29,6 +29,12 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Filters/projections applied by callers are
     pushed into the scan by Catalyst (verify via .explain → PushedFilters)."""
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+        # rejects unless nanosAsLong is on. The conf is runtime-settable, so
+        # set it here rather than at session build — load_table must work on
+        # any plain SparkSession, not just ours.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long nanos
     # (spark.sql.legacy.parquet.nanosAsLong). Truncate to micros like DuckDB.
