@@ -688,11 +688,40 @@ def lineitem_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts", None, "approx_count_distinct (HLL sketch; rows-only check)")
+_APPROX_DISTINCT_ORACLE = """
+SELECT
+  l_returnflag,
+  count(DISTINCT l_partkey) AS n_parts_exact,
+  TRUE AS within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "approx_distinct_parts",
+    _APPROX_DISTINCT_ORACLE,
+    "approx_count_distinct (HLL sketch) bounds-checked against exact distinct",
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketches differ across engines, so the raw estimate can't be
+    hash-compared. Instead emit the exact distinct count plus a boolean
+    asserting the HLL estimate landed within 5% of it; the oracle computes
+    the same exact count with a constant TRUE. A broken sketch (or a broken
+    exact path) flips the boolean / count and fails the hash."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_parts_exact"))
+            / F.col("n_parts_exact")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 
