@@ -150,9 +150,32 @@ class Calculator:
             ingest["_dp_y"] = y
             sdf = self.spark.createDataFrame(ingest)
         else:
-            # distributed ingest: stable arrival-order ids via zipWithIndex
-            rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1))
-            sdf = self.spark.createDataFrame(rdd, df.schema.add("_dp_id", "long"))
+            # Distributed ingest: dense arrival-order ids 1..N, fully JVM-side
+            # (df.rdd.zipWithIndex would round-trip every row through Python).
+            # monotonically_increasing_id() = (partition_id << 33) | local_row,
+            # so per-partition counts + a cumulative offset reproduce
+            # zipWithIndex semantics with one metadata-sized aggregation and a
+            # broadcast join — no global sort, no single-partition window.
+            sdf = df.withColumn("_mid", F.monotonically_increasing_id()).persist()
+            pid = F.shiftrightunsigned(F.col("_mid"), 33)
+            local = F.col("_mid") - F.shiftleft(pid, 33)
+            pcounts = sorted(
+                (r["_pid"], r["count"])
+                for r in sdf.groupBy(pid.alias("_pid")).count().collect()
+            )
+            offsets, acc = [], 0
+            for p, c in pcounts:
+                offsets.append({"_pid": p, "_off": acc})
+                acc += c
+            off_df = self.spark.createDataFrame(
+                pd.DataFrame(offsets, columns=["_pid", "_off"], dtype=np.int64)
+            )
+            sdf = (
+                sdf.withColumn("_pid", pid)
+                .join(F.broadcast(off_df), "_pid")
+                .withColumn("_dp_id", F.col("_off") + local + F.lit(1))
+                .drop("_pid", "_off", "_mid")
+            )
 
             from pyspark.sql.functions import pandas_udf
 

@@ -246,15 +246,19 @@ def test_chunk_hints(spark, geo):
 
 
 def test_distributed_spark_ingest_path(spark, geo):
-    """add_point_with_table with a Spark DataFrame input: ids via
-    zipWithIndex, CRS transform via pandas UDF — must agree with the
-    pandas driver-side path."""
+    """add_point_with_table with a Spark DataFrame input: arrival-order ids
+    from monotonically_increasing_id + partition offsets (JVM-side — the id
+    path must not appear as a Python RDD scan), CRS transform via pandas
+    UDF — must agree with the pandas driver-side path."""
     from duckpipe_spark.calculator import Calculator
 
     pdf = geo["info"]["points"]
     sdf = spark.createDataFrame(pdf)
     c = Calculator(data_dir=geo["dir"], spark=spark, verbose=False)
     c.add_point_with_table(sdf, x_col="longitude", y_col="latitude", epsg=4326)
+    plan = c.points._jdf.queryExecution().executedPlan().toString()
+    # the only Python boundary allowed is the Arrow-vectorized CRS transform
+    assert "ExistingRDD" not in plan, plan
     pts = c.points.orderBy("id").toPandas()
     assert pts["id"].tolist() == list(range(1, N_POINTS + 1))
     assert np.abs(pts["x"].to_numpy() - geo["info"]["px"]).max() < 1e-6
