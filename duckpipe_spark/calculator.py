@@ -245,11 +245,57 @@ class Calculator:
         max_cluster_size: int = 50,
         distance_threshold: float = 2000,
         max_rows: int = 20000,
+        max_driver_rows: int = 200_000,
     ):
-        """`Clustering.py:53-125` (hierarchical clustering) — spatial
-        locality without the O(n²) linkage: Hilbert range partitioning gives
-        the same property (nearby points share partitions) at any scale."""
-        return self.chunk_by_hilbert(max_cluster_size=max_cluster_size)
+        """`Clustering.py:53-125`, faithful: arrival-order 20k blocks,
+        complete-linkage clustering on centroids cut at distance_threshold,
+        oversize clusters re-sliced, chunks ordered size-desc. The linkage is
+        driver-side (so is the reference's); beyond ``max_driver_rows`` the
+        O(block²) linkage stops being the right tool and we fall back to
+        Hilbert range partitioning, which preserves the property the chunks
+        exist for (spatial locality per partition) at any scale."""
+        pts = self.points
+        pdf = pts.select("id", "x", "y").orderBy("id").toPandas() if (
+            pts.count() <= max_driver_rows
+        ) else None
+        if pdf is None:
+            return self.chunk_by_hilbert(max_cluster_size=max_cluster_size)
+
+        from duckpipe_spark.geo.cluster import chunk_rows
+
+        chunks = chunk_rows(
+            pdf["id"].to_numpy(),
+            pdf["x"].to_numpy(),
+            pdf["y"].to_numpy(),
+            max_cluster_size=max_cluster_size,
+            distance_threshold=distance_threshold,
+            max_rows=max_rows,
+        )
+        self._chunk_ids = chunks
+        assign = pd.DataFrame(
+            {
+                "id": np.concatenate(chunks) if chunks else np.array([], dtype=np.int64),
+                "_chunk": np.repeat(
+                    np.arange(len(chunks), dtype=np.int64),
+                    [len(c) for c in chunks],
+                ),
+            }
+        )
+        assign_df = self.spark.createDataFrame(assign)
+        self._n_partitions = min(max(len(chunks), 1), 2048)
+        self.points = (
+            pts.join(F.broadcast(assign_df), "id")
+            .repartitionByRange(self._n_partitions, "_chunk")
+            .drop("_chunk")
+            .cache()
+        )
+        return self
+
+    def chunk_assignments(self) -> list[np.ndarray]:
+        """Chunk membership (arrays of point ids, size-desc order) from the
+        last `chunk_by_centroid` — mirrors the reference's `get_chunks()`
+        list-of-DataFrames for parity tests."""
+        return getattr(self, "_chunk_ids", [])
 
     def get_chunks(self) -> int:
         """`Clustering.py:34-51` — expose the partitioning plan."""
