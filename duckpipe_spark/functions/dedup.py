@@ -366,6 +366,7 @@ def connected_components(
     e = edges.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().cache()
     labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
@@ -386,4 +387,18 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed > 0:
+        # Exiting via max_iter means labels are NOT fixed-point: downstream
+        # keep-one-per-component would keep/drop wrong rows silently. Dedup
+        # graphs converge in single digits of rounds; hitting this means the
+        # graph has path-graph-like chains — raise max_iter or switch to
+        # large-star/small-star (see docstring).
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); component labels are not final",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))

@@ -19,16 +19,41 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-N_PLANES = 8
+N_PLANES = 8  # default — small fixtures and the static oracle SQL pin this
+MAX_PLANES = 24
+TARGET_BUCKET_ROWS = 1024  # expected rows per LSH bucket the auto path aims for
 _DIM = 64
+
+_PLANES_CACHE: dict[tuple[int, int], np.ndarray] = {}
 
 
 def _hyperplanes(dim: int = _DIM, n_planes: int = N_PLANES) -> np.ndarray:
-    rng = np.random.default_rng(20240813)
-    return rng.standard_normal((n_planes, dim)).round(6)
+    """Deterministic hyperplane matrix. A single seeded generator fills rows
+    sequentially, so the first 8 rows of a 16-plane draw equal the 8-plane
+    draw: growing n_planes *refines* existing buckets (each bucket splits)
+    rather than reshuffling them."""
+    key = (n_planes, dim)
+    if key not in _PLANES_CACHE:
+        rng = np.random.default_rng(20240813)
+        _PLANES_CACHE[key] = rng.standard_normal((n_planes, dim)).round(6)
+    return _PLANES_CACHE[key]
 
 
 HYPERPLANES = _hyperplanes()
+
+
+def planes_for_corpus(n_rows: int, target_bucket_rows: int = TARGET_BUCKET_ROWS) -> int:
+    """Plane count such that 2^planes buckets keep expected occupancy around
+    ``target_bucket_rows`` — the fix for the fixed-2^8-bucket scale ceiling:
+    within-bucket candidate joins are O(sum over buckets of n_b²), so bucket
+    count must grow with the corpus for the pair count to stay ~linear.
+    Clamped to [N_PLANES, MAX_PLANES] (2^24 buckets ≈ 16M — enough for
+    10B rows at ~600 rows/bucket)."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return N_PLANES
+    return min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
 def dot_fold(a: Column, b: Column) -> Column:
@@ -75,16 +100,23 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket_col(vec: Column) -> Column:
+def lsh_bucket_col(vec: Column, n_planes: int = N_PLANES) -> Column:
     """Bucket id = integer of sign bits of <vec, plane_i>."""
+    planes = _hyperplanes(n_planes=n_planes)
     out = F.lit(0).cast("bigint")
-    for i in range(N_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in HYPERPLANES[i]])
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
         bit = F.when(dot_fold(vec, plane) > 0.0, F.lit(1 << i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         out = out + bit
     return out
+
+
+def _resolve_planes(embeddings: DataFrame, n_planes: int | None) -> int:
+    """None → derive from corpus size (one metadata count; at production
+    scale pass the known row count explicitly via planes_for_corpus)."""
+    return n_planes if n_planes is not None else planes_for_corpus(embeddings.count())
 
 
 def lsh_topk(
@@ -93,10 +125,12 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket
     (hash equi-join), then exact cosine ranking within the bucket."""
-    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col)))
+    n_planes = _resolve_planes(embeddings, n_planes)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), n_planes))
     q = bucketed.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
     )
@@ -116,10 +150,13 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (pairs must
-    share a bucket), exact cosine filter afterwards."""
-    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col)))
+    share a bucket), exact cosine filter afterwards. Bucket count scales
+    with the corpus (``planes_for_corpus``) unless pinned by ``n_planes``."""
+    n_planes = _resolve_planes(embeddings, n_planes)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), n_planes))
     a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     cos = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
@@ -441,6 +478,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: transitively close the
     cosine>=threshold near-dup pairs into clusters and keep the min-id
@@ -456,7 +494,7 @@ def semantic_dedup(
     """
     from duckpipe_spark.functions.dedup import connected_components
 
-    pairs = embedding_neardup_pairs(embeddings, threshold, id_col, vec_col)
+    pairs = embedding_neardup_pairs(embeddings, threshold, id_col, vec_col, n_planes)
     comps = connected_components(pairs).withColumnRenamed("id", id_col)
     return (
         embeddings.select(F.col(id_col).cast("bigint").alias(id_col))

@@ -96,7 +96,9 @@ SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {_K}
 
 @register("embedding_lsh_topk", _LSH_TOPK_ORACLE, "LSH-bucketed approximate top-k (scale path)")
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K)
+    # n_planes pinned: the static oracle SQL above encodes the 8-plane matrix.
+    # Production callers omit n_planes and get planes_for_corpus scaling.
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, n_planes=N_PLANES)
 
 
 _NEARDUP_THRESHOLD = 0.3
@@ -115,7 +117,9 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_NEARDUP_THRESHOLD}
 @register("embedding_neardup_pairs", _NEARDUP_ORACLE, "embedding-cosine near-dup pairs via LSH buckets")
 def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=_NEARDUP_THRESHOLD
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=N_PLANES,  # static oracle encodes the 8-plane matrix
     )
 
 
@@ -387,5 +391,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.similarity import semantic_dedup
 
     return semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), threshold=_NEARDUP_THRESHOLD
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_NEARDUP_THRESHOLD,
+        n_planes=N_PLANES,  # static oracle encodes the 8-plane matrix
     )

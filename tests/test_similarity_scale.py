@@ -1,0 +1,81 @@
+"""Scale tests for the corpus-parameterized embedding LSH.
+
+The round-1 design fixed N_PLANES=8 (256 buckets), so within-bucket candidate
+joins grew O(N²/256) — quadratic at corpus scale. planes_for_corpus grows the
+bucket count with the corpus; these tests pin that doubling the corpus keeps
+the candidate-pair count sub-quadratic, and that growing the plane count
+refines (never reshuffles) existing buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from duckpipe_spark.functions.similarity import (
+    MAX_PLANES,
+    N_PLANES,
+    _hyperplanes,
+    lsh_bucket_col,
+    planes_for_corpus,
+)
+
+
+def test_planes_for_corpus_growth_and_clamps():
+    assert planes_for_corpus(100) == N_PLANES  # small corpora keep the default
+    assert planes_for_corpus(10**12) == MAX_PLANES  # upper clamp
+    last = 0
+    for n in [10**4, 10**5, 10**6, 10**7, 10**8, 10**9]:
+        p = planes_for_corpus(n)
+        assert p >= last  # monotone
+        last = p
+        if N_PLANES < p < MAX_PLANES:
+            # occupancy bound: 2^planes buckets keep n/2^p <= target
+            assert n / (1 << p) <= 1024
+    assert planes_for_corpus(10**6) > N_PLANES
+
+
+def test_hyperplane_prefix_property():
+    """Same seed fills rows sequentially: more planes = same first rows, so
+    a bigger plane count splits buckets instead of reassigning them."""
+    p8, p16 = _hyperplanes(n_planes=8), _hyperplanes(n_planes=16)
+    assert np.array_equal(p16[:8], p8)
+
+
+def _synthetic_embeddings(spark, n: int, dim: int = 64):
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((n, dim)).astype(np.float64)
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)})
+    return spark.createDataFrame(pdf)
+
+
+def _candidate_pairs(spark, n: int, target_bucket_rows: int) -> int:
+    """Total within-bucket candidate pairs = Σ_b n_b(n_b−1)/2, computed from
+    bucket counts alone (no join — this is the quantity the LSH pair join
+    would produce)."""
+    emb = _synthetic_embeddings(spark, n)
+    planes = planes_for_corpus(n, target_bucket_rows=target_bucket_rows)
+    counts = (
+        emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
+        .groupBy("bucket")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    return int(counts)
+
+
+@pytest.mark.parametrize("n", [8192])
+def test_doubling_corpus_keeps_pairs_subquadratic(spark, n):
+    """With a fixed bucket count, doubling the corpus ~4x-es the pair count.
+    planes_for_corpus adds a plane per doubling (past the target), so the
+    observed growth factor must stay well under 4 — i.e. the candidate join
+    stays ~linear in the corpus."""
+    target = 16  # small target so the auto path is past the lower clamp here
+    p1 = _candidate_pairs(spark, n, target)
+    p2 = _candidate_pairs(spark, 2 * n, target)
+    assert p1 > 0
+    ratio = p2 / p1
+    assert ratio < 3.0, f"pair growth {ratio:.2f}x on 2x corpus — not sub-quadratic"
