@@ -98,6 +98,86 @@ def nearest_neighbor_grid(
     return hit.unionByName(fallback)
 
 
+def nearest_distance_from_array(
+    points: DataFrame, seg_arr, varname: str, year: int
+) -> DataFrame:
+    """Arrow-kernel min-distance against a driver-held segment array
+    ``(n,4) [x1,y1,x2,y2]``. The array ships once via sc.broadcast; each
+    Arrow batch of points computes its min over all segments vectorized, so
+    the O(points × segments) pair relation never materializes as rows —
+    zero joins, zero exchanges, one output row per point. Distance math
+    mirrors ``point_segment_distance_col`` bit-for-bit; min-then-sqrt equals
+    sqrt-then-min (monotone). Callers with several variants from one feature
+    scan (e.g. the pivot pipeline) decode+collect once and slice."""
+    import numpy as np
+    import pandas as pd
+
+    spark = points.sparkSession
+    if len(seg_arr) == 0:
+        # inner-join semantics: a year with zero features yields no rows
+        return spark.createDataFrame([], "id bigint, varname string, year int, value double")
+    bc = spark.sparkContext.broadcast(np.asarray(seg_arr, dtype=np.float64))
+
+    def gen(batches):
+        A = bc.value
+        x1, y1, x2, y2 = A[:, 0], A[:, 1], A[:, 2], A[:, 3]
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        degen = len2 <= 0.0
+        safe = np.where(degen, 1.0, len2)
+        nseg = len(A)
+        # Small scratch blocks, allocated once and reused in-place: fresh
+        # multi-MB temps pay first-touch page faults per batch, which
+        # dominates the arithmetic. ~256k elements ≈ 2 MB per buffer.
+        block = max(1, 262_144 // nseg)
+        t = np.empty((block, nseg))
+        qx = np.empty((block, nseg))
+        qy = np.empty((block, nseg))
+        for pdf in batches:
+            n = len(pdf)
+            out = np.empty(n, dtype=np.float64)
+            px_all = pdf["x"].to_numpy(dtype=np.float64)
+            py_all = pdf["y"].to_numpy(dtype=np.float64)
+            for i0 in range(0, n, block):
+                i1 = min(i0 + block, n)
+                m = i1 - i0
+                px = px_all[i0:i1, None]
+                py = py_all[i0:i1, None]
+                tb, qxb, qyb = t[:m], qx[:m], qy[:m]
+                # t = clamp01(((px-x1)·dx + (py-y1)·dy) / len2), 0 on degenerate
+                np.subtract(px, x1, out=tb)
+                tb *= dx
+                np.subtract(py, y1, out=qxb)
+                qxb *= dy
+                tb += qxb
+                tb /= safe
+                np.clip(tb, 0.0, 1.0, out=tb)
+                tb[:, degen] = 0.0
+                # d² = (px - (x1 + t·dx))² + (py - (y1 + t·dy))²
+                np.multiply(tb, dx, out=qxb)
+                qxb += x1
+                np.subtract(px, qxb, out=qxb)
+                qxb *= qxb
+                np.multiply(tb, dy, out=qyb)
+                qyb += y1
+                np.subtract(py, qyb, out=qyb)
+                qyb *= qyb
+                qxb += qyb
+                np.sqrt(qxb.min(axis=1), out=out[i0:i1])
+            yield pd.DataFrame({"id": pdf["id"], "value": out})
+
+    return (
+        points.select("id", "x", "y")
+        .mapInPandas(gen, "id bigint, value double")
+        .select(
+            "id",
+            F.lit(varname).alias("varname"),
+            F.lit(year).cast("int").alias("year"),
+            F.col("value").cast("double"),
+        )
+    )
+
+
 def nearest_distance(
     points: DataFrame,
     features: DataFrame,
@@ -106,13 +186,30 @@ def nearest_distance(
     simplify_tol: float | None = None,
     broadcast: bool = True,
 ) -> DataFrame:
-    """points(id,x,y) × features(geometry WKB) → (id, varname, year, value=min dist)."""
+    """points(id,x,y) × features(geometry WKB) → (id, varname, year, value=min dist).
+
+    broadcast=True (feature dims are broadcast-small by nature): the decoded
+    segments ship to executors as one numpy array (sc.broadcast) and each
+    Arrow batch of points computes its min over all segments vectorized —
+    the O(points × segments) pair relation is never materialized as rows, so
+    the operator is a pure projection: zero joins, zero exchanges, one output
+    row per point. Distance math mirrors ``point_segment_distance_col``
+    bit-for-bit (both evaluate the same IEEE-double expression), and
+    min-then-sqrt equals sqrt-then-min (monotone).
+
+    broadcast=False (huge feature side): shuffle cross join + codegen
+    distance + partial-agg min, one shuffle on id."""
     segs = decode_segments(
         features.where(F.col("year") == year).select("geometry"),
         simplify_tol=simplify_tol,
     )
     if broadcast:
-        segs = F.broadcast(segs)
+        import numpy as np
+
+        seg_rows = segs.select("x1", "y1", "x2", "y2").collect()
+        arr = np.array(seg_rows, dtype=np.float64).reshape(-1, 4)
+        return nearest_distance_from_array(points, arr, varname, year)
+
     d = point_segment_distance_col(
         F.col("x"), F.col("y"), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
     )

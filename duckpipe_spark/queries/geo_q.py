@@ -198,20 +198,20 @@ FROM a JOIN b ON a.id = b.id
 @register("geo_pivot_pipeline", _GEO_PIVOT_ORACLE,
           "long-form union → engine pivot_wide vs conditional-agg oracle")
 def geo_pivot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both variants come from ONE feature scan: encode WKB with a parity
+    passthrough, decode through the real codec once, collect the small
+    segment table once, slice per variant into the Arrow distance kernel."""
+    import numpy as np
+
+    from duckpipe_spark.operators.distance import nearest_distance_from_array
+    from duckpipe_spark.operators.features import decode_segments
+
     pts = _points(spark, sf_dir)
-    supp = load_table(spark, sf_dir, "supplier")
-    even = _wkb_points_from(supp.where(F.col("s_suppkey") % 2 == 0))
-    odd = _wkb_points_from(supp.where(F.col("s_suppkey") % 2 == 1))
-    long = nearest_distance(pts, even, "D_FeatEven", _YEAR).unionByName(
-        nearest_distance(pts, odd, "D_FeatOdd", _YEAR)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.expr(_SX).cast("double").alias("fx"),
+        F.expr(_SY).cast("double").alias("fy"),
+        (F.col("s_suppkey") % 2).cast("int").alias("par"),
     )
-    return pivot_wide(long).select(
-        "id", F.col("year").cast("int").alias("year"), "D_FeatEven", "D_FeatOdd"
-    )
-
-
-def _wkb_points_from(supp: DataFrame) -> DataFrame:
-    supp = supp.select(F.expr(_SX).cast("double").alias("fx"), F.expr(_SY).cast("double").alias("fy"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,11 +220,21 @@ def _wkb_points_from(supp: DataFrame) -> DataFrame:
                     "geometry": [
                         wkb.to_wkb(wkb.point(x, y)) for x, y in zip(pdf.fx, pdf.fy)
                     ],
-                    "year": _YEAR,
+                    "par": pdf.par.astype("int32"),
                 }
             )
 
-    return supp.mapInPandas(gen, "geometry binary, year int")
+    feats = supp.mapInPandas(gen, "geometry binary, par int")
+    segs = decode_segments(feats, keep_cols=["par"])
+    rows = segs.select("par", "x1", "y1", "x2", "y2").collect()
+    arr = np.array(rows, dtype=np.float64).reshape(-1, 5)
+    even, odd = arr[arr[:, 0] == 0, 1:], arr[arr[:, 0] == 1, 1:]
+    long = nearest_distance_from_array(pts, even, "D_FeatEven", _YEAR).unionByName(
+        nearest_distance_from_array(pts, odd, "D_FeatOdd", _YEAR)
+    )
+    return pivot_wide(long).select(
+        "id", F.col("year").cast("int").alias("year"), "D_FeatEven", "D_FeatOdd"
+    )
 
 
 # ---------------------------------------------------------------------------
