@@ -59,7 +59,7 @@ WITH flagged AS (
     END AS new_session
   FROM events
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM flagged
 GROUP BY user_id
 """
@@ -69,9 +69,11 @@ GROUP BY user_id
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    # interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ ts
+    # (unix_micros would reject NTZ), so the query is storage-type-agnostic
+    prev_ts = F.lag(F.col("ts")).over(w)
     new_session = F.when(
-        prev_us.isNull() | ((F.unix_micros("ts") - prev_us) > F.lit(_SESSION_GAP_US)), 1
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")), 1
     ).otherwise(0)
     return (
         ev.withColumn("new_session", new_session)
@@ -83,7 +85,7 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT
   event_type,
-  sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   count(*) AS n
 FROM events
 GROUP BY event_type
@@ -188,7 +190,7 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k

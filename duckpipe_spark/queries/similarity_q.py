@@ -246,7 +246,7 @@ lut AS (
   FROM qsegs q JOIN csegs c USING (sub)
 ),
 dists AS (
-  SELECT l.query_id, a.id AS neighbor_id, sum(l.d) AS adist
+  SELECT l.query_id, a.id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adist
   FROM assign a JOIN lut l ON a.sub = l.sub AND a.code = l.code
   GROUP BY 1, 2
 ),

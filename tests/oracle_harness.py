@@ -20,8 +20,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # NB: do NOT int-ify integral floats — the driver's hash stringifies
+        # dtype-faithfully, so an int64 column on one side vs a float64 column
+        # on the other (e.g. DuckDB HUGEINT sums → float64 in pandas) must
+        # FAIL here too, not be normalized away.
         return repr(round(v, 9))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()

@@ -27,10 +27,17 @@ def event_files(tmp_path_factory, spark):
     files = [str(p) for p in sorted(d.glob("batch*/*.parquet"))]
     stream_dir = d / "stream"
     stream_dir.mkdir()
+    import os
     import shutil
 
     for i, f in enumerate(files):
-        shutil.copy(f, stream_dir / f"part-{i:03d}.parquet")
+        dst = stream_dir / f"part-{i:03d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders micro-batches by modification time; copies
+        # land in the same mtime tick, which makes processing order (and
+        # therefore watermark advancement) nondeterministic. Stamp strictly
+        # increasing mtimes so batch i is always processed before batch i+1.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     return str(stream_dir)
 
 
@@ -110,10 +117,18 @@ def test_streaming_dedup_drops_replayed_events(spark, event_files, tmp_path):
     dup_dir.mkdir()
     import glob
 
+    import os
+
     files = sorted(glob.glob(f"{event_files}/*.parquet"))
     for i, f in enumerate(files):
-        shutil.copy(f, dup_dir / f"part-{i:03d}.parquet")
-    shutil.copy(files[0], dup_dir / "part-900-replay.parquet")
+        dst = dup_dir / f"part-{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    replay = dup_dir / "part-900-replay.parquet"
+    shutil.copy(files[0], replay)
+    # the replayed duplicate must be *processed last* (mtime ordering), after
+    # the originals — that is the delivery pattern the dedup operator handles
+    os.utime(replay, (1_700_000_000 + len(files), 1_700_000_000 + len(files)))
 
     stream = read_event_stream(spark, str(dup_dir), max_files_per_trigger=1)
     out = _run_stream(spark, dedup_event_stream(stream), "dedup_t", mode="append")
