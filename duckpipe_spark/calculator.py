@@ -156,7 +156,8 @@ class Calculator:
             # so per-partition counts + a cumulative offset reproduce
             # zipWithIndex semantics with one metadata-sized aggregation and a
             # broadcast join — no global sort, no single-partition window.
-            sdf = df.withColumn("_mid", F.monotonically_increasing_id()).persist()
+            mid_df = df.withColumn("_mid", F.monotonically_increasing_id()).persist()
+            sdf = mid_df
             pid = F.shiftrightunsigned(F.col("_mid"), 33)
             local = F.col("_mid") - F.shiftleft(pid, 33)
             pcounts = sorted(
@@ -167,8 +168,12 @@ class Calculator:
             for p, c in pcounts:
                 offsets.append({"_pid": p, "_off": acc})
                 acc += c
+            # explicit schema: an empty source (offsets == []) must still
+            # build — schema inference on a zero-row pandas frame fails on
+            # sessions without Arrow enabled
             off_df = self.spark.createDataFrame(
-                pd.DataFrame(offsets, columns=["_pid", "_off"], dtype=np.int64)
+                pd.DataFrame(offsets, columns=["_pid", "_off"], dtype=np.int64),
+                schema="_pid long, _off long",
             )
             sdf = (
                 sdf.withColumn("_pid", pid)
@@ -199,6 +204,15 @@ class Calculator:
             )
             .cache()
         )
+        if not isinstance(df, pd.DataFrame):
+            # Pin both caches with one action each, then release the
+            # intermediate `_mid` persist — otherwise it stays referenced for
+            # the whole session. Materializing here also freezes the assigned
+            # ids: a later recompute of a nondeterministically-ordered source
+            # can no longer hand different ids to attrs vs points.
+            self.points.count()
+            self.attrs.count()
+            mid_df.unpersist()
         self._results = []
         return self
 
@@ -281,7 +295,9 @@ class Calculator:
                 ),
             }
         )
-        assign_df = self.spark.createDataFrame(assign)
+        # explicit schema so a zero-chunk (empty points) assignment still
+        # builds on sessions without Arrow-based inference
+        assign_df = self.spark.createDataFrame(assign, schema="id long, _chunk long")
         self._n_partitions = min(max(len(chunks), 1), 2048)
         self.points = (
             pts.join(F.broadcast(assign_df), "id")

@@ -178,6 +178,14 @@ def nearest_distance_from_array(
     )
 
 
+# Max decoded segments the Arrow-kernel path will pull to the driver.
+# 2M rows × 4 float64 ≈ 64 MB as a numpy broadcast — comfortably inside any
+# driver; past that the shuffle cross join is the right plan anyway (the
+# per-batch O(points·segments) kernel stops winning long before memory runs
+# out). Road networks / unsimplified coastlines at national scale exceed this.
+MAX_BROADCAST_SEGMENTS = 2_000_000
+
+
 def nearest_distance(
     points: DataFrame,
     features: DataFrame,
@@ -195,7 +203,12 @@ def nearest_distance(
     the operator is a pure projection: zero joins, zero exchanges, one output
     row per point. Distance math mirrors ``point_segment_distance_col``
     bit-for-bit (both evaluate the same IEEE-double expression), and
-    min-then-sqrt equals sqrt-then-min (monotone).
+    min-then-sqrt equals sqrt-then-min (monotone). The driver pull is capped
+    at MAX_BROADCAST_SEGMENTS; past the cap the call transparently degrades
+    to the shuffle plan below, so an unexpectedly huge feature side (full
+    road network, unsimplified coastline) cannot OOM the driver. Note this
+    path runs one eager Spark job (the decode+fetch) at pipeline-construction
+    time; pass broadcast=False to stay fully lazy.
 
     broadcast=False (huge feature side): shuffle cross join + codegen
     distance + partial-agg min, one shuffle on id."""
@@ -204,11 +217,15 @@ def nearest_distance(
         simplify_tol=simplify_tol,
     )
     if broadcast:
-        import numpy as np
-
-        seg_rows = segs.select("x1", "y1", "x2", "y2").collect()
-        arr = np.array(seg_rows, dtype=np.float64).reshape(-1, 4)
-        return nearest_distance_from_array(points, arr, varname, year)
+        # Bounded driver pull: fetch at most MAX+1 rows (Arrow → float64,
+        # ~32 B/row). If the cap is hit the feature side is not
+        # broadcast-small — fall through to the shuffle cross join instead
+        # of accumulating unbounded segment arrays on the driver.
+        cap = MAX_BROADCAST_SEGMENTS
+        pdf = segs.select("x1", "y1", "x2", "y2").limit(cap + 1).toPandas()
+        if len(pdf) <= cap:
+            arr = pdf.to_numpy(dtype="float64").reshape(-1, 4)
+            return nearest_distance_from_array(points, arr, varname, year)
 
     d = point_segment_distance_col(
         F.col("x"), F.col("y"), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")

@@ -30,10 +30,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Filters/projections applied by callers are
     pushed into the scan by Catalyst (verify via .explain → PushedFilters)."""
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
-        # rejects unless nanosAsLong is on. The conf is runtime-settable, so
-        # set it here rather than at session build — load_table must work on
-        # any plain SparkSession, not just ours.
+        # Older events.parquet layouts store ts as INT64 TIMESTAMP(NANOS),
+        # which Spark rejects unless nanosAsLong is on (current layouts use
+        # timestamp[us] and ignore it). The conf is runtime-settable, so set
+        # it here rather than at session build — load_table must work on any
+        # plain SparkSession, not just ours. NOTE this is intentionally NOT
+        # restored after the read: Spark consults it again lazily at job
+        # execution, so resetting it would break the very scan it enables.
+        # Session-wide effect: subsequent nanos-timestamp parquet reads in
+        # this session also come back as long instead of erroring.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long nanos
