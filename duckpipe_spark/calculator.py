@@ -71,10 +71,37 @@ _LANDUSE_YEARS = [2000, 2005, 2010, 2015, 2020]
 _ELEV_TYPES = ["dem", "dsm"]
 
 
-def _as_list(v, typ):
-    if isinstance(v, typ):
-        return [v]
-    return list(v)
+# Accepted scalar types per declared element type. int is acceptable where
+# float is declared (a user writing buffer_sizes=100 means 100.0); bool is
+# NEVER acceptable as a number (it is an int subclass, but years=True is a
+# bug, not a year).
+_SCALAR_OK = {int: (int,), float: (int, float), str: (str,)}
+
+
+def _as_list(v, typ, label="argument"):
+    """Runtime API type-check + scalar-or-list normalization — the Spark
+    twin of the reference's ``@typechecked`` guards (`duckpipe/core.py:38`,
+    `duckpipe/calculator/Worker.py:108`): a wrongly-typed argument raises
+    ``TypeError`` naming the argument at the call site, instead of
+    surfacing later as a deep Spark analysis error."""
+    ok = _SCALAR_OK[typ]
+
+    def _one(x):
+        if isinstance(x, bool) or not isinstance(x, ok):
+            raise TypeError(
+                f"{label} must be {typ.__name__} or a sequence of "
+                f"{typ.__name__}, got element {type(x).__name__}: {x!r}"
+            )
+        return typ(x)
+
+    if not isinstance(v, bool) and isinstance(v, ok):
+        return [typ(v)]
+    if isinstance(v, (str, bytes)) or not hasattr(v, "__iter__"):
+        raise TypeError(
+            f"{label} must be {typ.__name__} or a sequence of "
+            f"{typ.__name__}, got {type(v).__name__}: {v!r}"
+        )
+    return [_one(x) for x in v]
 
 
 def _check_years(years, valid, label="year"):
@@ -141,6 +168,18 @@ class Calculator:
         project to EPSG:5179, keep one cached DataFrame carrying id + x/y +
         original attributes (single source of truth for both the reference's
         `wkt_df` and `attr_df`)."""
+        if not isinstance(df, (pd.DataFrame, DataFrame)):
+            raise TypeError(
+                "df must be a pandas DataFrame or a Spark DataFrame, "
+                f"got {type(df).__name__}"
+            )
+        if not isinstance(x_col, str) or not isinstance(y_col, str):
+            raise TypeError("x_col and y_col must be column-name strings")
+        if isinstance(epsg, bool) or not isinstance(epsg, int):
+            raise TypeError(f"epsg must be int, got {type(epsg).__name__}: {epsg!r}")
+        missing = [c for c in (x_col, y_col) if c not in df.columns]
+        if missing:
+            raise ValueError(f"columns {missing} not in input (have: {list(df.columns)})")
         if isinstance(df, pd.DataFrame):
             pdf = df.reset_index(drop=True)
             x, y = transform(pdf[x_col].to_numpy(), pdf[y_col].to_numpy(), epsg, REF_EPSG)
@@ -324,7 +363,7 @@ class Calculator:
 
     def _calc_distance(self, key: str, years):
         table, varname, valid, simplify_tol = _DISTANCE_SPECS[key]
-        years = _check_years(_as_list(years, int), valid)
+        years = _check_years(_as_list(years, int, "years"), valid)
         feats = self._table(table)
         for year in years:
             self._append(
@@ -357,8 +396,8 @@ class Calculator:
         return self._calc_distance("road", years)
 
     def calculate_main_road_distance(self, mr_types, years):
-        mr_types = sorted(_as_list(mr_types, str))
-        years = _check_years(_as_list(years, int), _MR_YEARS)
+        mr_types = sorted(_as_list(mr_types, str, "mr_types"))
+        years = _check_years(_as_list(years, int, "years"), _MR_YEARS)
         for mr in mr_types:
             if mr not in ("mr1", "mr2"):
                 raise ValueError(f"Invalid mr_type '{mr}'. Valid mr_types are: ['mr1', 'mr2']")
@@ -369,17 +408,17 @@ class Calculator:
         return self
 
     def calculate_road_llw(self, buffer_sizes, years):
-        buffer_sizes = sorted(_as_list(buffer_sizes, float))
-        years = _check_years(_as_list(years, int), _MR_YEARS)
+        buffer_sizes = sorted(_as_list(buffer_sizes, float, "buffer_sizes"))
+        years = _check_years(_as_list(years, int, "years"), _MR_YEARS)
         roads = self._table("roads")
         for year in years:
             self._append(road_llw(self.points, roads, buffer_sizes, year))
         return self
 
     def calculate_main_road_llw(self, mr_types, buffer_sizes, years):
-        mr_types = sorted(_as_list(mr_types, str))
-        buffer_sizes = sorted(_as_list(buffer_sizes, float))
-        years = _check_years(_as_list(years, int), _MR_YEARS)
+        mr_types = sorted(_as_list(mr_types, str, "mr_types"))
+        buffer_sizes = sorted(_as_list(buffer_sizes, float, "buffer_sizes"))
+        years = _check_years(_as_list(years, int, "years"), _MR_YEARS)
         roads = self._table("roads")
         for mr in mr_types:
             mr_df = self._table(mr)
@@ -390,16 +429,16 @@ class Calculator:
         return self
 
     def calculate_landuse_area_ratio(self, years, buffer_sizes):
-        years = _check_years(_as_list(years, int), _LANDUSE_YEARS)
-        buffer_sizes = sorted(_as_list(buffer_sizes, float)) if buffer_sizes is not None else [0.0]
+        years = _check_years(_as_list(years, int, "years"), _LANDUSE_YEARS)
+        buffer_sizes = sorted(_as_list(buffer_sizes, float, "buffer_sizes")) if buffer_sizes is not None else [0.0]
         for year in years:
             lu = self._table(f"landuse_{year}")
             self._append(landuse_area_ratio(self.points, lu, buffer_sizes, year))
         return self
 
     def calculate_relative_elevation(self, elev_types, buffer_sizes):
-        elev_types = sorted(_as_list(elev_types, str))
-        buffer_sizes = sorted(_as_list(buffer_sizes, float))
+        elev_types = sorted(_as_list(elev_types, str, "elev_types"))
+        buffer_sizes = sorted(_as_list(buffer_sizes, float, "buffer_sizes"))
         for et in elev_types:
             if et not in _ELEV_TYPES:
                 raise ValueError(
@@ -416,7 +455,7 @@ class Calculator:
     def calculate_intersecting_oa(self, buffer_sizes):
         """Cached separately, not in result_df
         (`_IntersectingOACalculator.py:100-113`)."""
-        buffer_sizes = sorted(_as_list(buffer_sizes, float))
+        buffer_sizes = sorted(_as_list(buffer_sizes, float, "buffer_sizes"))
         oa = self._table("jgg_borders_2023")
         self.oa_intersection_df = intersecting_oa(self.points, oa, buffer_sizes)
         return self

@@ -72,6 +72,31 @@ def test_invalid_year_raises(spark, geo):
         c.calculate_airport_distance(years=[1999])
 
 
+def test_runtime_typecheck_raises_clear_errors(spark, geo):
+    """@typechecked analog (ref core.py:38, Worker.py:108): wrong argument
+    TYPES fail fast with the argument name, not as deep Spark errors."""
+    c = _calc(spark, geo)
+    with pytest.raises(TypeError, match="years"):
+        c.calculate_airport_distance(years="2000")
+    with pytest.raises(TypeError, match="years"):
+        c.calculate_airport_distance(years=[2000, "2005"])
+    with pytest.raises(TypeError, match="years"):
+        c.calculate_airport_distance(years=True)
+    with pytest.raises(TypeError, match="buffer_sizes"):
+        c.calculate_road_llw(buffer_sizes={"100": 1}, years=[2005])
+    with pytest.raises(TypeError, match="mr_types"):
+        c.calculate_main_road_distance(mr_types=1, years=[2005])
+    # int where float is declared is fine (buffer_sizes=100 means 100.0)
+    c2 = _calc(spark, geo)
+    c2.calculate_road_llw(buffer_sizes=100, years=[2005])
+    with pytest.raises(TypeError, match="df must be"):
+        _calc(spark, geo).add_point_with_table([(1.0, 2.0)], x_col="a", y_col="b")
+    with pytest.raises(ValueError, match="not in input"):
+        c2.add_point_with_table(geo["info"]["points"], x_col="nope", y_col="latitude")
+    with pytest.raises(TypeError, match="epsg"):
+        c2.add_point_with_table(geo["info"]["points"], epsg="4326")
+
+
 def test_coastline_simplify_changes_distance(spark, geo):
     c = _calc(spark, geo).calculate_coastline_distance(years=[2000])
     got = c.result_long().toPandas().sort_values("id")["value"].to_numpy()
