@@ -207,3 +207,98 @@ def curate_corpus(
     else:
         report = CurationReport(final, -1, -1, -1, -1)
     return report
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-span removal (the substring-dedup step of Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    adapted to word windows): split each document into non-overlapping
+    ``window``-word spans, hash each span, keep only the globally-first
+    occurrence of every distinct span (min (doc_id, position)), and
+    reconstruct the cleaned text from the surviving spans plus the
+    sub-window tail. → (doc_id, n_spans, n_dropped, clean_text).
+
+    Scale shape: spans are a pure projection of the scan (posexplode — no
+    per-row Python); the only shuffles are the groupBy on the span hash
+    (first-occurrence election) and the per-doc reassembly groupBy, both
+    keyed on high-cardinality columns. At 100 TB the span-hash table is the
+    big intermediate, and it is exactly the object a distributed suffix
+    approach must materialize anyway — no driver state at any size."""
+    w = int(window)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_t")).withColumn(
+        "_nwin", F.floor(F.size("_t") / w).cast("int")
+    )
+    span_idx = F.when(
+        F.col("_nwin") > 0, F.sequence(F.lit(0), F.col("_nwin") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "id",
+        F.explode(span_idx).alias("i"),
+        F.col("_t"),
+    ).select(
+        "id",
+        "i",
+        F.concat_ws(" ", F.slice("_t", F.col("i") * w + 1, w)).alias("span"),
+    ).withColumn("h", F.md5("span"))
+    # first-occurrence election: min doc_id per hash, then min position
+    # within that doc (same two-level rule as the SQL oracle)
+    first = wins.groupBy("h").agg(F.min(F.struct("id", "i")).alias("f"))
+    kept = wins.join(first, "h").where(
+        (F.col("id") == F.col("f.id")) & (F.col("i") == F.col("f.i"))
+    )
+    body = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "span"))), lambda s: s["span"]
+            ),
+            " ",
+        ).alias("_body"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    tail_len = F.size("_t") - F.col("_nwin") * w
+    tails = base.select(
+        "id",
+        F.col("_nwin"),
+        F.when(tail_len > 0, F.concat_ws(" ", F.slice("_t", F.col("_nwin") * w + 1, tail_len))).alias("_tail"),
+    )
+    return (
+        tails.join(body, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_nwin").cast("bigint").alias("n_spans"),
+            (F.col("_nwin") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast("bigint").alias("n_dropped"),
+            F.concat_ws(" ", F.col("_body"), F.col("_tail")).alias("clean_text"),
+        )
+    )
+
+
+def source_rollup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-source curation dashboard in ONE shuffle: document count, exact
+    duplicate rate (distinct normalized fingerprints vs docs), token volume,
+    and mean quality — the report a data-mixture owner reads before
+    weighting sources. All aggregates are exact integers summed
+    order-independently; the two ratios are single final divisions, so the
+    result is bit-identical across engines and partitionings."""
+    from duckpipe_spark.functions.text import fingerprint_col, quality_points_col, tokens_col
+
+    d = docs.select(
+        F.col("source"),
+        fingerprint_col(F.col(text_col)).alias("fp"),
+        F.size(tokens_col(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        quality_points_col(F.col(text_col)).alias("qp"),
+    )
+    n_docs = F.count(F.lit(1))
+    n_unique = F.countDistinct("fp")
+    return d.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        n_unique.alias("n_unique"),
+        ((n_docs - n_unique).cast("double") / n_docs).alias("dup_rate"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("qp").cast("double") / (n_docs * 3)).alias("avg_quality"),
+    )

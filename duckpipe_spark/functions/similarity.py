@@ -505,3 +505,36 @@ def semantic_dedup(
         )
         .withColumn("kept", (F.col("component") == F.col(id_col)).cast("int"))
     )
+
+
+def lsh_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """In-engine ANN quality evaluation: recall@k of the LSH-bucketed
+    top-k against the exact brute-force top-k, per query →
+    (query_id, n_hits, recall). This is the measurement loop a production
+    ANN deployment runs after every index parameter change; expressing it
+    as one DataFrame plan means the evaluation scales exactly like the
+    search itself (the exact side is the only corpus-sized term).
+
+    Deterministic: both sides use the same rounded-cosine tie-break, and
+    recall is an integer hit count divided once."""
+    exact = brute_force_topk(embeddings, query_ids, k, id_col=id_col, vec_col=vec_col)
+    approx = lsh_topk(embeddings, query_ids, k, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+    hits = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
+        )
+    )

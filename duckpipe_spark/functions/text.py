@@ -81,18 +81,25 @@ def with_language_guess(df: DataFrame, text_col: str = "text", id_col: str = "do
     return df.select(F.col(id_col), guess.alias("lang_guess"))
 
 
-def quality_score_col(text: Column) -> Column:
-    """Composite [0,1] quality score from cheap surface statistics:
-    in-range token count, in-range mean word length, low punct ratio."""
+def quality_points_col(text: Column) -> Column:
+    """Integer quality points 0..3 (one per passed surface check). Kept as
+    an exact integer so rollups can SUM it order-independently and divide
+    once — averaging the float score would be summation-order-sensitive."""
     toks = tokens_col(text)
     n = F.size(toks)
     n_chars_nospace = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
     avg_len = n_chars_nospace.cast("double") / n
     punct_ratio = F.length(F.regexp_replace(text, PUNCT_CLASS, "")).cast("double") / F.length(text)
-    s_count = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
-    s_wordlen = F.when((avg_len >= 2.0) & (avg_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    s_punct = F.when(punct_ratio <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
-    return (s_count + s_wordlen + s_punct) / F.lit(3.0)
+    s_count = F.when((n >= 10) & (n <= 1000), F.lit(1)).otherwise(F.lit(0))
+    s_wordlen = F.when((avg_len >= 2.0) & (avg_len <= 12.0), F.lit(1)).otherwise(F.lit(0))
+    s_punct = F.when(punct_ratio <= 0.1, F.lit(1)).otherwise(F.lit(0))
+    return (s_count + s_wordlen + s_punct).cast("bigint")
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score from cheap surface statistics:
+    in-range token count, in-range mean word length, low punct ratio."""
+    return quality_points_col(text).cast("double") / F.lit(3.0)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

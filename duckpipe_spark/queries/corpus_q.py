@@ -205,3 +205,108 @@ def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_resample(docs, _MIX_WEIGHTS).select("doc_id", "lang", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span removal (Lee et al. 2021 substring dedup, word-window form)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 10
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+base AS (
+  SELECT id, t, len(t) AS n, CAST(floor(len(t) / {_SPAN_W}) AS INT) AS nwin FROM toks
+),
+wins AS (
+  SELECT id, unnest(range(0, nwin)) AS i, t FROM base
+),
+hashed AS (
+  SELECT id, i,
+         array_to_string(list_slice(t, i * {_SPAN_W} + 1, i * {_SPAN_W} + {_SPAN_W}), ' ') AS span,
+         md5(array_to_string(list_slice(t, i * {_SPAN_W} + 1, i * {_SPAN_W} + {_SPAN_W}), ' ')) AS h
+  FROM wins
+),
+firstdoc AS (SELECT h, min(id) AS fid FROM hashed GROUP BY h),
+firstwin AS (
+  SELECT w.h, f.fid, min(w.i) AS fi
+  FROM hashed w JOIN firstdoc f ON w.h = f.h AND w.id = f.fid
+  GROUP BY w.h, f.fid
+),
+kept AS (
+  SELECT w.id, w.i, w.span
+  FROM hashed w JOIN firstwin f ON w.h = f.h AND w.id = f.fid AND w.i = f.fi
+),
+body AS (
+  SELECT id, string_agg(span, ' ' ORDER BY i) AS body, count(*) AS n_kept
+  FROM kept GROUP BY id
+),
+tails AS (
+  SELECT id, nwin,
+         CASE WHEN n > nwin * {_SPAN_W}
+              THEN array_to_string(list_slice(t, nwin * {_SPAN_W} + 1, n), ' ')
+         END AS tail
+  FROM base
+)
+SELECT t.id AS doc_id,
+       CAST(t.nwin AS BIGINT) AS n_spans,
+       CAST(t.nwin - COALESCE(b.n_kept, 0) AS BIGINT) AS n_dropped,
+       concat_ws(' ', b.body, t.tail) AS clean_text
+FROM tails t LEFT JOIN body b USING (id)
+"""
+
+
+@register(
+    "doc_span_dedup",
+    _SPAN_ORACLE,
+    "duplicate-span removal: keep globally-first 10-word spans, rebuild text",
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.corpus import remove_duplicate_spans
+
+    return remove_duplicate_spans(load_table(spark, sf_dir, "documents"), window=_SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# per-source curation rollup
+# ---------------------------------------------------------------------------
+
+_SOURCE_ORACLE = """
+WITH d AS (
+  SELECT
+    source,
+    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+    len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+    (
+      (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+      + (CASE WHEN (CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                    / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+              THEN 1 ELSE 0 END)
+      + (CASE WHEN (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                    / length(text)) <= 0.1
+              THEN 1 ELSE 0 END)
+    ) AS qp
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT fp) AS n_unique,
+       CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_rate,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(qp) AS DOUBLE) / (count(*) * 3) AS avg_quality
+FROM d
+GROUP BY source
+"""
+
+
+@register(
+    "doc_source_rollup",
+    _SOURCE_ORACLE,
+    "per-source curation dashboard: dup rate, token volume, mean quality (one shuffle)",
+)
+def doc_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.corpus import source_rollup
+
+    return source_rollup(load_table(spark, sf_dir, "documents"))

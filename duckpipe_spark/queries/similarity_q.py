@@ -395,3 +395,59 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_NEARDUP_THRESHOLD,
         n_planes=N_PLANES,  # static oracle encodes the 8-plane matrix
     )
+
+
+# --- ANN recall evaluation: LSH top-k vs exact top-k, in one plan ----------
+
+_RECALL_ORACLE = f"""
+WITH exactp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN (
+    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+    WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) q
+  WHERE e.vec_id <> q.query_id
+),
+exactk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM exactp
+  ) WHERE rank <= {_K}
+),
+bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+lshp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'e.embedding')} AS cos
+  FROM bucketed e JOIN (
+    SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bucketed
+    WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+),
+lshk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM lshp
+  ) WHERE rank <= {_K}
+)
+SELECT e.query_id,
+       CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(l.neighbor_id) AS DOUBLE) / {_K}.0 AS recall
+FROM exactk e LEFT JOIN lshk l
+  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "embedding_lsh_recall",
+    _RECALL_ORACLE,
+    "ANN evaluation: recall@k of LSH-bucketed top-k vs exact top-k, per query",
+)
+def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.similarity import lsh_recall
+
+    return lsh_recall(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, n_planes=N_PLANES)
