@@ -78,3 +78,65 @@ def configure_s3(
     if endpoint:
         hconf.set("fs.s3a.endpoint", endpoint)
     hconf.set("fs.s3a.path.style.access", "true")
+
+
+# --- format-generic IO (beyond reference: the reference is parquet-only; a
+# production corpus pipeline ingests JSONL dumps and exports ORC/CSV too) ---
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+DOCS_JSONL_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-generic scan. ALWAYS pass an explicit schema for json/csv at
+    scale: schema inference runs a full extra pass over the data (at 100 TB
+    that is a second 100 TB read before the first real job starts).
+    parquet/orc carry their schema in the footer, so none is needed."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Format-generic sink (same partitioning semantics for every format)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    w = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        w = w.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_jsonl_docs(spark: SparkSession, path: str, schema: str = DOCS_JSONL_SCHEMA) -> DataFrame:
+    """JSONL corpus ingest (one JSON document per line — the interchange
+    format of every public web-scale text dump). Explicit schema: malformed
+    lines land in nulls rather than failing the scan (PERMISSIVE mode), and
+    no inference pass is needed."""
+    return spark.read.schema(schema).json(path)

@@ -84,3 +84,37 @@ def test_spatially_clustered_write_gives_tight_file_bboxes(spark, tmp_path):
         areas.append((fdf[1] - fdf[0]) * (fdf[3] - fdf[2]))
     mean_area = sum(areas) / len(areas)
     assert mean_area < 0.35 * 1000 * 1000  # vs ~1.0x for unclustered writes
+
+
+def test_format_roundtrips(spark, tmp_path):
+    """read_any/write_any: every supported format round-trips values; jsonl
+    corpus ingest reads with the explicit schema (no inference pass)."""
+    from duckpipe_spark.sources.tables import read_any, read_jsonl_docs, write_any
+
+    src = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang", "source", "n_chars")
+    exp = {(r.doc_id, r.n_chars) for r in src.collect()}
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / f"rt_{fmt}")
+        write_any(src, p, fmt=fmt)
+        back = read_any(
+            spark, p, fmt=fmt,
+            schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        assert {(r.doc_id, r.n_chars) for r in back.collect()} == exp, fmt
+
+    jl = read_jsonl_docs(spark, str(tmp_path / "rt_json"))
+    assert jl.count() == src.count()
+    assert dict(jl.dtypes)["doc_id"] == "bigint"
+
+
+def test_write_any_partitioned_prunes(spark, tmp_path):
+    from duckpipe_spark.sources.tables import read_any, write_any
+
+    src = load_table(spark, SF_SMOKE, "documents")
+    p = str(tmp_path / "bylang")
+    write_any(src, p, fmt="parquet", partition_by=["lang"])
+    one = read_any(spark, p).where(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan must carry a lang partition filter
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert one.count() > 0
