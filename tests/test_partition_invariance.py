@@ -1,0 +1,129 @@
+"""Partition-invariance property tests.
+
+A distributed operator is only correct at scale if its result is a pure
+function of the DATA, not of how the data happens to be partitioned: at
+1000 executors the partitioning is different every run. Each test runs an
+operator on the natural scan and on an adversarial repartition (17-way
+round-robin, which also scrambles row order within partitions) and asserts
+bit-identical results via the same canonicalization the oracle gate uses.
+
+These pin the determinism claims made throughout the codebase: exact
+integer sums, (value, id) tie-breaks, order-independent hash elections.
+"""
+
+import pytest
+
+from duckpipe_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import canonicalize
+
+
+def _canon(df):
+    return canonicalize(df.toPandas())
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def _embs(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def op_token_stats(spark, scramble):
+    from duckpipe_spark.functions.text import with_token_stats
+
+    return with_token_stats(scramble(_docs(spark)))
+
+
+def op_minhash(spark, scramble):
+    from duckpipe_spark.functions.dedup import minhash_signatures
+
+    return minhash_signatures(scramble(_docs(spark)))
+
+
+def op_simhash(spark, scramble):
+    from duckpipe_spark.functions.dedup import simhash
+
+    return simhash(scramble(_docs(spark)))
+
+
+def op_exact_dedup(spark, scramble):
+    from duckpipe_spark.functions.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(scramble(_docs(spark)))
+
+
+def op_span_dedup(spark, scramble):
+    from duckpipe_spark.functions.corpus import remove_duplicate_spans
+
+    return remove_duplicate_spans(scramble(_docs(spark)))
+
+
+def op_source_rollup(spark, scramble):
+    from duckpipe_spark.functions.corpus import source_rollup
+
+    return source_rollup(scramble(_docs(spark)))
+
+
+def op_dup_components(spark, scramble):
+    from duckpipe_spark.functions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    return connected_components(lsh_candidate_pairs(minhash_signatures(scramble(_docs(spark)))))
+
+
+def op_pack_sequences(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.sampling import pack_sequences
+
+    toks = scramble(_docs(spark)).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(toks, token_col="n_tokens", budget=2048, partition_col="lang")
+
+
+def op_pq_codes(spark, scramble):
+    from duckpipe_spark.functions.similarity import pq_codes
+
+    return pq_codes(scramble(_embs(spark)))
+
+
+def op_kmeans(spark, scramble):
+    from duckpipe_spark.functions.similarity import kmeans_cells
+
+    return kmeans_cells(scramble(_embs(spark)))
+
+
+def op_lsh_recall(spark, scramble):
+    from duckpipe_spark.functions.similarity import N_PLANES, lsh_recall
+
+    return lsh_recall(scramble(_embs(spark)), [0, 1, 2, 3, 4], 5, n_planes=N_PLANES)
+
+
+_OPS = [
+    op_token_stats,
+    op_minhash,
+    op_simhash,
+    op_exact_dedup,
+    op_span_dedup,
+    op_source_rollup,
+    op_dup_components,
+    op_pack_sequences,
+    op_pq_codes,
+    op_kmeans,
+    op_lsh_recall,
+]
+
+
+@pytest.mark.parametrize("op", _OPS, ids=lambda f: f.__name__)
+def test_result_is_partition_invariant(spark, op):
+    natural = op(spark, lambda df: df)
+    scrambled = op(spark, lambda df: df.repartition(17))
+    assert _canon(natural) == _canon(scrambled)
