@@ -529,7 +529,9 @@ def lsh_recall(
     hits = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
     return (
         exact.select("query_id", "neighbor_id")
-        .join(hits, ["query_id", "neighbor_id"], "left")
+        # both sides are Q·k rows; broadcast the approx side so the static
+        # plan never sorts (AQE would fix it at runtime, but pin it)
+        .join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"))
         .select(

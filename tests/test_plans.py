@@ -207,3 +207,34 @@ def test_pq_adc_scan_side_never_shuffles_vectors(spark):
     assert a.broadcast_hash_joins >= 4
     assert a.exchanges <= 3, a.text
     assert a.python_stages == 0
+
+
+def test_span_dedup_plan_bounded_shuffles(spark):
+    # span dedup: no Python stage (codegen split/slice/md5), no cartesian,
+    # shuffles bounded by: span-hash election, kept-spans join, per-doc
+    # reassembly, final doc join. Nothing scales worse than the span table.
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_span_dedup")(spark, SF_SMOKE))
+    assert a.python_stages == 0
+    assert a.broadcast_nl_joins == 0
+    assert "CartesianProduct" not in a.text
+    assert a.exchanges <= 8
+
+
+def test_source_rollup_single_shuffle(spark):
+    # one partial-agg'd exchange on source (the distinct-fp count rides the
+    # same grouping via Expand), zero joins, zero Python
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_source_rollup")(spark, SF_SMOKE))
+    assert a.python_stages == 0
+    assert a.sort_merge_joins + a.broadcast_hash_joins + a.broadcast_nl_joins == 0
+    assert a.exchanges <= 2
+
+
+def test_lsh_recall_no_cartesian_on_corpus(spark):
+    # both the exact side (broadcast query vectors) and the LSH side
+    # (bucket-equi join) avoid a corpus×corpus product
+    with no_aqe(spark):
+        a = audit_plan(_q("embedding_lsh_recall")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in a.text
+    assert a.sort_merge_joins == 0
