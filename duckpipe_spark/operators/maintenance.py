@@ -1,0 +1,100 @@
+"""Table-maintenance operators — beyond-reference engine completeness.
+
+The reference hands results back as pandas and leaves storage management to
+the user; a pipeline that owns 100 TB of parquet needs three more verbs:
+
+* `table_stats` — per-column statistics in ONE scan (null count, exact
+  distinct count, min/max). This is the input to every size-based planner
+  decision (broadcast thresholds, bucket counts, skew detection) and the
+  freshness check a mixture owner runs after each ingest.
+* `merge_upsert` — keyed last-writer-wins merge of an updates batch into a
+  base snapshot (the batch form of a Delta/Iceberg MERGE): updates replace,
+  unmatched base rows survive. One anti-join, no driver state.
+* `compact_small_files` — rewrite a directory of too-many-small-files into
+  ~target-sized files. Small files are the classic 100 TB failure mode
+  (every file = one task + one open + one footer read); compaction fixes it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column stats in one pass → (column, n_rows, n_nulls, n_distinct,
+    min_v, max_v), numeric min/max cast to double (exact for integers under
+    2^53, which covers every key column).
+
+    Scale shape: a single aggregation over the scan; the multi-column
+    count(DISTINCT) pairs ride one Expand. NULLs are excluded from
+    n_distinct (SQL semantics) so both engines agree."""
+    cols = columns or [c for c, t in df.dtypes if t in ("bigint", "int", "double", "float")]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"{c}__rows").alias("n_rows"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__nd").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_v"),
+                        F.col(f"{c}__max").alias("max_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*")
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """Last-writer-wins keyed merge: every key present in ``updates`` takes
+    the updates row; all other base rows pass through. The batch equivalent
+    of `MERGE INTO base USING updates ON key WHEN MATCHED THEN UPDATE WHEN
+    NOT MATCHED THEN INSERT`.
+
+    Plan: one left-anti join on the key (broadcast when the updates batch is
+    small — the common case for incremental loads) + a union. The base side
+    is never shuffled when the anti-join broadcasts, so a daily merge reads
+    the snapshot once and writes it once."""
+    keys = [key] if isinstance(key, str) else list(key)
+    survivors = base.join(F.broadcast(updates.select(*keys).distinct()), keys, "left_anti")
+    return updates.unionByName(survivors)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite ``in_path`` into ~``target_file_mb`` files at ``out_path``;
+    returns the chosen file count. Sizing uses the source's on-disk bytes
+    (footer-aware listing via the Hadoop FS API, so it works for any
+    supported filesystem, not just local paths)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, int(total // (target_file_mb * 1024 * 1024)) + (1 if total % (target_file_mb * 1024 * 1024) else 0))
+    df = spark.read.format(fmt).load(in_path)
+    # repartition (round-robin) rather than coalesce: coalesce can collapse
+    # the upstream parallelism of whatever computed the files
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(out_path)
+    return n_files

@@ -891,3 +891,63 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: one-pass column statistics, keyed upsert merge
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"]
+
+_STATS_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_v,
+       CAST(max({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+    for c in _STATS_COLS
+)
+
+
+@register(
+    "lineitem_column_stats",
+    _STATS_ORACLE,
+    "one-pass per-column stats (nulls, exact NDV, min/max) — the optimizer-stats surface",
+)
+def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.operators.maintenance import table_stats
+
+    return table_stats(load_table(spark, sf_dir, "lineitem"), _STATS_COLS)
+
+
+_MERGE_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS price_c
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+survivors AS (
+  SELECT o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey
+)
+SELECT * FROM updates UNION ALL SELECT * FROM survivors
+"""
+
+
+@register(
+    "orders_merge_upsert",
+    _MERGE_ORACLE,
+    "keyed last-writer-wins merge (batch MERGE INTO): updates replace, base survives",
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.operators.maintenance import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select("o_orderkey", price_c.alias("price_c"))
+    updates = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (price_c * 2).alias("price_c"))
+    )
+    return merge_upsert(base, updates, "o_orderkey")

@@ -118,3 +118,31 @@ def test_write_any_partitioned_prunes(spark, tmp_path):
     # partition pruning: the scan must carry a lang partition filter
     assert "PartitionFilters" in plan and "lang" in plan
     assert one.count() > 0
+
+
+def test_compact_small_files(spark, tmp_path):
+    from duckpipe_spark.operators.maintenance import compact_small_files
+
+    src = load_table(spark, SF_SMOKE, "lineitem")
+    many = str(tmp_path / "many")
+    src.repartition(40).write.parquet(many)
+    import glob
+    assert len(glob.glob(f"{many}/*.parquet")) == 40
+
+    out = str(tmp_path / "compacted")
+    n = compact_small_files(spark, many, out, target_file_mb=512)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n <= 2
+    assert spark.read.parquet(out).count() == src.count()
+
+
+def test_merge_upsert_broadcast_anti_join(spark):
+    from duckpipe_spark.operators.maintenance import merge_upsert
+    from duckpipe_spark.plans.audit import audit_plan
+
+    base = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    updates = base.limit(10).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    with no_aqe(spark):
+        a = audit_plan(merge_upsert(base, updates, "o_orderkey"))
+    # the base snapshot must NOT shuffle: anti-join broadcasts the key set
+    assert a.sort_merge_joins == 0
