@@ -38,6 +38,10 @@ HEADLINE = [
     "doc_simhash",
     "embedding_cosine_topk",
     "embedding_lsh_topk",
+    # round-3 additions: span-level dedup + curation rollup + stats scan
+    "doc_span_dedup",
+    "doc_source_rollup",
+    "lineitem_column_stats",
 ]
 
 

@@ -60,6 +60,7 @@ base.DRIVER_ORDER[:] = [
     "embedding_pq_adc_topk",
     "embedding_kmeans_cells",
     "embedding_semantic_dedup",
+    "embedding_lsh_recall",
     # text analysis family
     "doc_token_stats",
     "doc_language_guess",
@@ -74,27 +75,28 @@ base.DRIVER_ORDER[:] = [
     "doc_hash_split",
     "doc_stratified_sample",
     "doc_pack_sequences",
-    # corpus hygiene family
+    # corpus hygiene family (incl. round-3 span dedup + source rollup)
     "doc_decontamination",
     "doc_boilerplate",
     "doc_repetition_stats",
     "doc_mixture_resample",
-    # events / timeseries (nanos-loader fix evidence)
+    "doc_span_dedup",
+    "doc_source_rollup",
+    # events / timeseries (NTZ-loader fix evidence; quantiles & moving_avg
+    # verified by the local harness + pytest, displaced for the new ops)
     "events_hourly_rollup",
     "sessionize_users",
     "events_json_extract",
     "events_session_window",
-    "events_value_quantiles",
     "events_props_rollup",
-    "events_moving_avg",
     "asof_clicks_purchases",
     # spatial proxies on TPC-H tables
     "nearest_feature_distance",
     "features_within_radius",
     # multimodal (oracle-checked metadata path)
     "blob_metadata",
-    # unique-evidence relational queries
-    "q12_shipmode_priority",
+    # unique-evidence relational queries (q12 displaced: its HUGEINT-cast
+    # fix proved out in r2 and conditional aggregates appear throughout)
     "approx_distinct_parts",
     "first_order_per_customer",
     "custkey_status_skeleton",
