@@ -159,3 +159,48 @@ def test_vocab_encode_roundtrip(spark):
     assert len(enc) == 12  # every token position encoded
     ids_doc1 = [r["token_id"] for r in sorted(enc, key=lambda r: (r["doc_id"], r["pos"])) if r["doc_id"] == 1]
     assert ids_doc1 == [1, 1, 1, 2, 2, 3, 0]  # rare1 → OOV 0
+
+
+def test_span_dedup_reconstruction_properties(spark):
+    """(1) conservation: kept spans across the corpus == distinct span
+    hashes; (2) reconstruction: a doc with nothing dropped rebuilds exactly
+    its normalized text; (3) a full duplicate of an earlier doc loses ALL
+    its spans (only the sub-window tail survives)."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.corpus import remove_duplicate_spans
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w = 10
+    out = remove_duplicate_spans(docs, window=w)
+
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).withColumn("nwin", F.floor(F.size("t") / w).cast("int"))
+    spans = toks.select(
+        F.explode(
+            F.when(F.col("nwin") > 0, F.sequence(F.lit(0), F.col("nwin") - 1))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        "t",
+    ).select(F.concat_ws(" ", F.slice("t", F.col("i") * w + 1, w)).alias("span"))
+    n_distinct = spans.select("span").distinct().count()
+    agg = out.agg(
+        F.sum("n_spans").alias("total"), F.sum("n_dropped").alias("dropped")
+    ).collect()[0]
+    assert agg.total - agg.dropped == n_distinct
+
+    # append a verbatim duplicate of doc 0 with a higher id
+    d0 = docs.where(F.col("doc_id") == 0)
+    dup = d0.withColumn("doc_id", F.lit(10_000_000))
+    out2 = remove_duplicate_spans(docs.unionByName(dup), window=w)
+    r0 = out2.where(F.col("doc_id") == 0).collect()[0]
+    rdup = out2.where(F.col("doc_id") == 10_000_000).collect()[0]
+    norm0 = d0.select(F.concat_ws(" ", F.split(F.trim("text"), r"\s+")).alias("x")).collect()[0].x
+    # original doc 0 keeps everything it kept before; the duplicate drops
+    # every full window and keeps only the tail
+    assert rdup.n_dropped == rdup.n_spans
+    assert rdup.clean_text == " ".join(norm0.split(" ")[rdup.n_spans * w:])
+    assert r0.n_spans == rdup.n_spans
