@@ -1,3 +1,4 @@
+from duckpipe_spark.streaming.cdc import apply_cdc_batch, apply_cdc_stream, latest_per_key
 from duckpipe_spark.streaming.events import (
     dedup_event_stream,
     enrich_with_dimension,
@@ -18,4 +19,7 @@ __all__ = [
     "sessionize_stateful",
     "running_totals_stateful",
     "dedup_event_stream",
+    "apply_cdc_stream",
+    "apply_cdc_batch",
+    "latest_per_key",
 ]

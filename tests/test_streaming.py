@@ -218,3 +218,40 @@ def test_transform_with_state_running_totals(spark, event_files):
     for uid in batch.index:
         assert final.loc[uid, "n_events"] == batch.loc[uid, "n_events"]
         assert abs(final.loc[uid, "sum_value"] - batch.loc[uid, "sum_value"]) < 1e-6
+
+
+def test_cdc_stream_folds_into_snapshot(spark, event_files, tmp_path):
+    """apply_cdc_stream: after all micro-batches, the parquet snapshot holds
+    exactly the LAST event per user (keyed upsert), matching the batch
+    window computation over the same data."""
+    from duckpipe_spark.streaming import apply_cdc_stream
+
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    snap = str(tmp_path / "user_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    q = apply_cdc_stream(stream, snap, key="user_id", order_col="event_id", checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(snap)
+        .orderBy("user_id")
+        .toPandas()
+        .set_index("user_id")
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    exp = (
+        ev.select("user_id", "event_id", "event_type", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(got) == len(exp)
+    assert (got["event_id"].sort_index() == exp["event_id"].sort_index()).all()
+    assert (got["event_type"].sort_index() == exp["event_type"].sort_index()).all()
