@@ -526,6 +526,29 @@ def lsh_recall(
     recall is an integer hit count divided once."""
     exact = brute_force_topk(embeddings, query_ids, k, id_col=id_col, vec_col=vec_col)
     approx = lsh_topk(embeddings, query_ids, k, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+    return topk_recall(exact, approx, k)
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of the IVF probe path vs exact — same evaluation loop as
+    `lsh_recall` for the coarse-quantized index."""
+    exact = brute_force_topk(embeddings, query_ids, k, id_col=id_col, vec_col=vec_col)
+    approx = ivf_topk(embeddings, query_ids, k, n_cells, n_probe, id_col=id_col, vec_col=vec_col)
+    return topk_recall(exact, approx, k)
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Generic (query_id, neighbor_id)-ranking comparison → per-query
+    (query_id, n_hits, recall). Works for any ANN variant that emits the
+    brute-force result schema."""
     hits = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
     return (
         exact.select("query_id", "neighbor_id")

@@ -451,3 +451,68 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.similarity import lsh_recall
 
     return lsh_recall(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, n_planes=N_PLANES)
+
+
+_IVF_RECALL_ORACLE = f"""
+WITH exactp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN (
+    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+    WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) q
+  WHERE e.vec_id <> q.query_id
+),
+exactk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM exactp
+  ) WHERE rank <= {_K}
+),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {_N_CELLS}
+),
+assign AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cell_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qvec, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cell_id) AS rn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) WHERE rn <= {_N_PROBE}
+),
+ivfk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {_cos_sql('p.qvec', 'a.embedding')} DESC, a.vec_id) AS rank
+    FROM assign a JOIN probes p ON a.cell_id = p.cell_id
+    WHERE a.vec_id <> p.query_id
+  ) WHERE rank <= {_K}
+)
+SELECT e.query_id,
+       CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(l.neighbor_id) AS DOUBLE) / {_K}.0 AS recall
+FROM exactk e LEFT JOIN ivfk l
+  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "embedding_ivf_recall",
+    _IVF_RECALL_ORACLE,
+    "ANN evaluation: recall@k of the IVF probe path vs exact top-k, per query",
+)
+def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.similarity import ivf_recall
+
+    return ivf_recall(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, _N_CELLS, _N_PROBE)
