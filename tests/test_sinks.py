@@ -146,3 +146,17 @@ def test_merge_upsert_broadcast_anti_join(spark):
         a = audit_plan(merge_upsert(base, updates, "o_orderkey"))
     # the base snapshot must NOT shuffle: anti-join broadcasts the key set
     assert a.sort_merge_joins == 0
+
+
+def test_configure_s3_sets_hadoop_conf(spark):
+    """S4 cloud path: no object store in the test env, but the session-wide
+    Hadoop conf wiring (what `CREATE SECRET` replay becomes on Spark) is
+    fully checkable."""
+    from duckpipe_spark.sources.tables import configure_s3
+
+    configure_s3(spark, "AKID", "SECRET", endpoint="https://acct.r2.example.com")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AKID"
+    assert hconf.get("fs.s3a.secret.key") == "SECRET"
+    assert hconf.get("fs.s3a.endpoint") == "https://acct.r2.example.com"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
