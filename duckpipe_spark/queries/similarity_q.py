@@ -516,3 +516,67 @@ def embedding_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.similarity import ivf_recall
 
     return ivf_recall(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, _N_CELLS, _N_PROBE)
+
+
+# --- cross-table composition: cluster quality profile ----------------------
+
+_CLUSTER_PROFILE_ORACLE = f"""
+WITH km AS (
+  {_kmeans_oracle(_KM_K, _KM_ITERS, _KM_SCALE)}
+),
+dq AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         (
+           (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+           + (CASE WHEN (CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                         / length(text)) <= 0.1
+                   THEN 1 ELSE 0 END)
+         ) AS qp
+  FROM documents
+)
+SELECT km.cell,
+       count(*) AS n_docs,
+       CAST(sum(dq.n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(dq.qp) AS DOUBLE) / (count(*) * 3) AS avg_quality
+FROM km JOIN dq ON km.id = dq.doc_id
+GROUP BY km.cell
+"""
+
+
+@register(
+    "embedding_cluster_profile",
+    _CLUSTER_PROFILE_ORACLE,
+    "cross-table composition: per-kmeans-cell document quality + token volume",
+)
+def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the trained k-means cell assignment (embeddings table) with the
+    per-document quality signals (documents table) → one quality/volume
+    profile row per semantic cluster. This is the query a curation owner
+    runs to decide which embedding-space regions to up/down-weight; it
+    composes two operator families in one lazy plan (cells: iterative
+    integer Lloyd; quality: codegen surface stats) with a broadcast join on
+    the small document side."""
+    from duckpipe_spark.functions.similarity import kmeans_cells
+    from duckpipe_spark.functions.text import quality_points_col, tokens_col
+
+    cells = kmeans_cells(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_toks"),
+        quality_points_col(F.col("text")).alias("qp"),
+    )
+    return (
+        cells.join(F.broadcast(docs), "id")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            (F.sum("qp").cast("double") / (F.count(F.lit(1)) * 3)).alias("avg_quality"),
+        )
+    )
