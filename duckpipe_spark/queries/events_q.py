@@ -218,3 +218,23 @@ def events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
     )
+
+
+_SALTED_ORACLE = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "events_salted_counts",
+    _SALTED_ORACLE,
+    "skew-safe two-phase salted aggregation equals the direct group count",
+)
+def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation under the hard gate: the salted two-phase count
+    (16 sub-keys per key, partial then final aggregate) must equal a plain
+    groupBy count exactly — salting redistributes work, never results."""
+    from duckpipe_spark.sources.sinks import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, "event_type").select("event_type", F.col("count").alias("n"))
