@@ -26,9 +26,25 @@ TABLE_NAMES = [
 ]
 
 
+# Session-scoped scan memo: a DataFrame is an immutable plan, so the same
+# (session, dir, table) triple can hand back one object — this is catalog
+# metadata caching (each spark.read.parquet re-reads footers over Py4J,
+# ~0.1-0.2 s of driver latency per call that a real engine's catalog
+# amortizes). Weak-keyed on the session so ended sessions release entries.
+import weakref
+
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Filters/projections applied by callers are
-    pushed into the scan by Catalyst (verify via .explain → PushedFilters)."""
+    pushed into the scan by Catalyst (verify via .explain → PushedFilters).
+    Repeated loads of the same table in one session return the same
+    DataFrame object (plan reuse, not data caching — nothing is pinned)."""
+    memo = _SCAN_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in memo:
+        return memo[key]
     if name == "events":
         # Older events.parquet layouts store ts as INT64 TIMESTAMP(NANOS),
         # which Spark rejects unless nanosAsLong is on (current layouts use
@@ -46,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV: `/` would go through double and lose exactness >2^53 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    memo[key] = df
     return df
 
 
