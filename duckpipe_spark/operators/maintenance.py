@@ -90,3 +90,21 @@ def compact_small_files(
     # the upstream parallelism of whatever computed the files
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(out_path)
     return n_files
+
+
+def column_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int = 20
+) -> DataFrame:
+    """Equi-width value histogram → (bucket, n) with out-of-range values
+    clamped into the edge buckets — the one-pass distribution profile used
+    to pick salting factors and spot skewed keys before they melt a
+    reducer. Bucket math is a single float expression evaluated identically
+    on any engine (width is a Python-folded constant)."""
+    width = (float(hi) - float(lo)) / int(nbins)
+    b = F.floor((F.col(col).cast("double") - float(lo)) / width).cast("bigint")
+    bucket = F.least(F.greatest(b, F.lit(0)), F.lit(int(nbins) - 1))
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -951,3 +951,30 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", (price_c * 2).alias("price_c"))
     )
     return merge_upsert(base, updates, "o_orderkey")
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 80000.0, 16
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_BINS
+
+_HIST_ORACLE = f"""
+SELECT
+  least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE) - {_HIST_LO!r}) / {_HIST_W!r}) AS BIGINT),
+                 0), {_HIST_BINS - 1}) AS bucket,
+  count(*) AS n
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register(
+    "lineitem_price_histogram",
+    _HIST_ORACLE,
+    "equi-width value histogram (skew diagnosis; clamped edge buckets)",
+)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.operators.maintenance import column_histogram
+
+    return column_histogram(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_BINS
+    )
