@@ -246,12 +246,14 @@ def remove_duplicate_spans(
         "i",
         F.concat_ws(" ", F.slice("_t", F.col("i") * w + 1, w)).alias("span"),
     ).withColumn("h", F.md5("span"))
-    # first-occurrence election: min doc_id per hash, then min position
-    # within that doc (same two-level rule as the SQL oracle)
-    first = wins.groupBy("h").agg(F.min(F.struct("id", "i")).alias("f"))
-    kept = wins.join(first, "h").where(
-        (F.col("id") == F.col("f.id")) & (F.col("i") == F.col("f.i"))
-    )
+    # first-occurrence election: the (id, i)-least window per span hash —
+    # one row_number window (single shuffle on h) instead of a groupBy +
+    # join-back, halving the shuffles of this stage. Same two-level
+    # min-doc-then-min-position rule as the SQL oracle.
+    from pyspark.sql import Window
+
+    w_first = Window.partitionBy("h").orderBy("id", "i")
+    kept = wins.withColumn("_rn", F.row_number().over(w_first)).where(F.col("_rn") == 1)
     body = kept.groupBy("id").agg(
         F.array_join(
             F.transform(
