@@ -978,3 +978,51 @@ def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_histogram(
         load_table(spark, sf_dir, "lineitem"), "l_extendedprice", _HIST_LO, _HIST_HI, _HIST_BINS
     )
+
+
+_FULL_OUTER_ORACLE = """
+WITH y97 AS (
+  SELECT o_custkey, count(*) AS n97 FROM orders
+  WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+),
+y98 AS (
+  SELECT o_custkey, count(*) AS n98 FROM orders
+  WHERE year(o_orderdate) = 1998 GROUP BY o_custkey
+)
+SELECT COALESCE(y97.o_custkey, y98.o_custkey) AS custkey,
+       COALESCE(n97, 0) AS n97,
+       COALESCE(n98, 0) AS n98,
+       COALESCE(n98, 0) - COALESCE(n97, 0) AS delta
+FROM y97 FULL OUTER JOIN y98 ON y97.o_custkey = y98.o_custkey
+"""
+
+
+@register(
+    "custkey_yearly_delta_full_outer",
+    _FULL_OUTER_ORACLE,
+    "FULL OUTER join of two yearly aggregates with zero-coalesced delta",
+)
+def custkey_yearly_delta_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year activity comparison keeping customers present in
+    EITHER year — the join type the skeleton densification family (J8)
+    cannot express. Both sides shuffle once on the key; at scale this is a
+    single co-partitioned SMJ (or shuffle-hash under AQE)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def per_year(y, alias):
+        return (
+            orders.where(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a, b = per_year(1997, "n97"), per_year(1998, "n98")
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.coalesce("n97", F.lit(0)).alias("n97"),
+            F.coalesce("n98", F.lit(0)).alias("n98"),
+            (F.coalesce("n98", F.lit(0)) - F.coalesce("n97", F.lit(0))).alias("delta"),
+        )
+    )
