@@ -101,6 +101,40 @@ def op_kmeans(spark, scramble):
     return kmeans_cells(scramble(_embs(spark)))
 
 
+def op_column_stats(spark, scramble):
+    from duckpipe_spark.operators.maintenance import table_stats
+
+    return table_stats(
+        scramble(load_table(spark, SF_SMOKE, "lineitem")),
+        ["l_orderkey", "l_quantity", "l_extendedprice"],
+    )
+
+
+def op_histogram(spark, scramble):
+    from duckpipe_spark.operators.maintenance import column_histogram
+
+    return column_histogram(
+        scramble(load_table(spark, SF_SMOKE, "lineitem")), "l_extendedprice", 0.0, 80000.0, 16
+    )
+
+
+def op_sessionize(spark, scramble):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ev = scramble(load_table(spark, SF_SMOKE, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts")).over(w)
+    flag = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("ns", flag)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def op_lsh_recall(spark, scramble):
     from duckpipe_spark.functions.similarity import N_PLANES, lsh_recall
 
@@ -119,6 +153,9 @@ _OPS = [
     op_pq_codes,
     op_kmeans,
     op_lsh_recall,
+    op_column_stats,
+    op_histogram,
+    op_sessionize,
 ]
 
 

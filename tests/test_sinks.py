@@ -160,3 +160,27 @@ def test_configure_s3_sets_hadoop_conf(spark):
     assert hconf.get("fs.s3a.secret.key") == "SECRET"
     assert hconf.get("fs.s3a.endpoint") == "https://acct.r2.example.com"
     assert hconf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_merge_upsert_properties(spark):
+    """Idempotence (same updates twice == once), identity (empty updates ==
+    base), and last-writer-wins on every updated key."""
+    from duckpipe_spark.operators.maintenance import merge_upsert
+
+    base = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    updates = base.limit(25).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+
+    once = merge_upsert(base, updates, "o_orderkey")
+    twice = merge_upsert(once, updates, "o_orderkey")
+    assert once.count() == base.count() == twice.count()
+    a = {(r.o_orderkey, round(r.o_totalprice, 4)) for r in once.collect()}
+    b = {(r.o_orderkey, round(r.o_totalprice, 4)) for r in twice.collect()}
+    assert a == b
+
+    empty = merge_upsert(base, base.limit(0), "o_orderkey")
+    assert empty.count() == base.count()
+
+    upd = {r.o_orderkey: r.o_totalprice for r in updates.collect()}
+    got = {r.o_orderkey: r.o_totalprice for r in once.collect()}
+    for k, v in upd.items():
+        assert got[k] == v
