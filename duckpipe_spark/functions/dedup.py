@@ -28,7 +28,7 @@ DataFrame algebra with no Python in the hot path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from duckpipe_spark.functions.text import fingerprint_col, tokens_col
 
@@ -402,3 +402,31 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: keep only new documents whose normalized
+    fingerprint appears neither in the existing corpus nor earlier (smaller
+    id) within the new batch itself — the admission filter a daily ingest
+    runs before appending to a 100 TB corpus.
+
+    Plan: the corpus side reduces to a distinct-fingerprint set BEFORE the
+    join (fingerprints, not documents, are the shuffled object), the
+    anti-join eliminates known content, and one window elects the first
+    copy within the batch. Nothing driver-side at any size."""
+    corpus_fps = corpus.select(fingerprint_col(F.col(text_col)).alias("fp")).distinct()
+    fresh = (
+        new_docs.withColumn("fp", fingerprint_col(F.col(text_col)))
+        .join(corpus_fps, "fp", "left_anti")
+    )
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )

@@ -195,3 +195,42 @@ def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     return connected_components(pairs)
+
+
+# --- incremental dedup: admit only genuinely-new documents -----------------
+
+_INCR_ORACLE = """
+WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+),
+batch AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 1
+),
+cfp AS (
+  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM corpus
+),
+bfp AS (
+  SELECT b.*, md5(lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g')))) AS fp
+  FROM batch b
+),
+fresh AS (
+  SELECT * FROM bfp ANTI JOIN cfp USING (fp)
+)
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh
+) WHERE rn = 1
+"""
+
+
+@register(
+    "doc_incremental_dedup",
+    _INCR_ORACLE,
+    "admission filter: new batch anti-joined on corpus fingerprints + first-copy election",
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.dedup import dedup_against_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup_against_corpus(batch, corpus)
