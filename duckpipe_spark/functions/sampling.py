@@ -171,3 +171,43 @@ def pack_sequences(
     )
     prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
     return df.withColumn("pack_id", F.floor(prefix / budget).cast("bigint"))
+
+
+def temperature_resample(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-balanced downsampling (the multilingual data-balancing
+    scheme of mT5/XLM-R, at T=2): stratum ``l`` gets a share of ``budget``
+    proportional to sqrt(count_l) — flattening the head strata and
+    boosting the tail relative to natural proportions — capped at its
+    actual count, with membership in deterministic Lehmer order.
+
+    T=2 specifically because IEEE-754 sqrt is exactly rounded on every
+    engine, so ``floor(sqrt(c))`` is the same BIGINT everywhere; shares are
+    then computed in pure integer arithmetic (``budget·s_l DIV S``), which
+    makes the kept set bit-reproducible — a fractional temperature would
+    route through ``pow``, whose last-ulp behavior is libm-dependent.
+
+    Scale shape: identical to ``mixture_resample`` — one tiny aggregate
+    broadcast back, one rank window per stratum."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("c"))
+    s_col = F.floor(F.sqrt(F.col("c").cast("double"))).cast("bigint")
+    sized = counts.select(strata_col, "c", s_col.alias("_sq"))
+    total = sized.agg(F.sum("_sq").alias("_tot"))
+    targets = sized.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        F.least(
+            F.col("c"), F.expr(f"CAST({int(budget)} AS BIGINT) * _sq DIV _tot")
+        ).alias("target_n"),
+    )
+    h = lehmer_hash_col(F.col(id_col))
+    w_rank = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(targets), strata_col)
+        .withColumn("sample_rank", F.row_number().over(w_rank).cast("bigint"))
+        .where(F.col("sample_rank") <= F.col("target_n"))
+        .drop("target_n")
+    )

@@ -168,3 +168,45 @@ def lang_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= _TOP_BIGRAMS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-balanced resampling (T=2, integer-exact shares)
+# ---------------------------------------------------------------------------
+
+_TEMP_BUDGET = 300
+
+_TEMP_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+),
+sized AS (
+  SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s FROM counts
+),
+tot AS (SELECT CAST(sum(s) AS BIGINT) AS total_s FROM sized),
+targets AS (
+  SELECT lang, least(c, CAST({_TEMP_BUDGET} AS BIGINT) * sized.s // total_s) AS target_n
+  FROM sized, tot
+),
+ranked AS (
+  SELECT d.*, t.target_n,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY ({lehmer_hash_sql('d.doc_id')}) ASC, d.doc_id ASC
+         ) AS sample_rank
+  FROM documents d JOIN targets t USING (lang)
+)
+SELECT doc_id, text, lang, source, n_chars, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= target_n
+"""
+
+
+@register(
+    "doc_temperature_resample",
+    _TEMP_ORACLE,
+    "sqrt-temperature (T=2) mixture balancing with integer-exact shares",
+)
+def doc_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.sampling import temperature_resample
+
+    return temperature_resample(load_table(spark, sf_dir, "documents"), _TEMP_BUDGET)
