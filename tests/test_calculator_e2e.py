@@ -289,3 +289,17 @@ def test_distributed_spark_ingest_path(spark, geo):
     assert np.abs(pts["x"].to_numpy() - geo["info"]["px"]).max() < 1e-6
     attrs = c.attrs.orderBy("id").toPandas()
     assert "pid" in attrs.columns and len(attrs) == N_POINTS
+
+
+def test_distributed_ingest_empty_dataframe(spark, geo):
+    """Empty Spark-DataFrame ingest must build (explicit createDataFrame
+    schemas) and produce empty points/attrs, not a schema-inference error."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.calculator import Calculator
+
+    src = spark.createDataFrame([], "longitude double, latitude double, tag string")
+    c = Calculator(data_dir=geo["dir"], spark=spark, verbose=False)
+    c.add_point_with_table(src, x_col="longitude", y_col="latitude", epsg=4326)
+    assert c.points.count() == 0
+    assert c.attrs.count() == 0

@@ -86,3 +86,32 @@ def test_mixture_resample_exact_targets_and_determinism(docs):
         assert sizes.get(s, 0) == int(w * scale // 1), s
     again = mixture_resample(docs, weights).select("doc_id", "lang").toPandas()
     assert set(out["doc_id"]) == set(again["doc_id"])
+
+
+def test_temperature_resample_budget_monotone(spark):
+    """A larger budget keeps a superset: shares floor(B*s/S) are monotone in
+    B and membership is a rank prefix per stratum."""
+    from duckpipe_spark.functions.sampling import temperature_resample
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    small = {r.doc_id for r in temperature_resample(docs, 100).select("doc_id").collect()}
+    large = {r.doc_id for r in temperature_resample(docs, 300).select("doc_id").collect()}
+    assert small <= large
+    assert len(small) < len(large)
+
+
+def test_mixture_resample_weight_scale_invariant(spark):
+    """Multiplying every weight by a constant leaves the kept set unchanged
+    (the scale S = min c/w absorbs it)."""
+    from duckpipe_spark.functions.sampling import mixture_resample
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w1 = {"en": 6, "de": 2, "es": 1, "fr": 1}
+    w2 = {k: v * 7 for k, v in w1.items()}
+    a = {r.doc_id for r in mixture_resample(docs, w1).select("doc_id").collect()}
+    b = {r.doc_id for r in mixture_resample(docs, w2).select("doc_id").collect()}
+    assert a == b
