@@ -238,3 +238,45 @@ def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return salted_count(ev, "event_type").select("event_type", F.col("count").alias("n"))
+
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+         event_type, value
+  FROM events, unnest([0, 1]) AS u(k)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_sliding_rollup",
+    _SLIDING_ORACLE,
+    "sliding-window rollup (1h window / 30min slide), batch twin of the streaming agg",
+)
+def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event lands in window/slide = 2 overlapping windows; Spark's
+    built-in F.window handles the expansion natively (the oracle replays it
+    with an explicit unnest). Exact integer-cents sum as everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
