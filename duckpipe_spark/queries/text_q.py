@@ -336,3 +336,49 @@ def doc_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pr") >= 0.5)
         .select("doc_id", "lang", "quality", "pr")
     )
+
+
+# --- language-ID evaluation: confusion matrix vs labeled ground truth ------
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+c AS (
+  SELECT doc_id, lang, {_lang_counts_sql['en']} AS en, {_lang_counts_sql['de']} AS de,
+         {_lang_counts_sql['es']} AS es, {_lang_counts_sql['fr']} AS fr
+  FROM toks
+),
+guessed AS (
+  SELECT lang AS true_lang,
+    CASE
+      WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+      WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+      WHEN es > 0 AND es >= fr THEN 'es'
+      WHEN fr > 0 THEN 'fr'
+      ELSE 'und'
+    END AS guessed_lang
+  FROM c
+)
+SELECT true_lang, guessed_lang, count(*) AS n
+FROM guessed GROUP BY true_lang, guessed_lang
+"""
+
+
+@register(
+    "lang_id_confusion",
+    _LANG_CONFUSION_ORACLE,
+    "language-ID evaluation: confusion matrix of guesses vs labeled lang",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in-engine (same pattern as the ANN recall
+    operators): cross-tabulate the heuristic guess against the corpus's
+    labeled language — one scan, one shuffle on the (true, guessed) pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    guessed = with_language_guess(docs).join(
+        docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
+    )
+    return (
+        guessed.groupBy("true_lang", F.col("lang_guess").alias("guessed_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

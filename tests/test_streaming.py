@@ -255,3 +255,19 @@ def test_cdc_stream_folds_into_snapshot(spark, event_files, tmp_path):
     assert len(got) == len(exp)
     assert (got["event_id"].sort_index() == exp["event_id"].sort_index()).all()
     assert (got["event_type"].sort_index() == exp["event_type"].sort_index()).all()
+
+
+def test_sliding_windowed_rollup_matches_batch(spark, event_files):
+    """Sliding windows (1h/30min): complete-mode streaming result equals
+    the batch twin (each event expands into two overlapping windows)."""
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, windowed_rollup(stream, window="1 hour", slide="30 minutes"), "slide_t"
+    ).toPandas()
+    batch = load_table(spark, SF_SMOKE, "events")
+    exp = windowed_rollup(batch, window="1 hour", slide="30 minutes").toPandas()
+    key = ["window_start", "event_type"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e) > 0
+    assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
