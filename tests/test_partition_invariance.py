@@ -135,6 +135,23 @@ def op_sessionize(spark, scramble):
     )
 
 
+def op_temperature_resample(spark, scramble):
+    from duckpipe_spark.functions.sampling import temperature_resample
+
+    return temperature_resample(scramble(_docs(spark)), 100)
+
+
+def op_incremental_dedup(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.dedup import dedup_against_corpus
+
+    docs = scramble(_docs(spark))
+    return dedup_against_corpus(
+        docs.where(F.col("doc_id") % 2 == 1), docs.where(F.col("doc_id") % 2 == 0)
+    )
+
+
 def op_lsh_recall(spark, scramble):
     from duckpipe_spark.functions.similarity import N_PLANES, lsh_recall
 
@@ -156,6 +173,8 @@ _OPS = [
     op_column_stats,
     op_histogram,
     op_sessionize,
+    op_temperature_resample,
+    op_incremental_dedup,
 ]
 
 
