@@ -280,3 +280,47 @@ def events_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH first_click AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+converted AS (
+  SELECT DISTINCT f.user_id
+  FROM first_click f JOIN events e
+    ON e.user_id = f.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= f.t0 AND e.ts <= f.t0 + INTERVAL 1 HOUR
+)
+SELECT 'click' AS step, count(*) AS n_users FROM first_click
+UNION ALL
+SELECT 'click>purchase_1h' AS step, count(*) AS n_users FROM converted
+"""
+
+
+@register(
+    "events_funnel",
+    _FUNNEL_ORACLE,
+    "ordered conversion funnel: first click -> purchase within 1h, per-step user counts",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics: anchor each user at their FIRST click, then
+    count users with a purchase inside the following hour. One aggregate on
+    user_id + one equi-join with an interval predicate — the join keys on
+    user_id, so at scale it is a co-partitioned join, never a range
+    explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = (
+        ev.where(F.col("event_type") == "click").groupBy("user_id").agg(F.min("ts").alias("t0"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = (
+        first_click.join(purchases, "user_id")
+        .where((F.col("ts") >= F.col("t0")) & (F.col("ts") <= F.col("t0") + F.expr("INTERVAL 1 HOUR")))
+        .select("user_id")
+        .distinct()
+    )
+    a = first_click.agg(F.lit("click").alias("step"), F.count(F.lit(1)).alias("n_users"))
+    b = converted.agg(F.lit("click>purchase_1h").alias("step"), F.count(F.lit(1)).alias("n_users"))
+    return a.unionByName(b)
