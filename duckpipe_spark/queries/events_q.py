@@ -324,3 +324,41 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = first_click.agg(F.lit("click").alias("step"), F.count(F.lit(1)).alias("n_users"))
     b = converted.agg(F.lit("click>purchase_1h").alias("step"), F.count(F.lit(1)).alias("n_users"))
     return a.unionByName(b)
+
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST(datediff('day', f.cohort, date_trunc('day', e.ts)) AS BIGINT) AS day_offset
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort, day_offset, count(*) AS n_users
+FROM activity GROUP BY cohort, day_offset
+"""
+
+
+@register(
+    "events_retention_cohorts",
+    _RETENTION_ORACLE,
+    "retention matrix: users by first-seen day x active-day offset",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: bucket each user by first-seen day, count distinct
+    users active at each day offset. Two shuffles (first-seen agg on
+    user_id, distinct + count on the cohort pair) — both on high-cardinality
+    keys, no window over the whole table."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort"))
+    activity = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .join(firsts, "user_id")
+        .select("user_id", "cohort", F.datediff("day", "cohort").cast("bigint").alias("day_offset"))
+        .distinct()
+    )
+    return (
+        activity.groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort"), "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
