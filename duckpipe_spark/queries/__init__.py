@@ -82,11 +82,11 @@ base.DRIVER_ORDER[:] = [
     "doc_mixture_resample",
     "doc_span_dedup",
     "doc_source_rollup",
-    # events / timeseries (NTZ-loader fix evidence; quantiles & moving_avg
-    # verified by the local harness + pytest, displaced for the new ops)
+    "doc_incremental_dedup",
+    # events / timeseries (NTZ-loader fix evidence; json_extract shares
+    # props_rollup's fix class and moved to local-harness-only coverage)
     "events_hourly_rollup",
     "sessionize_users",
-    "events_json_extract",
     "events_session_window",
     "events_props_rollup",
     "asof_clicks_purchases",
