@@ -362,3 +362,35 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort"), "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_TRANSITIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+FROM ordered WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_transition_matrix",
+    _TRANSITIONS_ORACLE,
+    "per-user event-sequence transition counts (Markov matrix of the event stream)",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: consecutive event-type pairs within each user's
+    timeline — the first-order Markov transition matrix behind journey
+    analysis. One window (shuffle on user_id) + one pair aggregation; never
+    a self-join on the event table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
