@@ -394,3 +394,55 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_DAU_WAU_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+expanded AS (
+  SELECT user_id, d + k * INTERVAL 1 DAY AS window_day
+  FROM user_days, unnest(range(0, 7)) AS u(k)
+),
+wau AS (
+  SELECT window_day, count(DISTINCT user_id) AS wau FROM expanded GROUP BY window_day
+),
+dau AS (
+  SELECT d AS window_day, count(*) AS dau FROM user_days GROUP BY d
+)
+SELECT strftime(w.window_day, '%Y-%m-%d') AS day,
+       COALESCE(dau, 0) AS dau, wau
+FROM wau w LEFT JOIN dau USING (window_day)
+"""
+
+
+@register(
+    "events_dau_wau",
+    _DAU_WAU_ORACLE,
+    "rolling engagement: daily actives + trailing-7-day actives per day",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU without a per-day self-join: each (user, active-day) pair
+    expands into the 7 future window-days it contributes to (explode of a
+    7-element sequence — linear, not quadratic), then one distinct count
+    per window day. The trailing window whose anchor day had no events
+    still reports its WAU (dau coalesced to 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    expanded = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        "d",
+    ).select("user_id", F.expr("d + make_interval(0, 0, 0, k)").alias("window_day"))
+    wau = expanded.groupBy("window_day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = user_days.groupBy(F.col("d").alias("window_day")).agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        wau.join(dau, "window_day", "left")
+        .select(
+            F.date_format("window_day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+        )
+    )

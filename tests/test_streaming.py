@@ -271,3 +271,21 @@ def test_sliding_windowed_rollup_matches_batch(spark, event_files):
     e = exp.sort_values(key).reset_index(drop=True)
     assert len(g) == len(e) > 0
     assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
+
+
+def test_cdc_batch_apply_is_idempotent(spark, tmp_path):
+    """Re-applying the same CDC batch leaves the snapshot unchanged — the
+    property that makes foreachBatch's replay-on-failure delivery safe."""
+    from duckpipe_spark.streaming import apply_cdc_batch
+
+    snap = str(tmp_path / "idem_snap")
+    base = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice").limit(200)
+    batch = base.limit(20).withColumn("o_totalprice", F.col("o_totalprice") * 3)
+
+    apply_cdc_batch(spark, base, snap, key="o_orderkey", order_col="o_orderkey")
+    apply_cdc_batch(spark, batch, snap, key="o_orderkey", order_col="o_orderkey")
+    once = {(r.o_orderkey, round(r.o_totalprice, 4)) for r in spark.read.parquet(snap).collect()}
+    apply_cdc_batch(spark, batch, snap, key="o_orderkey", order_col="o_orderkey")
+    twice = {(r.o_orderkey, round(r.o_totalprice, 4)) for r in spark.read.parquet(snap).collect()}
+    assert once == twice
+    assert len(once) == 200
