@@ -38,31 +38,26 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # the engine's distinctive operator families first, then the unique-evidence
 # relational queries. Everything else (TPC-H sweep, rows-only stubs) follows
 # in registration order via base._ordered_items.
+# Round-4 rotation (VERDICT r3 item 1): the 16 queries that had never had a
+# driver CORRECTNESS row are swapped into the 50-entry gate, displacing
+# geo/dedup/ANN entries with >=2 green driver rounds (r2+r3, several r1-r3).
+# Queries modified THIS round (geo_pivot_pipeline collect-cap, doc_jaccard_pairs
+# df-cap, embedding_lsh_topk non-eager planes) stay in the gate so the changes
+# get fresh independent rows. With this window green, 101/102 of the catalog
+# is driver-attested (image_decode_stub stays rows-only by design).
 base.DRIVER_ORDER[:] = [
-    # geo pipelines (G1-G17, J3/J4/J6/J7, A2-A5, U1 hard evidence)
-    "geo_nearest_distance_pipeline",
-    "geo_buffer_clip_pipeline",
+    # geo (modified this round: bounded segment pull)
     "geo_pivot_pipeline",
-    "geo_elevation_pipeline",
-    # document dedup family
-    "doc_fingerprint_dedup",
-    "doc_minhash_signatures",
-    "doc_lsh_candidates",
-    "doc_simhash",
+    # dedup family (modified: df-capped jaccard; 1-green-round incremental)
     "doc_jaccard_pairs",
-    "doc_dup_components",
-    # embedding similarity / ANN family
-    "embedding_cosine_topk",
+    "doc_incremental_dedup",
+    # ANN family (modified: non-eager plane resolution; 1-green lsh_recall;
+    # never-driver-verified ivf_recall / cluster_profile)
     "embedding_lsh_topk",
-    "embedding_neardup_pairs",
-    "embedding_ivf_topk",
-    "embedding_pq_codes",
-    "embedding_pq_adc_topk",
-    "embedding_kmeans_cells",
-    "embedding_semantic_dedup",
     "embedding_lsh_recall",
-    # text analysis family
-    "doc_token_stats",
+    "embedding_ivf_recall",
+    "embedding_cluster_profile",
+    # text analysis family (+ never-verified lang_id_confusion)
     "doc_language_guess",
     "doc_quality_score",
     "doc_tfidf_topterms",
@@ -71,36 +66,47 @@ base.DRIVER_ORDER[:] = [
     "doc_pii_scrub",
     "doc_quality_percentile",
     "lang_top_bigrams",
-    # sampling / packing family
+    "lang_id_confusion",
+    # sampling / packing family (+ never-verified temperature resample)
     "doc_hash_split",
     "doc_stratified_sample",
     "doc_pack_sequences",
-    # corpus hygiene family (incl. round-3 span dedup + source rollup)
+    "doc_temperature_resample",
+    # corpus hygiene family
     "doc_decontamination",
     "doc_boilerplate",
     "doc_repetition_stats",
     "doc_mixture_resample",
     "doc_span_dedup",
     "doc_source_rollup",
-    "doc_incremental_dedup",
-    # events / timeseries (NTZ-loader fix evidence; json_extract shares
-    # props_rollup's fix class and moved to local-harness-only coverage)
+    # events / timeseries: r3 window + the 7 never-driver-verified
     "events_hourly_rollup",
     "sessionize_users",
     "events_session_window",
     "events_props_rollup",
     "asof_clicks_purchases",
+    "events_sliding_rollup",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "events_dau_wau",
+    "events_salted_counts",
+    "events_json_extract",
     # spatial proxies on TPC-H tables
     "nearest_feature_distance",
     "features_within_radius",
-    # multimodal (oracle-checked metadata path)
+    # multimodal (+ never-verified byte entropy)
     "blob_metadata",
-    # unique-evidence relational queries (q12 displaced: its HUGEINT-cast
-    # fix proved out in r2 and conditional aggregates appear throughout)
+    "blob_byte_entropy",
+    # relational: unique-evidence r3 window + the 4 never-driver-verified
     "approx_distinct_parts",
     "first_order_per_customer",
     "custkey_status_skeleton",
     "nation_stats_unpivot",
+    "lineitem_column_stats",
+    "lineitem_price_histogram",
+    "orders_merge_upsert",
+    "custkey_yearly_delta_full_outer",
 ]
 
 __all__ = ["REGISTRY", "spark_queries", "oracle_queries"]
