@@ -166,10 +166,34 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Document pairs with word-k-gram Jaccard ≥ threshold, via inverted
-    index: shingle equi-join gives |A∩B|; |A∪B| = |A|+|B|−|A∩B|."""
-    sh = word_shingles(df, text_col, id_col, k).cache()
+    index: shingle equi-join gives |A∩B|; |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_df`` caps shingle document frequency before the self-join: a
+    shingle present in d documents contributes O(d²) join rows, so one
+    stop-word k-gram shared by the whole corpus turns the inverted-index
+    join quadratic. Dropping shingles with df > max_df (standard IR
+    practice) keeps the pair count linear in corpus size; both |A∩B| and
+    the per-doc sizes are computed on the SAME filtered shingle universe,
+    so the reported Jaccard stays internally consistent, and near-dup
+    recall is unaffected at realistic thresholds (ubiquitous shingles
+    carry no discriminative signal). The hot-shingle list (df > max_df)
+    is tiny by construction and is removed with a broadcast anti-join —
+    one extra partial-aggregated groupBy, no new wide shuffle of the
+    (id, shingle) index. Pass ``max_df=None`` for the uncapped join.
+    """
+    sh = word_shingles(df, text_col, id_col, k)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

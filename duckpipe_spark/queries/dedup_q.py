@@ -133,13 +133,23 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_LIMIT = 200  # bound the pair blow-up in the oracle comparison
 _JACCARD_THRESHOLD = 0.1
+# Shingle document-frequency cap (skew guard): shingles in > max_df docs are
+# dropped before the self-join on BOTH sides of the comparison. At the test
+# corpus size no shingle reaches the cap, so the oracle additionally proves
+# the cap machinery leaves sub-threshold dfs untouched; the engaged-cap path
+# is pinned by tests/test_dedup_semantics.py::test_jaccard_df_cap_*.
+_JACCARD_MAX_DF = 1000
 
 _JACCARD_ORACLE = f"""
 WITH {_SHINGLES_SQL.format(filter=f' WHERE doc_id < {_JACCARD_LIMIT}')},
-sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+kept AS (
+  SELECT id, s FROM sh
+  QUALIFY count(*) OVER (PARTITION BY s) <= {_JACCARD_MAX_DF}
+),
+sizes AS (SELECT id, count(*) AS n FROM kept GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  FROM kept a JOIN kept b ON a.s = b.s AND a.id < b.id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -154,7 +164,7 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {_JACCARD_THRESHOLD}
 @register("doc_jaccard_pairs", _JACCARD_ORACLE, "n-gram Jaccard near-dup pairs via inverted shingle index")
 def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _JACCARD_LIMIT)
-    return ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    return ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD, max_df=_JACCARD_MAX_DF)
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,36 @@ def test_jaccard_scores_planted_pair(spark, planted_docs):
     assert (1, 102) in pairs and 0.5 < pairs[(1, 102)] < 1.0
 
 
+def test_jaccard_df_cap_keeps_pair_count_linear(spark):
+    """Skew guard: one shingle present in EVERY doc would make the inverted-
+    index self-join emit O(n²) rows; with the df cap engaged the hot shingle
+    is dropped and pair count stays linear (here: zero, since the docs share
+    nothing else)."""
+    n = 60
+    # every doc starts with the same 3-word prefix (one ubiquitous trigram
+    # shingle); the remainder is doc-unique vocabulary
+    rows = [(i, "the quick fox " + " ".join(f"u{i}_{j}" for j in range(6))) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=10)
+    assert capped.count() == 0
+    # uncapped control: the shared shingle alone links every doc pair
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=None)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_jaccard_df_cap_noop_below_threshold(spark, planted_docs):
+    """A cap larger than any shingle's df must not change any score."""
+    with_cap = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted_docs, threshold=0.2, max_df=10_000).collect()
+    }
+    no_cap = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(planted_docs, threshold=0.2, max_df=None).collect()
+    }
+    assert with_cap == no_cap
+
+
 def test_simhash_hamming_close_for_neardup(spark, planted_docs):
     sims = {r["id"]: r["simhash"] for r in simhash(planted_docs).collect()}
     def hamming(a, b):
