@@ -199,11 +199,22 @@ FROM a JOIN b ON a.id = b.id
           "long-form union → engine pivot_wide vs conditional-agg oracle")
 def geo_pivot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both variants come from ONE feature scan: encode WKB with a parity
-    passthrough, decode through the real codec once, collect the small
-    segment table once, slice per variant into the Arrow distance kernel."""
+    passthrough, decode through the real codec once, pull the segment table
+    once (bounded), slice per variant into the Arrow distance kernel.
+
+    The driver pull is capped at ``MAX_BROADCAST_SEGMENTS`` exactly like
+    ``operators.distance.nearest_distance``: past the cap the query degrades
+    to the shuffle cross-join + codegen-distance plan per variant instead of
+    accumulating unbounded segment arrays on the driver (the cap-engaged
+    path is pinned by tests/test_geo_queries.py::test_geo_pivot_cap_fallback).
+    """
     import numpy as np
 
-    from duckpipe_spark.operators.distance import nearest_distance_from_array
+    from duckpipe_spark.operators import distance as _dist
+    from duckpipe_spark.operators.distance import (
+        nearest_distance_from_array,
+        point_segment_distance_col,
+    )
     from duckpipe_spark.operators.features import decode_segments
 
     pts = _points(spark, sf_dir)
@@ -226,12 +237,37 @@ def geo_pivot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = supp.mapInPandas(gen, "geometry binary, par int")
     segs = decode_segments(feats, keep_cols=["par"])
-    rows = segs.select("par", "x1", "y1", "x2", "y2").collect()
-    arr = np.array(rows, dtype=np.float64).reshape(-1, 5)
-    even, odd = arr[arr[:, 0] == 0, 1:], arr[arr[:, 0] == 1, 1:]
-    long = nearest_distance_from_array(pts, even, "D_FeatEven", _YEAR).unionByName(
-        nearest_distance_from_array(pts, odd, "D_FeatOdd", _YEAR)
-    )
+    cap = _dist.MAX_BROADCAST_SEGMENTS
+    pdf = segs.select("par", "x1", "y1", "x2", "y2").limit(cap + 1).toPandas()
+    if len(pdf) <= cap:
+        arr = pdf.to_numpy(dtype="float64").reshape(-1, 5)
+        even, odd = arr[arr[:, 0] == 0, 1:], arr[arr[:, 0] == 1, 1:]
+        long = nearest_distance_from_array(pts, even, "D_FeatEven", _YEAR).unionByName(
+            nearest_distance_from_array(pts, odd, "D_FeatOdd", _YEAR)
+        )
+    else:
+        # Cap hit: the feature side is not broadcast-small. Shuffle plan —
+        # cross join each parity slice, codegen distance, partial-agg MIN.
+        d = point_segment_distance_col(
+            F.col("x"), F.col("y"), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+        )
+
+        def variant(par: int, name: str) -> DataFrame:
+            s = segs.where(F.col("par") == par).select("x1", "y1", "x2", "y2")
+            return (
+                pts.crossJoin(s)
+                .select("id", d.alias("d"))
+                .groupBy("id")
+                .agg(F.min("d").alias("value"))
+                .select(
+                    "id",
+                    F.lit(name).alias("varname"),
+                    F.lit(_YEAR).cast("int").alias("year"),
+                    F.col("value").cast("double"),
+                )
+            )
+
+        long = variant(0, "D_FeatEven").unionByName(variant(1, "D_FeatOdd"))
     return pivot_wide(long).select(
         "id", F.col("year").cast("int").alias("year"), "D_FeatEven", "D_FeatOdd"
     )
