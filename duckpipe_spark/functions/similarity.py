@@ -113,10 +113,24 @@ def lsh_bucket_col(vec: Column, n_planes: int = N_PLANES) -> Column:
     return out
 
 
-def _resolve_planes(embeddings: DataFrame, n_planes: int | None) -> int:
-    """None → derive from corpus size (one metadata count; at production
-    scale pass the known row count explicitly via planes_for_corpus)."""
-    return n_planes if n_planes is not None else planes_for_corpus(embeddings.count())
+def _resolve_planes(n_planes: int | None, n_rows: int | None) -> int:
+    """Strictly lazy plane-count resolution: either pin ``n_planes`` or pass
+    the (approximately) known corpus size as ``n_rows`` and let
+    ``planes_for_corpus`` size the bucket space. Earlier versions fell back
+    to an eager ``embeddings.count()`` — one extra Spark job launched at
+    pipeline-CONSTRUCTION time for every call, invisible in the returned
+    plan. At 100 TB that is a full table scan before the query even starts,
+    so the silent fallback is gone; the row count can be approximate (the
+    plane count only moves per doubling of corpus size)."""
+    if n_planes is not None:
+        return n_planes
+    if n_rows is not None:
+        return planes_for_corpus(n_rows)
+    raise ValueError(
+        "pass n_planes or n_rows: auto-sizing LSH planes would require an "
+        "eager count of the embedding table at pipeline-construction time "
+        "(use planes_for_corpus(n_rows) to size from a known corpus size)"
+    )
 
 
 def lsh_topk(
@@ -126,10 +140,11 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket
     (hash equi-join), then exact cosine ranking within the bucket."""
-    n_planes = _resolve_planes(embeddings, n_planes)
+    n_planes = _resolve_planes(n_planes, n_rows)
     bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), n_planes))
     q = bucketed.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
@@ -151,11 +166,13 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets (pairs must
     share a bucket), exact cosine filter afterwards. Bucket count scales
-    with the corpus (``planes_for_corpus``) unless pinned by ``n_planes``."""
-    n_planes = _resolve_planes(embeddings, n_planes)
+    with the corpus (``planes_for_corpus`` over ``n_rows``) unless pinned
+    by ``n_planes``; one of the two is required (see ``_resolve_planes``)."""
+    n_planes = _resolve_planes(n_planes, n_rows)
     bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), n_planes))
     a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
@@ -479,6 +496,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: transitively close the
     cosine>=threshold near-dup pairs into clusters and keep the min-id
@@ -494,7 +512,7 @@ def semantic_dedup(
     """
     from duckpipe_spark.functions.dedup import connected_components
 
-    pairs = embedding_neardup_pairs(embeddings, threshold, id_col, vec_col, n_planes)
+    pairs = embedding_neardup_pairs(embeddings, threshold, id_col, vec_col, n_planes, n_rows)
     comps = connected_components(pairs).withColumnRenamed("id", id_col)
     return (
         embeddings.select(F.col(id_col).cast("bigint").alias(id_col))
@@ -512,6 +530,7 @@ def lsh_recall(
     query_ids: list[int],
     k: int = 5,
     n_planes: int | None = None,
+    n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -525,7 +544,9 @@ def lsh_recall(
     Deterministic: both sides use the same rounded-cosine tie-break, and
     recall is an integer hit count divided once."""
     exact = brute_force_topk(embeddings, query_ids, k, id_col=id_col, vec_col=vec_col)
-    approx = lsh_topk(embeddings, query_ids, k, n_planes=n_planes, id_col=id_col, vec_col=vec_col)
+    approx = lsh_topk(
+        embeddings, query_ids, k, n_planes=n_planes, n_rows=n_rows, id_col=id_col, vec_col=vec_col
+    )
     return topk_recall(exact, approx, k)
 
 

@@ -125,7 +125,7 @@ def test_brute_force_topk_stays_in_cluster(spark, planted_vectors):
 
 def test_lsh_topk_recall_vs_bruteforce(spark, planted_vectors):
     exact = brute_force_topk(planted_vectors, query_ids=[0, 20, 40, 60, 80], k=5)
-    approx = lsh_topk(planted_vectors, query_ids=[0, 20, 40, 60, 80], k=5)
+    approx = lsh_topk(planted_vectors, query_ids=[0, 20, 40, 60, 80], k=5, n_rows=100)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)

@@ -37,6 +37,24 @@ def test_planes_for_corpus_growth_and_clamps():
     assert planes_for_corpus(10**6) > N_PLANES
 
 
+def test_plane_resolution_is_strictly_lazy(spark):
+    """Auto plane sizing must never launch a Spark job at pipeline-
+    construction time: with neither n_planes nor n_rows the API refuses
+    (there is no eager .count() fallback), and passing a corpus size uses
+    planes_for_corpus without touching the data."""
+    from duckpipe_spark.functions.similarity import embedding_neardup_pairs, lsh_topk
+
+    emb = _synthetic_embeddings(spark, 8)
+    with pytest.raises(ValueError, match="n_planes or n_rows"):
+        lsh_topk(emb, query_ids=[0], k=1)
+    with pytest.raises(ValueError, match="n_planes or n_rows"):
+        embedding_neardup_pairs(emb)
+    # n_rows path sizes from the stated corpus, not a scan: a nonexistent
+    # huge corpus size is accepted at construction (plan only, no job)
+    df = lsh_topk(emb, query_ids=[0], k=1, n_rows=10**9)
+    assert "bucket" not in df.columns  # plan constructed fine
+
+
 def test_hyperplane_prefix_property():
     """Same seed fills rows sequentially: more planes = same first rows, so
     a bigger plane count splits buckets instead of reassigning them."""
