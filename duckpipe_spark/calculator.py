@@ -74,8 +74,16 @@ _ELEV_TYPES = ["dem", "dsm"]
 # Accepted scalar types per declared element type. int is acceptable where
 # float is declared (a user writing buffer_sizes=100 means 100.0); bool is
 # NEVER acceptable as a number (it is an int subclass, but years=True is a
-# bug, not a year).
-_SCALAR_OK = {int: (int,), float: (int, float), str: (str,)}
+# bug, not a year). The abstract numbers ABCs admit numpy scalars too —
+# np.int64 registers as Integral, np.float64 as Real — so values sliced out
+# of a pandas/numpy column normalize instead of raising.
+import numbers
+
+_SCALAR_OK = {
+    int: (numbers.Integral,),
+    float: (numbers.Integral, numbers.Real),
+    str: (str,),
+}
 
 
 def _as_list(v, typ, label="argument"):

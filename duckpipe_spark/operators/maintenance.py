@@ -52,18 +52,31 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return out
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
     """Last-writer-wins keyed merge: every key present in ``updates`` takes
     the updates row; all other base rows pass through. The batch equivalent
     of `MERGE INTO base USING updates ON key WHEN MATCHED THEN UPDATE WHEN
     NOT MATCHED THEN INSERT`.
 
-    Plan: one left-anti join on the key (broadcast when the updates batch is
-    small — the common case for incremental loads) + a union. The base side
-    is never shuffled when the anti-join broadcasts, so a daily merge reads
-    the snapshot once and writes it once."""
+    Plan: one left-anti join on the key + a union. With
+    ``broadcast_updates=True`` (default — correct for incremental loads,
+    where the updates batch is orders of magnitude smaller than the
+    snapshot) the distinct update-key set is broadcast and the base side is
+    never shuffled, so a daily merge reads the snapshot once and writes it
+    once. The hint is unconditional when set: a caller merging a LARGE
+    updates batch must pass ``broadcast_updates=False`` to let the planner
+    choose (AQE still converts to broadcast at runtime if the key set turns
+    out small) — force-broadcasting a huge key set OOMs the driver."""
     keys = [key] if isinstance(key, str) else list(key)
-    survivors = base.join(F.broadcast(updates.select(*keys).distinct()), keys, "left_anti")
+    key_set = updates.select(*keys).distinct()
+    if broadcast_updates:
+        key_set = F.broadcast(key_set)
+    survivors = base.join(key_set, keys, "left_anti")
     return updates.unionByName(survivors)
 
 

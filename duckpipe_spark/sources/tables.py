@@ -36,13 +36,39 @@ import weakref
 _SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
+def _freshness_token(path: str) -> float:
+    """Cheap staleness guard for the scan memo: the parquet directory's
+    mtime (a rewrite replaces/touches the directory). Non-local paths
+    (s3a:// etc.) return 0 — object stores don't rewrite in place here and
+    a remote stat per load would cost what the memo saves."""
+    import os
+
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
+
+
+def invalidate_scan_memo(spark: SparkSession | None = None) -> None:
+    """Drop memoized scans (for ``spark``, or every session when None) —
+    call after overwriting parquet a memoized plan may point at."""
+    if spark is None:
+        _SCAN_MEMO.clear()
+    else:
+        _SCAN_MEMO.pop(spark, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Filters/projections applied by callers are
     pushed into the scan by Catalyst (verify via .explain → PushedFilters).
     Repeated loads of the same table in one session return the same
-    DataFrame object (plan reuse, not data caching — nothing is pinned)."""
+    DataFrame object (plan reuse, not data caching — nothing is pinned).
+    The memo key carries the directory mtime, so a regenerated/overwritten
+    table gets a fresh scan (stale entries would otherwise return plans
+    over deleted part files); `invalidate_scan_memo` force-clears."""
     memo = _SCAN_MEMO.setdefault(spark, {})
-    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name, _freshness_token(path))
     if key in memo:
         return memo[key]
     if name == "events":

@@ -97,6 +97,24 @@ def test_runtime_typecheck_raises_clear_errors(spark, geo):
         c2.add_point_with_table(geo["info"]["points"], epsg="4326")
 
 
+def test_numpy_scalars_normalize_in_typecheck():
+    """Values sliced from pandas/numpy columns (np.int64, np.float64,
+    ndarray) pass the runtime typecheck as their abstract-number kinds;
+    bools (incl. np.bool_) never count as numbers."""
+    import numpy as np
+
+    from duckpipe_spark.calculator import _as_list
+
+    assert _as_list(np.int64(2010), int) == [2010]
+    assert _as_list(np.array([2000, 2005]), int) == [2000, 2005]
+    assert _as_list(np.float64(1.5), float) == [1.5]
+    assert _as_list(np.int32(100), float) == [100.0]
+    with pytest.raises(TypeError):
+        _as_list(np.float64(1.5), int)  # float where int declared still raises
+    with pytest.raises(TypeError):
+        _as_list(np.bool_(True), int)
+
+
 def test_coastline_simplify_changes_distance(spark, geo):
     c = _calc(spark, geo).calculate_coastline_distance(years=[2000])
     got = c.result_long().toPandas().sort_values("id")["value"].to_numpy()

@@ -184,3 +184,29 @@ def test_merge_upsert_properties(spark):
     got = {r.o_orderkey: r.o_totalprice for r in once.collect()}
     for k, v in upd.items():
         assert got[k] == v
+
+
+def test_scan_memo_refreshes_on_rewrite(spark, tmp_path):
+    """The load_table memo must not return stale plans after the parquet
+    directory is regenerated (the driver testdata IS rewritten between
+    rounds); the memo key carries the directory mtime."""
+    import os
+    import time
+
+    from duckpipe_spark.sources.tables import invalidate_scan_memo
+
+    sf = str(tmp_path)
+    spark.range(5).toDF("doc_id").write.parquet(f"{sf}/documents.parquet")
+    first = load_table(spark, sf, "documents")
+    assert load_table(spark, sf, "documents") is first  # memo hit
+    assert first.count() == 5
+
+    spark.range(9).toDF("doc_id").write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    # ensure the mtime moves even on coarse-grained filesystems
+    os.utime(f"{sf}/documents.parquet", (time.time() + 2, time.time() + 2))
+    fresh = load_table(spark, sf, "documents")
+    assert fresh is not first
+    assert fresh.count() == 9
+
+    invalidate_scan_memo(spark)
+    assert load_table(spark, sf, "documents") is not fresh  # forced re-scan

@@ -289,3 +289,59 @@ def test_cdc_batch_apply_is_idempotent(spark, tmp_path):
     twice = {(r.o_orderkey, round(r.o_totalprice, 4)) for r in spark.read.parquet(snap).collect()}
     assert once == twice
     assert len(once) == 200
+
+
+def _snap_rows(spark, snap):
+    return {(r.o_orderkey, round(r.o_totalprice, 4)) for r in spark.read.parquet(snap).collect()}
+
+
+def test_cdc_swap_recovers_from_any_crash_point(spark, tmp_path):
+    """Crash-safety of the snapshot swap: simulate every interruption state
+    the swap can leave behind and check the next apply_cdc_batch recovers
+    without losing previously merged state."""
+    import shutil
+    from pathlib import Path
+
+    from duckpipe_spark.streaming import apply_cdc_batch
+
+    snap = str(tmp_path / "crash_snap")
+    base = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice").limit(100)
+    apply_cdc_batch(spark, base, snap, key="o_orderkey", order_col="o_orderkey")
+    merged = _snap_rows(spark, snap)
+    batch = base.limit(10).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+
+    # state A: crash between demote(live->old) and promote(tmp->live):
+    # live missing, complete tmp + old present -> replay promotes tmp
+    shutil.copytree(snap, snap + ".tmp")
+    Path(snap).rename(snap + ".old")
+    apply_cdc_batch(spark, batch, snap, key="o_orderkey", order_col="o_orderkey")
+    after = _snap_rows(spark, snap)
+    assert len(after) == 100 and after != merged  # updates applied on FULL prior state
+    assert not Path(snap + ".tmp").exists() and not Path(snap + ".old").exists()
+
+    # state B: crash mid-write of tmp (no _SUCCESS): live intact -> stale tmp dropped
+    Path(snap + ".tmp").mkdir()
+    (Path(snap + ".tmp") / "part-00000.parquet").write_bytes(b"garbage")
+    apply_cdc_batch(spark, base, snap, key="o_orderkey", order_col="o_orderkey")
+    assert len(_snap_rows(spark, snap)) == 100
+    assert not Path(snap + ".tmp").exists()
+
+    # state C: crash after demote with INCOMPLETE tmp: roll back to old
+    state = _snap_rows(spark, snap)
+    Path(snap).rename(snap + ".old")
+    Path(snap + ".tmp").mkdir()
+    (Path(snap + ".tmp") / "part-00000.parquet").write_bytes(b"garbage")
+    apply_cdc_batch(spark, base.limit(0), snap, key="o_orderkey", order_col="o_orderkey")
+    assert _snap_rows(spark, snap) == state  # nothing lost, empty batch is a no-op merge
+
+
+def test_latest_per_key_breaks_order_ties_deterministically(spark):
+    """Two CDC rows with equal (key, order_col) must elect the same winner
+    on every run: the tie-break orders by the remaining payload columns."""
+    from duckpipe_spark.streaming import latest_per_key
+
+    rows = [(1, 10, "b"), (1, 10, "a"), (2, 5, "x")]
+    df = spark.createDataFrame(rows, "k int, ord int, payload string").repartition(8)
+    for _ in range(3):
+        got = {(r.k, r.payload) for r in latest_per_key(df, "k", "ord").collect()}
+        assert got == {(1, "b"), (2, "x")}  # desc tie-break: 'b' > 'a'
