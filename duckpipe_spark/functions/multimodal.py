@@ -3,11 +3,12 @@
 ``mapInPandas`` kernels.
 
 The Spark-side machinery — schema, partitioning, UDF signatures, batch shapes
-— is real and tested. The media *decode* step itself is stubbed behind an
-import-try (no image/audio libraries in this container): with
-``fake_decode=True`` it produces a deterministic pseudo-decode derived from
-the blob bytes, otherwise it raises ``NotImplementedError`` at the exact
-point a real codec (Pillow/ffmpeg) would plug in.
+— is real and tested. Image decode has one REAL path: PNG blobs decode
+through the vendored pure-python codec (`functions.png`; Pillow is used
+instead when importable). Other media formats are stubbed behind an
+import-try: with ``fake_decode=True`` they produce a deterministic
+pseudo-decode derived from the blob bytes, otherwise ``NotImplementedError``
+at the exact point a real codec (Pillow/ffmpeg) would plug in.
 
 Byte-level feature extraction (histogram, entropy, byte stats) is fully real
 — those are the kernels a 100 TB curation pipeline runs before any decode
@@ -89,10 +90,12 @@ def decode_images(
 ) -> DataFrame:
     """Image decode → (width, height, channels, mean_pixel).
 
-    Real path requires an image codec; STUBBED in this environment. The fake
-    path derives deterministic dimensions/statistics from the blob's sha1 so
-    the downstream plumbing (schema, joins, aggregations) is exercised
-    end-to-end with stable results.
+    Decode priority per blob: Pillow if importable (any format) → the
+    vendored pure-python PNG decoder (`functions.png`, REAL decode, 8-bit
+    non-interlaced PNGs) → ``fake_decode`` (deterministic pseudo-decode
+    from the blob's sha1, for plumbing tests) → ``NotImplementedError``.
+    Non-PNG formats without Pillow are exactly where a production deploy
+    plugs in its codec.
     """
     try:  # pragma: no cover - not present in this container
         from PIL import Image  # noqa: F401
@@ -102,6 +105,8 @@ def decode_images(
         have_pil = False
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckpipe_spark.functions.png import decode_png
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
@@ -117,6 +122,11 @@ def decode_images(
                     out.append(
                         (bid, img.width, img.height, arr.shape[2] if arr.ndim == 3 else 1,
                          float(arr.mean()))
+                    )
+                elif _sniff_format(blob) == "png":
+                    arr = decode_png(blob)  # real decode, no image library
+                    out.append(
+                        (bid, arr.shape[1], arr.shape[0], arr.shape[2], float(arr.mean()))
                     )
                 elif fake_decode:
                     h = hashlib.sha1(blob).digest()

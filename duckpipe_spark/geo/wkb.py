@@ -95,16 +95,33 @@ class _Reader:
         self.pos = 0
 
     def u8(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated WKB")
         v = self.buf[self.pos]
         self.pos += 1
         return v
 
     def u32(self, le: bool) -> int:
-        v = struct.unpack_from("<I" if le else ">I", self.buf, self.pos)[0]
+        try:
+            v = struct.unpack_from("<I" if le else ">I", self.buf, self.pos)[0]
+        except struct.error as e:
+            raise ValueError(f"truncated WKB: {e}") from e
         self.pos += 4
         return v
 
+    def check_count(self, n: int, min_bytes_each: int) -> int:
+        """Sanity-bound an element count against the remaining buffer: a
+        garbage count field (corrupt row) must fail fast instead of driving
+        a multi-gigabyte allocation or a billion-iteration loop."""
+        if n * min_bytes_each > len(self.buf) - self.pos:
+            raise ValueError(
+                f"malformed WKB: count {n} exceeds remaining buffer "
+                f"({len(self.buf) - self.pos} bytes)"
+            )
+        return n
+
     def coords(self, n: int, le: bool) -> np.ndarray:
+        self.check_count(n, 16)
         arr = np.frombuffer(
             self.buf, dtype="<f8" if le else ">f8", count=2 * n, offset=self.pos
         )
@@ -132,19 +149,36 @@ def _read_geometry(r: _Reader) -> Geometry:
         n = r.u32(le)
         return Geometry("LineString", r.coords(n, le))
     if base == _POLYGON:
-        n_rings = r.u32(le)
+        n_rings = r.check_count(r.u32(le), 4)  # each ring: at least a count
         rings = [r.coords(r.u32(le), le) for _ in range(n_rings)]
         return Geometry("Polygon", rings)
     if base in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
-        n = r.u32(le)
+        n = r.check_count(r.u32(le), 5)  # each sub-geom: order byte + type
         return Geometry(_TYPE_NAMES[base], [_read_geometry(r) for _ in range(n)])
     raise ValueError(f"unsupported WKB type {base}")
 
 
-def from_wkb(buf: bytes | bytearray | memoryview | None) -> Geometry | None:
+def from_wkb(
+    buf: bytes | bytearray | memoryview | None, tolerant: bool = False
+) -> Geometry | None:
+    """Decode one WKB buffer. ``tolerant=True`` returns None for malformed
+    input (truncated buffer, garbage type word, absurd counts, Z/M data)
+    instead of raising — corpus data at scale always contains garbage rows,
+    and one corrupt geometry must not kill a 100 TB decode job. Callers
+    that want the skip COUNTED use ``operators.features.wkb_decode_stats``.
+    """
     if buf is None:
         return None
-    return _read_geometry(_Reader(bytes(buf)))
+    try:
+        return _read_geometry(_Reader(bytes(buf)))
+    except ValueError:
+        if tolerant:
+            return None
+        raise
+    except (struct.error, IndexError, OverflowError, RecursionError) as e:  # defensive: garbage bytes
+        if tolerant:
+            return None
+        raise ValueError(f"malformed WKB: {e}") from e
 
 
 # ---------------------------------------------------------------------------

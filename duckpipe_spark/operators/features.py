@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from duckpipe_spark.geo import geom, wkb
@@ -38,13 +39,16 @@ def decode_segments(
     keep_cols: list[str] | None = None,
     geometry_col: str = "geometry",
     simplify_tol: float | None = None,
+    tolerant: bool = False,
 ) -> DataFrame:
     """Explode geometries into segments. Point features become degenerate
     zero-length segments (the distance/clip math handles them).
 
     Mirrors `NOT ST_IsEmpty(geometry)` filtering
     (`AirportDistanceCalculator.py:43`) and optional `ST_Simplify`
-    (`CoastlineDistanceCalculator.py:18,40`).
+    (`CoastlineDistanceCalculator.py:18,40`). ``tolerant=True`` skips
+    malformed WKB rows instead of failing the job (run
+    ``wkb_decode_stats`` on the same table to count them).
     """
     keep_cols = keep_cols or []
     base = _passthrough_schema(df, keep_cols)
@@ -58,7 +62,7 @@ def decode_segments(
                 raw = getattr(row, geometry_col)
                 if raw is None:
                     continue
-                g = wkb.from_wkb(raw)
+                g = wkb.from_wkb(raw, tolerant=tolerant)
                 if g is None or g.is_empty:
                     continue
                 if simplify_tol is not None:
@@ -85,9 +89,11 @@ def decode_bbox(
     keep_cols: list[str] | None = None,
     geometry_col: str = "geometry",
     with_area: bool = False,
+    tolerant: bool = False,
 ) -> DataFrame:
     """Keep WKB, add bbox columns (and optionally the polygon area, used by
-    the OA intersection-ratio denominator, `_IntersectingOACalculator.py:77`)."""
+    the OA intersection-ratio denominator, `_IntersectingOACalculator.py:77`).
+    ``tolerant=True`` skips malformed WKB rows instead of failing the job."""
     keep_cols = keep_cols or []
     base = _passthrough_schema(df, keep_cols)
     schema = (base + ", " if base else "") + "geometry binary, xmin double, ymin double, xmax double, ymax double"
@@ -101,7 +107,7 @@ def decode_bbox(
                 raw = getattr(row, geometry_col)
                 if raw is None:
                     continue
-                g = wkb.from_wkb(raw)
+                g = wkb.from_wkb(raw, tolerant=tolerant)
                 if g is None or g.is_empty:
                     continue
                 b = geom.bounds(g)
@@ -116,3 +122,45 @@ def decode_bbox(
                 yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(gen, schema)
+
+
+def wkb_decode_stats(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Decode-health profile of a geometry column in one distributed pass →
+    a single row (n_rows, n_null, n_malformed, n_empty, n_ok). This is the
+    skip COUNT surfaced for tolerant decodes: run it once per ingest and
+    alert when n_malformed moves — corpus data at 100 TB always contains
+    garbage rows, and a silent skip rate is how a feed regression hides.
+    Per-partition counting in the Arrow batch loop + one tiny global sum."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_rows = n_null = n_malformed = n_empty = n_ok = 0
+        for pdf in batches:
+            for raw in pdf[geometry_col]:
+                n_rows += 1
+                if raw is None:
+                    n_null += 1
+                    continue
+                try:
+                    g = wkb.from_wkb(raw)
+                except ValueError:
+                    n_malformed += 1
+                    continue
+                if g is None or g.is_empty:
+                    n_empty += 1
+                else:
+                    n_ok += 1
+        yield pd.DataFrame(
+            {
+                "n_rows": [n_rows],
+                "n_null": [n_null],
+                "n_malformed": [n_malformed],
+                "n_empty": [n_empty],
+                "n_ok": [n_ok],
+            }
+        )
+
+    schema = "n_rows bigint, n_null bigint, n_malformed bigint, n_empty bigint, n_ok bigint"
+    part = df.select(geometry_col).mapInPandas(gen, schema)
+    return part.agg(
+        *[F.sum(c).alias(c) for c in ["n_rows", "n_null", "n_malformed", "n_empty", "n_ok"]]
+    )

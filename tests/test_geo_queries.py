@@ -26,3 +26,27 @@ def test_geo_pivot_cap_fallback(spark, monkeypatch):
     monkeypatch.setattr(dist, "MAX_BROADCAST_SEGMENTS", 1)
     got = _rows(geo_pivot_pipeline(spark, SF_SMOKE))
     assert got == expected
+
+
+def test_tolerant_decode_and_stats(spark):
+    """decode_segments(tolerant=True) survives malformed WKB rows, and
+    wkb_decode_stats counts every row into exactly one health bucket."""
+    from duckpipe_spark.geo import wkb
+    from duckpipe_spark.operators.features import decode_segments, wkb_decode_stats
+
+    good = wkb.to_wkb(wkb.linestring([(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]))
+    empty = wkb.to_wkb(wkb.point(float("nan"), float("nan")))
+    rows = [(1, good), (2, b"\x01\x02garbage"), (3, None), (4, empty), (5, good[:7])]
+    df = spark.createDataFrame(rows, "fid bigint, geometry binary")
+
+    segs = decode_segments(df, keep_cols=["fid"], tolerant=True)
+    assert {r.fid for r in segs.collect()} == {1}  # only the good row decodes
+
+    s = wkb_decode_stats(df).collect()[0]
+    assert (s.n_rows, s.n_null, s.n_malformed, s.n_empty, s.n_ok) == (5, 1, 2, 1, 1)
+
+    # strict mode still fails loudly on the malformed row
+    import pytest
+
+    with pytest.raises(Exception):
+        decode_segments(df, keep_cols=["fid"]).collect()

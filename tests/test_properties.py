@@ -23,6 +23,41 @@ def test_wkb_roundtrip_linestring(coords):
     assert np.allclose(g2.data, np.asarray(coords), rtol=0, atol=0)
 
 
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_wkb_tolerant_never_raises_on_garbage(buf):
+    """tolerant decode is total over arbitrary bytes: malformed input maps
+    to None (or decodes, if the bytes happen to be valid WKB) — never an
+    exception, never a huge allocation from a garbage count field."""
+    g = wkb.from_wkb(buf, tolerant=True)
+    assert g is None or isinstance(g, wkb.Geometry)
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=2, max_size=10), st.integers(1, 40))
+@settings(max_examples=200, deadline=None)
+def test_wkb_truncated_raises_strict_skips_tolerant(coords, cut):
+    """Every strict prefix of a valid buffer is malformed: strict mode
+    raises ValueError, tolerant mode returns None (a truncated buffer must
+    never decode to a silently-shorter geometry)."""
+    buf = wkb.to_wkb(wkb.linestring(coords))
+    trunc = buf[: max(0, len(buf) - cut)]
+    if not trunc or len(trunc) >= len(buf):
+        return
+    with pytest.raises(ValueError):
+        wkb.from_wkb(trunc)
+    assert wkb.from_wkb(trunc, tolerant=True) is None
+
+
+def test_wkb_garbage_count_fails_fast():
+    """A corrupt count field (here: 2^31 points) must raise, not allocate."""
+    import struct
+
+    evil = b"\x01" + struct.pack("<I", 2) + struct.pack("<I", 1 << 31)  # linestring
+    with pytest.raises(ValueError):
+        wkb.from_wkb(evil)
+    assert wkb.from_wkb(evil, tolerant=True) is None
+
+
 @given(st.lists(st.tuples(coord, coord), min_size=3, max_size=20), coord, coord)
 @settings(max_examples=200, deadline=None)
 def test_distance_symmetry_point_vertices(coords, px, py):
