@@ -1,0 +1,131 @@
+"""sf1 scale smoke: run the compute-bound headline queries at 10× the
+driver's largest testdata (sf0.1 → sf1) on BOTH engines and print the
+ratio trend — the measurement behind BASELINE.md §6's "Spark's fixed job
+overhead amortizes as data grows" claim.
+
+sf1 tables are synthesized once by replicating sf0.1 ten times with
+id-remapping (keys stay unique and join cardinalities scale linearly,
+which is what matters for the scan/join/agg work these queries do; value
+distributions repeat, which is fine for wall-clock scaling measurements).
+Written to <repo>/.scale/sf1/ (gitignored), ~10× sf0.1 on disk.
+
+    PYTHONPATH=. python examples/sf1_scale_smoke.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(REPO, ".scale", "sf1")
+COPIES = 10
+
+# id columns to remap per table so replicated rows keep unique keys and FK
+# joins scale linearly instead of fanning out copy×copy
+_REMAP: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "region": [],
+    "nation": [],
+}
+
+# compute-bound at sf0.1 (DuckDB >= ~0.3 s) — the 8 queries worth scaling
+QUERIES = [
+    "features_within_radius",
+    "geo_buffer_clip_pipeline",
+    "geo_nearest_distance_pipeline",
+    "nearest_feature_distance",
+    "embedding_lsh_topk",
+    "doc_span_dedup",
+    "doc_minhash_signatures",
+    "doc_lsh_candidates",
+]
+
+
+def synthesize(spark) -> None:
+    import pyspark.sql.functions as F
+
+    for t, keys in _REMAP.items():
+        out = f"{DST}/{t}.parquet"
+        if os.path.exists(out):
+            continue
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if not keys:  # tiny dims stay as-is
+            df.write.mode("overwrite").parquet(out)
+            continue
+        span = df.agg(F.max(keys[0])).collect()[0][0] + 1
+        copies = None
+        for i in range(COPIES):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, (F.col(k) + i * span).cast("bigint"))
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(out)
+        print(f"# synthesized {t} x{COPIES}", file=sys.stderr)
+
+
+def main() -> None:
+    from duckpipe_spark.queries import REGISTRY
+    from duckpipe_spark.session import get_spark
+
+    spark = get_spark("sf1-scale-smoke")
+    os.makedirs(DST, exist_ok=True)
+    synthesize(spark)
+
+    spark_t: dict[str, float] = {}
+    for name in QUERIES:
+        fn = REGISTRY[name].fn
+        len(fn(spark, DST).collect())  # warm
+        t0 = time.perf_counter()
+        len(fn(spark, DST).collect())
+        spark_t[name] = round(time.perf_counter() - t0, 2)
+        print(f"# spark {name}: {spark_t[name]}s", file=sys.stderr)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _REMAP:
+        # Spark writes each table as a directory of part files
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{DST}/{t}.parquet/*.parquet'")
+    duck_t: dict[str, float] = {}
+    for name in QUERIES:
+        q = REGISTRY[name].oracle
+        con.execute(q).fetchall()  # warm
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        duck_t[name] = round(time.perf_counter() - t0, 2)
+        print(f"# duckdb {name}: {duck_t[name]}s", file=sys.stderr)
+
+    ratios = {n: round(spark_t[n] / duck_t[n], 2) if duck_t[n] else None for n in QUERIES}
+    print(
+        json.dumps(
+            {
+                "sf": 1,
+                "spark_total": round(sum(spark_t.values()), 2),
+                "duckdb_total": round(sum(duck_t.values()), 2),
+                "spark": spark_t,
+                "duckdb": duck_t,
+                "ratio": ratios,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        import shutil
+
+        shutil.rmtree(DST, ignore_errors=True)
+    main()
