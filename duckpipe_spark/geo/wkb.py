@@ -6,9 +6,10 @@ engine keeps geometry as WKB ``BinaryType`` columns end-to-end (what Parquet
 stores for DuckDB/GeoParquet GEOMETRY columns) and decodes to numpy only
 inside kernels.
 
-Supports 2D Point/LineString/Polygon/Multi*/GeometryCollection, both byte
-orders, and tolerates EWKB SRID flags on input. Output is little-endian ISO
-WKB.
+Supports Point/LineString/Polygon/Multi*/GeometryCollection, both byte
+orders; tolerates EWKB SRID flags and accepts Z/M ordinates (ISO +1000
+offsets or EWKB flags) by dropping them — the engine is planar. Output is
+little-endian ISO 2D WKB.
 """
 
 from __future__ import annotations
@@ -120,13 +121,16 @@ class _Reader:
             )
         return n
 
-    def coords(self, n: int, le: bool) -> np.ndarray:
-        self.check_count(n, 16)
+    def coords(self, n: int, le: bool, extra: int = 0) -> np.ndarray:
+        """Read n points of (2 + extra) doubles each; Z/M ordinates (extra)
+        are read and dropped — the engine is planar."""
+        dims = 2 + extra
+        self.check_count(n, 8 * dims)
         arr = np.frombuffer(
-            self.buf, dtype="<f8" if le else ">f8", count=2 * n, offset=self.pos
+            self.buf, dtype="<f8" if le else ">f8", count=dims * n, offset=self.pos
         )
-        self.pos += 16 * n
-        return arr.astype(np.float64).reshape(-1, 2)
+        self.pos += 8 * dims * n
+        return arr.astype(np.float64).reshape(-1, dims)[:, :2]
 
 
 def _read_geometry(r: _Reader) -> Geometry:
@@ -134,23 +138,24 @@ def _read_geometry(r: _Reader) -> Geometry:
     type_word = r.u32(le)
     if type_word & _EWKB_SRID_FLAG:
         r.u32(le)  # skip SRID
-    if type_word & (_EWKB_Z_FLAG | _EWKB_M_FLAG):
-        raise ValueError("only 2D WKB supported")
-    # ISO WKB encodes Z/M as +1000/+2000 offsets
+    # Z/M ordinates are accepted and DROPPED (planar engine): EWKB flags or
+    # the ISO +1000 (Z) / +2000 (M) / +3000 (ZM) type offsets
+    extra = int(bool(type_word & _EWKB_Z_FLAG)) + int(bool(type_word & _EWKB_M_FLAG))
     base = type_word & 0x1FFFFFFF
-    if base > 1000:
-        raise ValueError(f"only 2D WKB supported (type {base})")
+    if extra == 0 and 1000 <= base < 4000:
+        extra = 2 if base >= 3000 else 1
+    base = base % 1000 if base < 4000 else base
     if base == _POINT:
-        c = r.coords(1, le)[0]
+        c = r.coords(1, le, extra)[0]
         if np.isnan(c).all():
             return Geometry("Point", None)  # POINT EMPTY convention
         return Geometry("Point", c)
     if base == _LINESTRING:
         n = r.u32(le)
-        return Geometry("LineString", r.coords(n, le))
+        return Geometry("LineString", r.coords(n, le, extra))
     if base == _POLYGON:
         n_rings = r.check_count(r.u32(le), 4)  # each ring: at least a count
-        rings = [r.coords(r.u32(le), le) for _ in range(n_rings)]
+        rings = [r.coords(r.u32(le), le, extra) for _ in range(n_rings)]
         return Geometry("Polygon", rings)
     if base in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
         n = r.check_count(r.u32(le), 5)  # each sub-geom: order byte + type
@@ -162,7 +167,7 @@ def from_wkb(
     buf: bytes | bytearray | memoryview | None, tolerant: bool = False
 ) -> Geometry | None:
     """Decode one WKB buffer. ``tolerant=True`` returns None for malformed
-    input (truncated buffer, garbage type word, absurd counts, Z/M data)
+    input (truncated buffer, garbage type word, absurd counts)
     instead of raising — corpus data at scale always contains garbage rows,
     and one corrupt geometry must not kill a 100 TB decode job. Callers
     that want the skip COUNTED use ``operators.features.wkb_decode_stats``.

@@ -81,7 +81,6 @@ base.DRIVER_ORDER[:] = [
     "doc_source_rollup",
     # events / timeseries: r3 window + the 7 never-driver-verified
     "events_hourly_rollup",
-    "sessionize_users",
     "events_session_window",
     "events_props_rollup",
     "asof_clicks_purchases",
@@ -95,9 +94,12 @@ base.DRIVER_ORDER[:] = [
     # spatial proxies on TPC-H tables
     "nearest_feature_distance",
     "features_within_radius",
-    # multimodal (+ never-verified byte entropy)
+    # multimodal (+ never-verified byte entropy; image_decode_png is NEW
+    # round-4 code — the real PNG decode round trip — displacing the
+    # 2-green-round sessionize_users)
     "blob_metadata",
     "blob_byte_entropy",
+    "image_decode_png",
     # relational: unique-evidence r3 window + the 4 never-driver-verified
     "approx_distinct_parts",
     "first_order_per_customer",

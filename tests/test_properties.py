@@ -48,6 +48,24 @@ def test_wkb_truncated_raises_strict_skips_tolerant(coords, cut):
     assert wkb.from_wkb(trunc, tolerant=True) is None
 
 
+@given(st.lists(st.tuples(coord, coord, coord), min_size=2, max_size=15))
+@settings(max_examples=100, deadline=None)
+def test_wkb_z_coords_dropped(coords3d):
+    """ISO LineString Z (type 1002) and EWKB Z-flag both decode with the Z
+    ordinate dropped (planar engine)."""
+    import struct as _s
+
+    n = len(coords3d)
+    flat = [v for xyz in coords3d for v in xyz]
+    body = _s.pack("<I", n) + _s.pack(f"<{3 * n}d", *flat)
+    for type_word in (1002, 2 | 0x80000000):  # ISO +1000, EWKB Z flag
+        buf = b"\x01" + _s.pack("<I", type_word) + body
+        g = wkb.from_wkb(buf)
+        assert g.gtype == "LineString"
+        expect = np.asarray([(x, y) for x, y, _ in coords3d])
+        assert np.array_equal(g.data, expect)
+
+
 def test_wkb_garbage_count_fails_fast():
     """A corrupt count field (here: 2^31 points) must raise, not allocate."""
     import struct
