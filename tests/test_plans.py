@@ -238,3 +238,47 @@ def test_lsh_recall_no_cartesian_on_corpus(spark):
         a = audit_plan(_q("embedding_lsh_recall")(spark, SF_SMOKE))
     assert "CartesianProduct" not in a.text
     assert a.sort_merge_joins == 0
+
+
+def test_jaccard_df_cap_is_broadcast_anti_join(spark):
+    """The round-4 shingle df cap must not add a wide shuffle of the
+    (id, shingle) index: the hot-shingle list is removed with a BROADCAST
+    left-anti join, and the pair pipeline still has exactly one equi
+    self-join."""
+    import re
+
+    from duckpipe_spark.functions.dedup import ngram_jaccard_pairs
+    from duckpipe_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    with no_aqe(spark):
+        a = audit_plan(ngram_jaccard_pairs(docs, max_df=50))
+    anti = re.findall(r"BroadcastHashJoin [^\n]*LeftAnti", a.text)
+    assert len(anti) >= 1, "df cap should broadcast the hot-shingle list"
+    # the intersection self-join is the ONLY non-broadcast join
+    assert a.sort_merge_joins + a.shuffle_hash_joins <= 1
+
+
+def test_merge_upsert_broadcast_flag_controls_join_strategy(spark):
+    """broadcast_updates=True pins a broadcast anti-join (base never
+    shuffles); False leaves the strategy to the planner (no broadcast hint
+    on a potentially huge updates batch)."""
+    from duckpipe_spark.operators.maintenance import merge_upsert
+    from duckpipe_spark.sources.tables import load_table
+
+    base = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    updates = base.limit(10)
+    with no_aqe(spark):
+        hinted = audit_plan(merge_upsert(base, updates, "o_orderkey"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            unhinted = audit_plan(
+                merge_upsert(base, updates, "o_orderkey", broadcast_updates=False)
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert hinted.broadcast_hash_joins >= 1
+    # with the hint OFF and auto-broadcast disabled the planner picks a
+    # shuffle join — proving the hint (not table size) controlled it before
+    assert unhinted.broadcast_hash_joins == 0
+    assert unhinted.sort_merge_joins + unhinted.shuffle_hash_joins >= 1
