@@ -224,11 +224,14 @@ def remove_duplicate_spans(
     sub-window tail. → (doc_id, n_spans, n_dropped, clean_text).
 
     Scale shape: spans are a pure projection of the scan (posexplode — no
-    per-row Python); the only shuffles are the groupBy on the span hash
-    (first-occurrence election) and the per-doc reassembly groupBy, both
-    keyed on high-cardinality columns. At 100 TB the span-hash table is the
-    big intermediate, and it is exactly the object a distributed suffix
-    approach must materialize anyway — no driver state at any size."""
+    per-row Python), and NO text travels through a wide shuffle. The
+    first-occurrence election window shuffles only (span-hash, id, i) —
+    ~28 bytes/row, not the span string — and what flows out of it is the
+    per-doc DROPPED-position list (duplicates are the sparse minority of a
+    corpus, so this aggregate is small). Cleaned text is rebuilt from the
+    original token arrays at the final join, which AQE converts to a
+    broadcast of the dropped-position side in the common case — the
+    document bodies then never leave their scan partitions at all."""
     w = int(window)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(F.col(id_col).alias("id"), toks.alias("_t")).withColumn(
@@ -244,38 +247,43 @@ def remove_duplicate_spans(
     ).select(
         "id",
         "i",
-        F.concat_ws(" ", F.slice("_t", F.col("i") * w + 1, w)).alias("span"),
-    ).withColumn("h", F.md5("span"))
-    # first-occurrence election: the (id, i)-least window per span hash —
-    # one row_number window (single shuffle on h) instead of a groupBy +
-    # join-back, halving the shuffles of this stage. Same two-level
+        F.md5(F.concat_ws(" ", F.slice("_t", F.col("i") * w + 1, w))).alias("h"),
+    )
+    # first-occurrence election on hashes only: every occurrence EXCEPT the
+    # (id, i)-least per span hash is dropped. Same two-level
     # min-doc-then-min-position rule as the SQL oracle.
     from pyspark.sql import Window
 
     w_first = Window.partitionBy("h").orderBy("id", "i")
-    kept = wins.withColumn("_rn", F.row_number().over(w_first)).where(F.col("_rn") == 1)
-    body = kept.groupBy("id").agg(
+    dropped = (
+        wins.withColumn("_rn", F.row_number().over(w_first))
+        .where(F.col("_rn") > 1)
+        .groupBy("id")
+        .agg(F.collect_list("i").alias("_dropped"))
+    )
+    keep_idx = F.filter(
+        span_idx, lambda i: ~F.coalesce(F.array_contains("_dropped", i), F.lit(False))
+    )
+    body = F.nullif(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "span"))), lambda s: s["span"]
-            ),
+            F.transform(keep_idx, lambda i: F.concat_ws(" ", F.slice("_t", i * w + 1, w))),
             " ",
-        ).alias("_body"),
-        F.count(F.lit(1)).alias("_n_kept"),
+        ),
+        F.lit(""),
     )
     tail_len = F.size("_t") - F.col("_nwin") * w
-    tails = base.select(
-        "id",
-        F.col("_nwin"),
-        F.when(tail_len > 0, F.concat_ws(" ", F.slice("_t", F.col("_nwin") * w + 1, tail_len))).alias("_tail"),
+    tail = F.when(
+        tail_len > 0, F.concat_ws(" ", F.slice("_t", F.col("_nwin") * w + 1, tail_len))
     )
     return (
-        tails.join(body, "id", "left")
+        base.join(dropped, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.col("_nwin").cast("bigint").alias("n_spans"),
-            (F.col("_nwin") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast("bigint").alias("n_dropped"),
-            F.concat_ws(" ", F.col("_body"), F.col("_tail")).alias("clean_text"),
+            F.size(F.coalesce(F.col("_dropped"), F.array().cast("array<int>")))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.concat_ws(" ", body, tail).alias("clean_text"),
         )
     )
 
