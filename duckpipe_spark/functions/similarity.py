@@ -584,3 +584,54 @@ def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall"),
         )
     )
+
+
+def scalar_quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization with a reconstruction
+    audit → (vec_id, n_dims, q_sum, scale, mse, max_abs_err).
+
+    The 4×-compression baseline every embedding store ships before PQ:
+    q_i = round(x_i · 127 / max|x|) per vector, reconstruction
+    x'_i = q_i · scale / 127. Pure JVM column expressions (transform /
+    zip_with / aggregate higher-order functions) — a projection over the
+    scan, zero shuffles, so it runs at full scan bandwidth on any corpus
+    size. Rounding is floor(v + 0.5) so ties behave identically on every
+    engine; ``q_sum`` (exact BIGINT sum of codes) is the strong
+    cross-engine check, float metrics are rounded."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v))), F.lit(1e-30)
+    )
+    base = embeddings.select(
+        F.col(id_col), x.alias("_x"), scale.alias("_s")
+    )
+    q = F.transform(
+        F.col("_x"),
+        lambda v: F.floor(v * F.lit(127.0) / F.col("_s") + F.lit(0.5)).cast("bigint"),
+    )
+    err = F.zip_with(
+        F.col("_x"), F.col("_q"),
+        lambda a, b: a - b.cast("double") * F.col("_s") / F.lit(127.0),
+    )
+    n = F.size(F.col("_x"))
+    return (
+        base.withColumn("_q", q)
+        .withColumn("_e", err)
+        .select(
+            id_col,
+            n.cast("int").alias("n_dims"),
+            F.aggregate(F.col("_q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("q_sum"),
+            F.round(F.col("_s"), 6).alias("scale"),
+            F.round(
+                F.aggregate(
+                    F.col("_e"), F.lit(0.0), lambda acc, v: acc + v * v
+                ) / n.cast("double"),
+                9,
+            ).alias("mse"),
+            F.round(F.array_max(F.transform(F.col("_e"), lambda v: F.abs(v))), 9).alias("max_abs_err"),
+        )
+    )

@@ -42,9 +42,12 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # driver CORRECTNESS row are swapped into the 50-entry gate, displacing
 # geo/dedup/ANN entries with >=2 green driver rounds (r2+r3, several r1-r3).
 # Queries modified THIS round (geo_pivot_pipeline collect-cap, doc_jaccard_pairs
-# df-cap, embedding_lsh_topk non-eager planes) stay in the gate so the changes
-# get fresh independent rows. With this window green, 101/102 of the catalog
-# is driver-attested (image_decode_stub stays rows-only by design).
+# df-cap, embedding_lsh_topk non-eager planes, doc_span_dedup shuffle slimming)
+# stay in the gate so the changes get fresh independent rows, and the four
+# NEW round-4 queries (image_decode_png, events_gap_fill, embedding_int8_quant
+# and blob_byte_entropy's first row) enter in place of 2-3-green-round
+# veterans. With this window green, 101/104 of the catalog is driver-attested
+# over rounds 1-4 (image_decode_stub stays rows-only by design).
 base.DRIVER_ORDER[:] = [
     # geo (modified this round: bounded segment pull)
     "geo_pivot_pipeline",
@@ -57,9 +60,11 @@ base.DRIVER_ORDER[:] = [
     "embedding_lsh_recall",
     "embedding_ivf_recall",
     "embedding_cluster_profile",
-    # text analysis family (+ never-verified lang_id_confusion)
-    "doc_language_guess",
-    "doc_quality_score",
+    # NEW round-4 operators: LOCF gap-fill resample + int8 quantization
+    "events_gap_fill",
+    "embedding_int8_quant",
+    # text analysis family (+ never-verified lang_id_confusion;
+    # language_guess/quality_score rotate out with 3 green rounds each)
     "doc_tfidf_topterms",
     "doc_vocab",
     "doc_encoded",

@@ -446,3 +446,73 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau",
         )
     )
+
+
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, d, n, cents,
+         lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+  FROM daily
+),
+exploded AS (
+  SELECT user_id, d, n, cents,
+         unnest(generate_series(0, CASE WHEN next_d IS NULL THEN 0
+                                        ELSE datediff('day', d, next_d) - 1 END)) AS g
+  FROM spans
+)
+SELECT
+  user_id,
+  strftime(d + g * INTERVAL 1 DAY, '%Y-%m-%d') AS day,
+  CAST(CASE WHEN g = 0 THEN n ELSE 0 END AS BIGINT) AS n_events,
+  CAST(cents AS DOUBLE) / 100.0 AS value_filled,
+  CAST(CASE WHEN g = 0 THEN 0 ELSE 1 END AS INT) AS is_filled
+FROM exploded
+"""
+
+
+@register(
+    "events_gap_fill",
+    _GAP_FILL_ORACLE,
+    "time-series resample: per-user daily spine with last-observation-carried-forward",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill / LOCF resample WITHOUT a calendar-spine join: each observed
+    (user, day) row knows its successor via one `lead` window, and explodes
+    into the gap days it covers — the filled rows inherit the row's own
+    value, so last-observation-carried-forward holds by construction.
+
+    Scale shape: one groupBy (daily rollup), one window + explode on the
+    same user-keyed partitioning, zero joins, zero driver state. A spine
+    table (`sequence(min,max)` cross user) plus `last(ignorenulls)` would
+    shuffle the spine AND the data; this plan touches each observation
+    once and its output is linear in calendar coverage. The cents-integer
+    sum keeps the filled value bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    spans = daily.withColumn("next_d", F.lead("d").over(w))
+    gap = F.when(F.col("next_d").isNull(), F.lit(0)).otherwise(
+        F.datediff("next_d", "d") - 1
+    )
+    return (
+        spans.select(
+            "user_id", "d", "n", "cents", F.explode(F.sequence(F.lit(0), gap)).alias("g")
+        )
+        .select(
+            "user_id",
+            F.date_format(F.date_add("d", F.col("g")), "yyyy-MM-dd").alias("day"),
+            F.when(F.col("g") == 0, F.col("n")).otherwise(F.lit(0)).cast("bigint").alias("n_events"),
+            (F.col("cents").cast("double") / 100.0).alias("value_filled"),
+            F.when(F.col("g") == 0, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("is_filled"),
+        )
+    )

@@ -580,3 +580,50 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("qp").cast("double") / (F.count(F.lit(1)) * 3)).alias("avg_quality"),
         )
     )
+
+
+# int8 scalar quantization: q_sum is an exact BIGINT cross-engine check;
+# float metrics are rounded. Both engines evaluate the same double
+# expressions in the same fold order (list lambdas are sequential in DuckDB,
+# higher-order functions are sequential in Spark), and rounding is
+# floor(v + 0.5) on both so ties at .5 agree.
+_INT8_ORACLE = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, xs,
+         greatest(list_max(list_transform(xs, v -> abs(v))), 1e-30) AS sc
+  FROM x
+),
+q AS (
+  SELECT vec_id, xs, sc,
+         list_transform(xs, v -> CAST(floor(v * 127.0 / sc + 0.5) AS BIGINT)) AS qs
+  FROM s
+),
+e AS (
+  SELECT vec_id, xs, sc, qs,
+         list_transform(generate_series(1, len(xs)),
+                        i -> xs[i] - CAST(qs[i] AS DOUBLE) * sc / 127.0) AS es
+  FROM q
+)
+SELECT vec_id,
+       CAST(len(xs) AS INT) AS n_dims,
+       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+       round(sc, 6) AS scale,
+       round(list_sum(list_transform(es, v -> v * v)) / CAST(len(xs) AS DOUBLE), 9) AS mse,
+       round(list_max(list_transform(es, v -> abs(v))), 9) AS max_abs_err
+FROM e
+"""
+
+
+@register(
+    "embedding_int8_quant",
+    _INT8_ORACLE,
+    "symmetric int8 scalar quantization + reconstruction-error audit",
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.similarity import scalar_quantize_int8
+
+    return scalar_quantize_int8(load_table(spark, sf_dir, "embeddings"))

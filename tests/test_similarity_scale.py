@@ -97,3 +97,23 @@ def test_doubling_corpus_keeps_pairs_subquadratic(spark, n):
     assert p1 > 0
     ratio = p2 / p1
     assert ratio < 3.0, f"pair growth {ratio:.2f}x on 2x corpus — not sub-quadratic"
+
+
+def test_int8_quantization_error_bound(spark):
+    """Symmetric int8 quantization: reconstruction error is bounded by
+    scale/254 per element (half a quantization step), q codes stay in
+    [-127, 127], and the plan is a shuffle-free projection."""
+    from duckpipe_spark.functions.similarity import scalar_quantize_int8
+    from duckpipe_spark.plans.audit import audit_plan, no_aqe
+
+    emb = _synthetic_embeddings(spark, 64)
+    out = scalar_quantize_int8(emb)
+    with no_aqe(spark):
+        a = audit_plan(out)
+    assert a.exchanges == 0 and a.python_stages == 0  # pure scan projection
+    rows = out.collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert abs(r.q_sum) <= 127 * r.n_dims
+        assert r.max_abs_err <= r.scale / 254.0 + 1e-9
+        assert r.mse <= (r.scale / 254.0) ** 2 + 1e-9
