@@ -85,20 +85,26 @@ GROUP BY c_custkey, r
 def features_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled radius counts via the engine's grid-bin join — a hash
     join on cell ids instead of an O(points × features) nested loop; the
-    oracle's LEFT JOIN semantics are restored by the skeleton left join."""
+    oracle's LEFT JOIN semantics are restored by the skeleton left join.
+
+    All radii are counted from ONE candidate set: the grid join runs once
+    per point at the LARGEST radius and every smaller radius is a
+    conditional sum over the same candidate rows (the smaller-radius hits
+    are a subset by construction). The earlier formulation cross-joined
+    points × radii BEFORE candidate generation — 3× the grid-join volume
+    and a 3×-wider groupBy key — for identical results."""
     from duckpipe_spark.operators.spatial_join import grid_join
 
     cust = _points(load_table(spark, sf_dir, "customer"), _CX, _CY, "c_custkey")
     supp = _points(load_table(spark, sf_dir, "supplier"), _SX, _SY, "s_suppkey").select(
         F.col("id").alias("fid"), F.col("x").alias("fx"), F.col("y").alias("fy")
     )
-    radii = spark.createDataFrame([(r,) for r in _RADII], "radius double")
+    rmax = max(_RADII)
     pb = (
-        cust.crossJoin(F.broadcast(radii))
-        .withColumn("pxmin", F.col("x") - F.col("radius"))
-        .withColumn("pymin", F.col("y") - F.col("radius"))
-        .withColumn("pxmax", F.col("x") + F.col("radius"))
-        .withColumn("pymax", F.col("y") + F.col("radius"))
+        cust.withColumn("pxmin", F.col("x") - F.lit(rmax))
+        .withColumn("pymin", F.col("y") - F.lit(rmax))
+        .withColumn("pxmax", F.col("x") + F.lit(rmax))
+        .withColumn("pymax", F.col("y") + F.lit(rmax))
     )
     sb = (
         supp.withColumn("sxmin", F.col("fx"))
@@ -111,18 +117,32 @@ def features_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         sb,
         ("pxmin", "pymin", "pxmax", "pymax"),
         ("sxmin", "symin", "sxmax", "symax"),
-        cell_size=2 * max(_RADII),
+        cell_size=2 * rmax,
         broadcast_right=True,
     )
     dist2 = (F.col("x") - F.col("fx")) * (F.col("x") - F.col("fx")) + (
         F.col("y") - F.col("fy")
     ) * (F.col("y") - F.col("fy"))
-    counts = (
-        cand.where(dist2 < F.col("radius") * F.col("radius"))
-        .groupBy("id", "radius")
-        .agg(F.count("fid").alias("n_within"))
+    per_id = cand.groupBy("id").agg(
+        *[
+            F.sum((dist2 < F.lit(r) * F.lit(r)).cast("bigint")).alias(f"_n{i}")
+            for i, r in enumerate(_RADII)
+        ]
     )
-    skeleton = cust.select("id").crossJoin(F.broadcast(radii))
-    return skeleton.join(counts, on=["id", "radius"], how="left").select(
-        "id", "radius", F.coalesce("n_within", F.lit(0)).alias("n_within")
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("radius"),
+                    F.coalesce(F.col(f"_n{i}"), F.lit(0)).cast("bigint").alias("n_within"),
+                )
+                for i, r in enumerate(_RADII)
+            ]
+        )
+    )
+    return (
+        cust.select("id")
+        .join(per_id, "id", "left")
+        .select("id", stacked.alias("s"))
+        .select("id", F.col("s.radius").alias("radius"), F.col("s.n_within").alias("n_within"))
     )
