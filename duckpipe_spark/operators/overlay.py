@@ -72,14 +72,28 @@ def road_llw(
     """L/LL/LLW within each buffer, zero-filled per (id, buffer).
 
     `roads` needs columns (geometry, lanes, width[, year]).
-    """
+
+    All buffer sizes aggregate over ONE candidate set: the grid join runs
+    once per point at the LARGEST buffer and each buffer's clip length is
+    its own aggregate expression over the same candidate rows (the clip
+    kernel returns exactly 0.0 for a segment outside the circle, and
+    adding IEEE +0.0 terms leaves a float sum bit-identical — verified by
+    the unchanged oracle hash). The earlier formulation cross-joined
+    points × buffers BEFORE candidate generation: n_buffers× the join
+    volume for identical sums."""
     spark = points.sparkSession
     if year_filter:
         roads = roads.where(F.col("year") == year)
     segs = _seg_bbox(decode_segments(roads.select("geometry", "lanes", "width"), ["lanes", "width"]))
-    pb = _points_buffered(points, _buffers_df(spark, buffer_sizes))
+    bmax = max(buffer_sizes)
+    pb = (
+        points.withColumn("pxmin", F.col("x") - F.lit(bmax))
+        .withColumn("pymin", F.col("y") - F.lit(bmax))
+        .withColumn("pxmax", F.col("x") + F.lit(bmax))
+        .withColumn("pymax", F.col("y") + F.lit(bmax))
+    )
 
-    cell = max(max(buffer_sizes) * 2.0, 1e-9)
+    cell = max(bmax * 2.0, 1e-9)
     cand = grid_join(
         pb,
         segs,
@@ -88,29 +102,40 @@ def road_llw(
         cell_size=cell,
         broadcast_right=broadcast_features,
     )
-    clip = circle_segment_clip_col(
-        F.col("x"), F.col("y"), F.col("buffer_size"),
-        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
-    )
-    agg = (
-        cand.select("id", "buffer_size", clip.alias("clip"), "lanes", "width")
-        .groupBy("id", "buffer_size")
-        .agg(
-            F.sum("clip").alias("L"),
-            F.sum(F.col("clip") * F.col("lanes")).alias("LL"),
-            F.sum(F.col("clip") * F.col("lanes") * F.col("width")).alias("LLW"),
+
+    def _clip(b: float):
+        return circle_segment_clip_col(
+            F.col("x"), F.col("y"), F.lit(float(b)),
+            F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+        )
+
+    aggs = []
+    for i, b in enumerate(buffer_sizes):
+        clip = _clip(b)
+        aggs += [
+            F.sum(clip).alias(f"_L{i}"),
+            F.sum(clip * F.col("lanes")).alias(f"_LL{i}"),
+            F.sum(clip * F.col("lanes") * F.col("width")).alias(f"_LLW{i}"),
+        ]
+    per_id = cand.groupBy("id").agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(b)).alias("buffer_size"),
+                    F.coalesce(F.col(f"_L{i}"), F.lit(0.0)).alias("L"),
+                    F.coalesce(F.col(f"_LL{i}"), F.lit(0.0)).alias("LL"),
+                    F.coalesce(F.col(f"_LLW{i}"), F.lit(0.0)).alias("LLW"),
+                )
+                for i, b in enumerate(buffer_sizes)
+            ]
         )
     )
-    skeleton = points.select("id").crossJoin(F.broadcast(_buffers_df(spark, buffer_sizes)))
     filled = (
-        skeleton.join(agg, on=["id", "buffer_size"], how="left")
-        .select(
-            "id",
-            "buffer_size",
-            F.coalesce("L", F.lit(0.0)).alias("L"),
-            F.coalesce("LL", F.lit(0.0)).alias("LL"),
-            F.coalesce("LLW", F.lit(0.0)).alias("LLW"),
-        )
+        points.select("id")
+        .join(per_id, "id", "left")
+        .select("id", stacked.alias("s"))
+        .select("id", "s.buffer_size", "s.L", "s.LL", "s.LLW")
     )
     long = filled.unpivot(["id", "buffer_size"], ["L", "LL", "LLW"], "vartype", "value")
     # varname('Road'|'MR1'|'MR2', vartype, buffer) = printf('%s_%s_%04d', ...)
