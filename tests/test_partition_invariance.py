@@ -158,6 +158,35 @@ def op_lsh_recall(spark, scramble):
     return lsh_recall(scramble(_embs(spark)), [0, 1, 2, 3, 4], 5, n_planes=N_PLANES)
 
 
+def op_int8_quant(spark, scramble):
+    from duckpipe_spark.functions.similarity import scalar_quantize_int8
+
+    return scalar_quantize_int8(scramble(_embs(spark)))
+
+
+def op_gap_fill(spark, scramble):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # mirrors queries.events_q.events_gap_fill with a scrambled input scan
+    ev = scramble(load_table(spark, SF_SMOKE, "events"))
+    daily = ev.groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    spans = daily.withColumn("next_d", F.lead("d").over(w))
+    gap = F.when(F.col("next_d").isNull(), F.lit(0)).otherwise(F.datediff("next_d", "d") - 1)
+    return spans.select(
+        "user_id", "d", "n", "cents", F.explode(F.sequence(F.lit(0), gap)).alias("g")
+    ).select(
+        "user_id",
+        F.date_format(F.date_add("d", F.col("g")), "yyyy-MM-dd").alias("day"),
+        F.when(F.col("g") == 0, F.col("n")).otherwise(F.lit(0)).cast("bigint").alias("n_events"),
+        (F.col("cents").cast("double") / 100.0).alias("value_filled"),
+    )
+
+
 _OPS = [
     op_token_stats,
     op_minhash,
@@ -175,6 +204,8 @@ _OPS = [
     op_sessionize,
     op_temperature_resample,
     op_incremental_dedup,
+    op_int8_quant,
+    op_gap_fill,
 ]
 
 
