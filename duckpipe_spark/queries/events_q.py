@@ -516,3 +516,66 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("g") == 0, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("is_filled"),
         )
     )
+
+
+_PURCHASE_WINDOW_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, ts AS lo, ts + INTERVAL 1 HOUR AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT ts FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, count(c.ts) AS n_clicks
+FROM p LEFT JOIN c ON c.ts >= p.lo AND c.ts < p.hi
+GROUP BY 1
+"""
+
+
+@register(
+    "events_purchase_window_clicks",
+    _PURCHASE_WINDOW_ORACLE,
+    "1-D interval join via bin-bucketed range_join: clicks inside each purchase's 1h window",
+)
+def events_purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count site-wide clicks landing in the hour after each purchase.
+
+    Exercises `operators.range_join` — the bin-bucketed interval join. The
+    naive plan for this query is a BroadcastNestedLoopJoin over
+    |purchases|x|clicks| (DuckDB's IEJoin handles it natively; OSS Spark has
+    no inequality-join operator). With 1h intervals and a 1h bin width each
+    interval explodes to exactly 2 bin rows, so the join is a plain shuffled
+    equi-join on the bin id with a residual containment filter — linear in
+    input plus output, AQE-skew-splittable, whole-stage-codegen'd.
+
+    LEFT semantics (purchases with zero clicks) come from a zero-fill
+    against the purchase skeleton after the inner range join + count — the
+    repo's standard J6 pattern.
+    """
+    from duckpipe_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts")
+    )
+    matched = range_join(
+        clicks,
+        purchases,
+        "click_ts",
+        "lo",
+        "hi",
+        bin_width=3600 * 1_000_000,  # 1h of microseconds = the interval length
+        closed="left",
+    )
+    counts = matched.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    return (
+        purchases.select("purchase_id")
+        .join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
+        )
+    )
