@@ -579,3 +579,36 @@ def events_purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
         )
     )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register(
+    "events_salted_join",
+    _SALTED_JOIN_ORACLE,
+    "skew-safe replicated-salt equi-join equals the plain join exactly",
+)
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side events join the customer dim through `operators.skew.
+    salted_join` (8-way key split): the hot-key-proof plan must produce
+    byte-identical aggregates to the plain join the oracle runs. The events
+    table concentrates all traffic on ~150 user ids — exactly the key-domain
+    shape where an unsalted shuffle join reduces on a handful of reducers."""
+    from duckpipe_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
