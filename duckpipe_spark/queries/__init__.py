@@ -30,6 +30,10 @@ try:
     from duckpipe_spark.queries import corpus_q  # noqa: F401
 except ImportError:
     pass
+try:
+    from duckpipe_spark.queries import graph_q  # noqa: F401
+except ImportError:
+    pass
 
 from duckpipe_spark.queries import base
 from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries

@@ -612,3 +612,77 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
     )
+
+
+_ZSCORE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents, ts FROM events
+), w AS (
+  SELECT user_id, event_id, cents,
+         CAST(sum(cents) OVER win AS BIGINT) AS s1,
+         CAST(sum(cents * cents) OVER win AS BIGINT) AS s2,
+         count(*) OVER win AS n
+  FROM c
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT user_id, event_id,
+         (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+           / sqrt(CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) > 0
+                       THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)
+                  END) AS z_score
+  FROM w WHERE n >= 10
+)
+SELECT user_id, event_id, z_score FROM z WHERE abs(z_score) > 3
+"""
+
+
+@register(
+    "events_anomaly_zscore",
+    _ZSCORE_ORACLE,
+    "rolling z-score outliers over a 20-event trailing window per user",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag events whose value sits >3 trailing standard deviations from the
+    user's last 20 events (frame excludes the current row, min 10 priors).
+
+    Cross-engine float exactness: the window aggregates are INTEGER sums of
+    cents (S1, S2, n) — order-independent and bit-identical on any engine —
+    and the z-score is one fixed IEEE-double expression over those integers,
+    so Spark and DuckDB produce the same 64-bit result (correctly-rounded
+    ops on identical operands), not merely close ones. Zero/negative
+    variance (cancellation) yields NULL → filtered, identically, on both
+    sides.
+
+    Scale shape: one shuffle on user_id, one in-partition sort, no joins —
+    the same cost envelope as any per-key sessionization at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts",
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = c.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    ).where(F.col("n") >= 10)
+    var = "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)"
+    z = w.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            f"(CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)"
+            f" / sqrt(CASE WHEN {var} > 0 THEN {var} END)"
+        ).alias("z_score"),
+    )
+    return z.where(F.abs(F.col("z_score")) > 3)
