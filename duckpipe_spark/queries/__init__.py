@@ -47,11 +47,13 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # geo/dedup/ANN entries with >=2 green driver rounds (r2+r3, several r1-r3).
 # Queries modified THIS round (geo_pivot_pipeline collect-cap, doc_jaccard_pairs
 # df-cap, embedding_lsh_topk non-eager planes, doc_span_dedup shuffle slimming)
-# stay in the gate so the changes get fresh independent rows, and the four
-# NEW round-4 queries (image_decode_png, events_gap_fill, embedding_int8_quant
-# and blob_byte_entropy's first row) enter in place of 2-3-green-round
-# veterans. With this window green, 101/104 of the catalog is driver-attested
-# over rounds 1-4 (image_decode_stub stays rows-only by design).
+# stay in the gate so the changes get fresh independent rows, and the round-4
+# queries (image_decode_png, events_gap_fill, embedding_int8_quant,
+# blob_byte_entropy's first row, plus the four NEW operators below) enter in
+# place of 2-3-green-round veterans. With this window green, 101/108 of the
+# catalog is driver-attested over rounds 1-4 (image_decode_stub stays
+# rows-only by design; doc_vocab/doc_encoded/doc_pii_scrub/lang_top_bigrams
+# rotate out with 2 green rounds each to make room for the new operators).
 base.DRIVER_ORDER[:] = [
     # geo (modified this round: bounded segment pull)
     "geo_pivot_pipeline",
@@ -64,17 +66,19 @@ base.DRIVER_ORDER[:] = [
     "embedding_lsh_recall",
     "embedding_ivf_recall",
     "embedding_cluster_profile",
-    # NEW round-4 operators: LOCF gap-fill resample + int8 quantization
+    # NEW round-4 operators: LOCF gap-fill resample, int8 quantization,
+    # bin-bucketed range join, salted skew join, rolling z-score anomalies,
+    # degree-oriented triangle counting
     "events_gap_fill",
     "embedding_int8_quant",
+    "events_purchase_window_clicks",
+    "events_salted_join",
+    "events_anomaly_zscore",
+    "parts_triangle_counts",
     # text analysis family (+ never-verified lang_id_confusion;
     # language_guess/quality_score rotate out with 3 green rounds each)
     "doc_tfidf_topterms",
-    "doc_vocab",
-    "doc_encoded",
-    "doc_pii_scrub",
     "doc_quality_percentile",
-    "lang_top_bigrams",
     "lang_id_confusion",
     # sampling / packing family (+ never-verified temperature resample)
     "doc_hash_split",

@@ -187,6 +187,74 @@ def op_gap_fill(spark, scramble):
     )
 
 
+def op_range_join(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.operators.range_join import range_join
+
+    ev = scramble(load_table(spark, SF_SMOKE, "events"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(F.col("ts").alias("click_ts"))
+    m = range_join(clicks, purchases, "click_ts", "lo", "hi", bin_width=3600 * 1_000_000)
+    return m.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+def op_salted_join(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.operators.skew import salted_join
+
+    ev = scramble(load_table(spark, SF_SMOKE, "events")).select("user_id", "value")
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(ev, cust, "user_id", salts=4).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+
+
+def op_triangles(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.graph import cooccurrence_edges, triangle_count
+
+    li = scramble(load_table(spark, SF_SMOKE, "lineitem"))
+    tris = triangle_count(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    return tris.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+
+
+def op_anomaly_zscore(spark, scramble):
+    # mirrors queries.events_q.events_anomaly_zscore on a scrambled scan
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ev = scramble(load_table(spark, SF_SMOKE, "events"))
+    c = ev.select(
+        "user_id", "event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents"), "ts"
+    )
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    w = c.select(
+        "user_id", "event_id", "cents",
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    ).where(F.col("n") >= 10)
+    var = "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)"
+    z = w.select(
+        "user_id", "event_id",
+        F.expr(
+            f"(CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)"
+            f" / sqrt(CASE WHEN {var} > 0 THEN {var} END)"
+        ).alias("z_score"),
+    )
+    return z.where(F.abs(F.col("z_score")) > 3)
+
+
 _OPS = [
     op_token_stats,
     op_minhash,
@@ -206,6 +274,10 @@ _OPS = [
     op_incremental_dedup,
     op_int8_quant,
     op_gap_fill,
+    op_range_join,
+    op_salted_join,
+    op_triangles,
+    op_anomaly_zscore,
 ]
 
 
