@@ -71,6 +71,12 @@ def synthesize(spark) -> None:
             c = df
             for k in keys:
                 c = c.withColumn(k, (F.col(k) + i * span).cast("bigint"))
+            if t == "events":
+                # a 10x event corpus covers 10x the TIME, not 10x the density:
+                # shift each copy past the 30-day source span so window joins
+                # and rollups scale linearly like real growth would, instead
+                # of quadratically from artificial per-hour pileup
+                c = c.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 31} DAYS"))
             copies = c if copies is None else copies.unionByName(c)
         copies.write.mode("overwrite").parquet(out)
         print(f"# synthesized {t} x{COPIES}", file=sys.stderr)
@@ -128,4 +134,7 @@ if __name__ == "__main__":
         import shutil
 
         shutil.rmtree(DST, ignore_errors=True)
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if names:
+        QUERIES[:] = names
     main()
