@@ -282,3 +282,49 @@ def test_merge_upsert_broadcast_flag_controls_join_strategy(spark):
     # shuffle join — proving the hint (not table size) controlled it before
     assert unhinted.broadcast_hash_joins == 0
     assert unhinted.sort_merge_joins + unhinted.shuffle_hash_joins >= 1
+
+
+def test_range_join_query_plan_no_nested_loop(spark):
+    """events_purchase_window_clicks: the registered interval-join query
+    plans as equi-joins only — never BroadcastNestedLoopJoin/cartesian —
+    and keeps the whole pipeline Python-free."""
+    with no_aqe(spark):
+        a = audit_plan(_q("events_purchase_window_clicks")(spark, SF_SMOKE))
+    assert a.broadcast_nl_joins == 0
+    assert "CartesianProduct" not in a.text
+    assert a.python_stages == 0
+
+
+def test_salted_join_is_pure_equi_join(spark):
+    """events_salted_join: salting must add zero Python and no extra
+    shuffle beyond the join + final aggregate; the salt is a column
+    expression, the dim replication a generator projection."""
+    with no_aqe(spark):
+        a = audit_plan(_q("events_salted_join")(spark, SF_SMOKE))
+    assert a.python_stages == 0
+    assert a.broadcast_nl_joins == 0
+    assert "CartesianProduct" not in a.text
+    # events scan prunes to the two needed columns
+    assert any(set(c) <= {"user_id", "value"} for c in a.read_columns() if c), a.read_columns()
+
+
+def test_triangle_count_bounded_exchanges_no_python(spark):
+    """parts_triangle_counts: degree attach + adjacency closing are all
+    equi-joins; the closing intersection is a JVM higher-order function
+    (no ArrowEvalPython anywhere), and no nested-loop join appears."""
+    with no_aqe(spark):
+        a = audit_plan(_q("parts_triangle_counts")(spark, SF_SMOKE))
+    assert a.python_stages == 0
+    assert a.broadcast_nl_joins == 0
+    assert "CartesianProduct" not in a.text
+
+
+def test_anomaly_zscore_single_shuffle_window(spark):
+    """events_anomaly_zscore: one exchange (the user_id window partition),
+    no joins at all — the cheapest possible shape for a per-key trailing
+    window at 100 TB."""
+    with no_aqe(spark):
+        a = audit_plan(_q("events_anomaly_zscore")(spark, SF_SMOKE))
+    assert a.python_stages == 0
+    assert a.exchanges == 1, a.text
+    assert a.sort_merge_joins + a.broadcast_hash_joins + a.shuffle_hash_joins == 0
