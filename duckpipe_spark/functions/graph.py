@@ -98,3 +98,65 @@ def triangle_count(edges: DataFrame) -> DataFrame:
          - F.least("src", "dst", "w") - F.greatest("src", "dst", "w")).alias("b"),
         F.greatest("src", "dst", "w").alias("c"),
     )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """u<v undirected edge rows → directed (src, dst) in both directions."""
+    return edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-point integer PageRank → (node, rank_int).
+
+    Every arithmetic step is BIGINT (contribution = rank DIV out-degree;
+    damping applied as ``(pct * sum) DIV 100``), so the result is a pure
+    function of the graph — bit-identical across engines, partitionings
+    and reruns, hash-comparable against an unrolled-CTE SQL oracle. The
+    float formulation would accumulate order-dependent rounding in every
+    per-node sum; the same trick as the integer-quantized Lloyd k-means
+    (`functions/similarity.py`).
+
+    ``edges`` is a DIRECTED (src, dst) list; run `symmetrize` first for
+    undirected graphs. Nodes are taken from the src side — every node of
+    a symmetrized graph appears there; a purely-dangling sink (in-edges
+    only) would need a dangling-mass redistribution this fixed-point
+    variant deliberately omits.
+
+    Scale shape: the edge+outdegree table is checkpointed once; each
+    iteration is one equi-join (ranks onto edges), one groupBy, one
+    left join back to the node spine — all key-partitioned, lineage cut
+    every 3 iterations exactly like `dedup.connected_components`.
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # lazy n: carried as a broadcast 1-row cross join, no eager .count()
+    spine = nodes.crossJoin(F.broadcast(n_df)).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ed = edges.join(outdeg, "src").localCheckpoint()
+
+    base = f"({(100 - damping_pct) * scale}L DIV (100L * _n))"
+    ranks = spine.select("node", "_n", F.expr(f"{scale}L DIV _n").alias("r"))
+    for i in range(iterations):
+        contribs = (
+            ed.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .select(F.col("dst").alias("node"), F.expr("r DIV od").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = spine.join(contribs, "node", "left").select(
+            "node",
+            "_n",
+            F.expr(
+                f"{base} + ({damping_pct}L * coalesce(s, 0L)) DIV 100L"
+            ).alias("r"),
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank_int"))

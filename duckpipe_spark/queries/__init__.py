@@ -75,13 +75,14 @@ base.DRIVER_ORDER[:] = [
     "events_salted_join",
     "events_anomaly_zscore",
     "parts_triangle_counts",
+    "parts_pagerank",
     # text analysis family (+ never-verified lang_id_confusion;
     # language_guess/quality_score rotate out with 3 green rounds each)
     "doc_tfidf_topterms",
     "doc_quality_percentile",
     "lang_id_confusion",
-    # sampling / packing family (+ never-verified temperature resample)
-    "doc_hash_split",
+    # sampling / packing family (+ never-verified temperature resample;
+    # hash_split rotates out with 2 green rounds for parts_pagerank)
     "doc_stratified_sample",
     "doc_pack_sequences",
     "doc_temperature_resample",

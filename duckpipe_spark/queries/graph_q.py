@@ -49,3 +49,59 @@ def parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tris.groupBy(F.col("a").alias("part")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+_PR_ITER, _PR_DAMP, _PR_SCALE = 6, 85, 10**12
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE integer PageRank (same fixed-point arithmetic as
+    `functions.graph.pagerank` — DuckDB `//` floor-div equals Spark `DIV`
+    on the all-positive BIGINTs used here). Unrolled because recursive
+    CTEs with aggregation in the recursive term are not portable; the
+    same pattern as the k-means oracle in similarity_q."""
+    base = f"({(100 - _PR_DAMP) * _PR_SCALE} // (100 * (SELECT n FROM nn)))"
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        "e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0)",
+        "deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for i in range(_PR_ITER):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, CAST(sum(r{i}.r // deg.od) AS BIGINT) AS s"
+            f" FROM r{i} JOIN e ON r{i}.node = e.src JOIN deg ON deg.src = r{i}.node"
+            f" GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT nodes.node,"
+            f" {base} + ({_PR_DAMP} * COALESCE(c{i}.s, 0)) // 100 AS r"
+            f" FROM nodes LEFT JOIN c{i} USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS part, r AS rank_int FROM r{_PR_ITER}"
+    )
+
+
+@register(
+    "parts_pagerank",
+    _pagerank_oracle(),
+    "fixed-point integer PageRank on the co-purchase graph (exact iterative hash match)",
+)
+def parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized parts-bought-together graph — an
+    exact-integer iterative algorithm hash-compared against a 6-iteration
+    unrolled-CTE oracle (see `functions.graph.pagerank`)."""
+    from duckpipe_spark.functions.graph import pagerank, symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = symmetrize(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    pr = pagerank(edges, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE)
+    return pr.select(F.col("node").alias("part"), "rank_int")

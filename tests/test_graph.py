@@ -61,3 +61,40 @@ def test_cooccurrence_edges(spark):
     )
     got = sorted((r.u, r.v) for r in cooccurrence_edges(df, "g", "item").collect())
     assert got == [(10, 11), (10, 12), (11, 12)]
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a vertex-transitive graph (a cycle) every node must end with the
+    identical rank — and it must equal the fixed-point base case."""
+    from duckpipe_spark.functions.graph import pagerank, symmetrize
+
+    n = 6
+    cyc = _edges_df(spark, [(i, (i + 1) % n) for i in range(n)])
+    got = {r.node: r.rank_int for r in pagerank(symmetrize(cyc), iterations=4).collect()}
+    assert len(set(got.values())) == 1 and len(got) == n
+    # symmetric start SCALE//n, every iteration redistributes evenly:
+    # r = (15*SCALE)//(100*n) + (85*r_prev)//100 converges near SCALE//n
+    assert abs(next(iter(got.values())) - 10**12 // n) < 10**7
+
+
+def test_pagerank_ranks_hub_highest(spark):
+    from duckpipe_spark.functions.graph import pagerank, symmetrize
+
+    star_plus = _edges_df(spark, [(0, i) for i in range(1, 8)] + [(1, 2)])
+    got = {r.node: r.rank_int for r in pagerank(symmetrize(star_plus), iterations=6).collect()}
+    assert got[0] == max(got.values())
+    assert got[1] == got[2] > got[3]  # the extra edge lifts 1 and 2 equally
+    assert got[3] == got[4] == got[5] == got[6] == got[7]
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from duckpipe_spark.functions.graph import pagerank, symmetrize
+
+    import random
+
+    rng = random.Random(11)
+    pairs = [(u, v) for u, v in {(rng.randint(1, 30), rng.randint(1, 30)) for _ in range(120)} if u != v]
+    e = symmetrize(_edges_df(spark, pairs))
+    a = sorted((r.node, r.rank_int) for r in pagerank(e, iterations=5).collect())
+    b = sorted((r.node, r.rank_int) for r in pagerank(e.repartition(17), iterations=5).collect())
+    assert a == b
