@@ -1026,3 +1026,54 @@ def custkey_yearly_delta_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
             (F.coalesce("n98", F.lit(0)) - F.coalesce("n97", F.lit(0))).alias("delta"),
         )
     )
+
+
+_NTILE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), tiled AS (
+  SELECT custkey, cents,
+         ntile(4) OVER (ORDER BY cents DESC, custkey) AS quartile
+  FROM spend
+)
+SELECT quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS spend_cents,
+       CAST(min(cents) AS BIGINT) AS floor_cents
+FROM tiled GROUP BY 1
+"""
+
+
+@register(
+    "customer_spend_quartiles",
+    _NTILE_ORACLE,
+    "ntile(4) spend quartiles over a global ordering with unique tie-break",
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile segmentation of customers by lifetime spend — the ntile
+    window function over a GLOBAL ordering (the one window type the catalog
+    did not yet exercise). Deterministic because the ordering is total
+    (cents desc, custkey): ntile's row assignment is then a pure function
+    of the data on any engine.
+
+    Scale note: a global ntile forces a single-partition sort — inherent to
+    the semantics (any engine must totally order the input). For per-group
+    tiling at 100 TB, partitionBy the window instead; this query pins the
+    harder single-ordering case at aggregate (per-customer) cardinality,
+    which is the realistic use (segment the CUSTOMER table, not the raw
+    fact table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cents").desc(), "custkey")
+    tiled = spend.withColumn("quartile", F.ntile(4).over(w))
+    return tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("spend_cents"),
+        F.min("cents").alias("floor_cents"),
+    )
