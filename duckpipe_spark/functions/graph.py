@@ -34,16 +34,30 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = 10_000,
+) -> DataFrame:
     """Distinct undirected co-occurrence edges (u < v): items sharing a
     group. One groupBy builds the per-group item set and a higher-order
     `transform` emits the C(k,2) ordered pairs JVM-side — no self-join, so
-    a group never meets another group in a shuffle. A group with k items
-    still emits k(k-1)/2 pairs; cap pathological group sizes upstream
-    (same document-frequency reasoning as ngram_jaccard_pairs)."""
+    a group never meets another group in a shuffle.
+
+    A group with k items emits k(k-1)/2 pairs, so one pathological group
+    (a crawler session touching every item, a catch-all order) can emit
+    more edges than the whole rest of the corpus. ``max_group_size`` drops
+    such groups entirely (the standard frequency-cap move — same reasoning
+    as the shingle document-frequency cap in ``ngram_jaccard_pairs``):
+    co-occurrence inside a near-universal group carries no signal, and the
+    k² blowup is the difference between a bounded shuffle and a melted
+    executor at corpus scale. ``None`` disables the cap."""
     items = df.groupBy(F.col(group_col).alias("g")).agg(
         F.sort_array(F.collect_set(item_col)).alias("xs")
     )
+    if max_group_size is not None:
+        items = items.where(F.size("xs") <= max_group_size)
     pairs = items.select(
         F.explode(
             F.expr(

@@ -90,6 +90,8 @@ def range_join(
         raise ValueError(f"closed must be left|right|both, got {closed!r}")
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    if _BIN in points.columns or _BIN in intervals.columns:
+        raise ValueError(f"column name {_BIN!r} is reserved by range_join")
 
     p_type = dict(points.dtypes)[point_col]
     lo_type = dict(intervals.dtypes)[lo_col]

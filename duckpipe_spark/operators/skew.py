@@ -57,6 +57,8 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salts < 1:
         raise ValueError("salts must be >= 1")
+    if _SALT in facts.columns or _SALT in dim.columns:
+        raise ValueError(f"column name {_SALT!r} is reserved by salted_join")
     keys = [on] if isinstance(on, str) else list(on)
 
     f = facts.withColumn(

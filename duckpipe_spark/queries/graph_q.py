@@ -15,10 +15,14 @@ from duckpipe_spark.queries.base import register
 from duckpipe_spark.sources.tables import load_table
 
 _TRIANGLE_ORACLE = """
-WITH e AS (
+WITH ok_orders AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1
+  HAVING count(DISTINCT l_partkey) <= 10000
+), e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok_orders)
 )
 SELECT e1.u AS part, CAST(count(*) AS BIGINT) AS n_triangles
 FROM e e1
@@ -62,10 +66,14 @@ def _pagerank_oracle() -> str:
     same pattern as the k-means oracle in similarity_q."""
     base = f"({(100 - _PR_DAMP) * _PR_SCALE} // (100 * (SELECT n FROM nn)))"
     ctes = [
-        """e0 AS (
+        """ok_orders AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1
+  HAVING count(DISTINCT l_partkey) <= 10000
+), e0 AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok_orders)
 )""",
         "e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0)",
         "deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1)",

@@ -98,3 +98,15 @@ def test_pagerank_deterministic_across_partitionings(spark):
     a = sorted((r.node, r.rank_int) for r in pagerank(e, iterations=5).collect())
     b = sorted((r.node, r.rank_int) for r in pagerank(e.repartition(17), iterations=5).collect())
     assert a == b
+
+
+def test_group_size_cap_bounds_edge_blowup(spark):
+    """One catch-all group must not quadratically dominate the edge list:
+    with the cap it is dropped entirely; without, it emits C(50,2) pairs."""
+    rows = [(1, i) for i in range(50)] + [(2, 10), (2, 11)]
+    df = spark.createDataFrame(rows, "g bigint, item bigint")
+    capped = cooccurrence_edges(df, "g", "item", max_group_size=10)
+    assert sorted((r.u, r.v) for r in capped.collect()) == [(10, 11)]
+    uncapped = cooccurrence_edges(df, "g", "item", max_group_size=None)
+    # group 2's (10, 11) already exists inside group 1's C(50,2) pair set
+    assert uncapped.count() == 50 * 49 // 2
