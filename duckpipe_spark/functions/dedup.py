@@ -380,9 +380,10 @@ def connected_components(
     needed = graph diameter, which for dedup clusters (dense clumps of
     near-identical docs) is 2-4; `localCheckpoint` cuts the lineage so plan
     size stays O(1) per round instead of O(rounds). For adversarial
-    long-chain graphs swap in alternating large-star/small-star (Kiveris et
-    al., "Connected Components in MapReduce and Beyond"), which the same
-    loop skeleton supports; dedup workloads never look like that.
+    long-chain graphs use `connected_components_star` below (alternating
+    large-star/small-star, O(log n) rounds, identical result contract);
+    dedup workloads never look like that, so diameter-bounded propagation
+    with its cheaper per-round cost stays the default.
 
     The per-round `count()` is the convergence test (an aggregate, not a
     collect of data rows).
@@ -421,11 +422,105 @@ def connected_components(
 
         warnings.warn(
             f"connected_components did not converge within max_iter={max_iter} "
-            f"({changed} labels still changing); component labels are not final",
+            f"({changed} labels still changing); component labels are not final "
+            f"- for long-chain graphs use connected_components_star",
             RuntimeWarning,
             stacklevel=2,
         )
     return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    the O(log n)-round alternative to `connected_components` for graphs
+    whose diameter is NOT small.
+
+    Neighbor-min propagation needs diameter-many rounds: a 10^6-node path
+    graph (chained near-dup shingles, linked-page graphs) would run 10^6
+    joins. The star operations instead rewire edges toward each
+    neighborhood's minimum:
+
+    * large-star: every node u links its LARGER neighbors to
+      min(N(u) ∪ {u}) — strictly shrinks tall trees without breaking
+      connectivity;
+    * small-star: every node u (keyed as the larger endpoint of each
+      edge, so all its kept neighbors are smaller) links them and itself
+      to the minimum — flattens the remainder into stars.
+
+    The fixed point is a star forest: every edge is (node, component-min).
+    Each round is two groupBy-min + join passes over the current edge
+    list, all keyed shuffles, lineage cut per round; rounds needed are
+    O(log n) on adversarial chains (a 300-node path converges in ~5).
+
+    Result contract is identical to `connected_components`: (id,
+    component) with component = min reachable node id — the two are
+    asserted equal on random graphs in tests.
+    """
+    e = edges.select(
+        F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical working set: undirected edges as u<v rows
+    cur = (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: key on BOTH endpoints (symmetrize) ----
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: key on the larger endpoint (v side of u<v rows) ----
+        ss = large.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        smin = ss.groupBy("c").agg(F.min("n").alias("m"))
+        small = (
+            ss.join(smin, "c")
+            .select(F.least("n", "m").alias("u"), F.greatest("n", "m").alias("v"))
+            .union(smin.select(F.col("m").alias("u"), F.col("c").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # exact fixed-point test: the undirected edge SET is unchanged
+        changed = (
+            small.exceptAll(cur).limit(1).count() + cur.exceptAll(small).limit(1).count()
+        )
+        cur = small
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not converge within max_iter={max_iter}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixed point is a star forest: every (u, v) row maps leaf v -> center u
+    leaves = cur.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    return nodes.join(leaves, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def dedup_against_corpus(

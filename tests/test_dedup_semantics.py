@@ -243,3 +243,54 @@ def test_pq_codes_total_and_adc_finds_exact_twin(spark, planted_vectors):
     assert by_rank[1]["neighbor_id"] == 500 and by_rank[1]["adist"] == 0
     in_cluster = sum(1 for r in topk if labels.get(r["neighbor_id"], 0) == labels[0])
     assert in_cluster >= 4, topk
+
+
+class TestStarConnectedComponents:
+    """connected_components_star must agree exactly with neighbor-min
+    propagation — and converge in O(log n) rounds where propagation needs
+    O(diameter)."""
+
+    def _pairs_df(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+
+    def test_matches_propagation_on_random_graphs(self, spark):
+        import random
+
+        from duckpipe_spark.functions.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(23)
+        for trial in range(3):
+            pairs = [
+                (rng.randint(1, 60), rng.randint(1, 60)) for _ in range(70)
+            ]
+            pairs = [(a, b) for a, b in pairs if a != b]
+            df = self._pairs_df(spark, pairs)
+            a = sorted(
+                (r.id, r.component) for r in connected_components(df).collect()
+            )
+            b = sorted(
+                (r.id, r.component)
+                for r in connected_components_star(df).collect()
+            )
+            assert a == b, f"trial {trial}"
+
+    def test_path_graph_converges_logarithmically(self, spark):
+        """A 300-node path has diameter 299; the star algorithm must finish
+        within max_iter=12 (propagation would need 300 rounds) and label
+        every node with the chain minimum."""
+        from duckpipe_spark.functions.dedup import connected_components_star
+
+        df = self._pairs_df(spark, [(i, i + 1) for i in range(1, 300)])
+        got = connected_components_star(df, max_iter=12).collect()
+        assert len(got) == 300
+        assert {r.component for r in got} == {1}
+
+    def test_two_components_and_isolated_star_centers(self, spark):
+        from duckpipe_spark.functions.dedup import connected_components_star
+
+        df = self._pairs_df(spark, [(5, 3), (3, 9), (20, 21), (21, 20)])
+        got = {r.id: r.component for r in connected_components_star(df).collect()}
+        assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
