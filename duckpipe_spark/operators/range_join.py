@@ -62,6 +62,33 @@ def _as_numeric(col: Column, dtype: str) -> Column:
     return col
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _bin_expr(tmp_name: str, dtype: str, bin_width: int) -> Column:
+    """floor(<tmp_name> / bin_width) as BIGINT over a materialized numeric
+    column — exact integer floor division for integer/timestamp keys.
+
+    Correctness note: ANY binning function works for candidate generation
+    as long as it is monotone and applied identically to points and
+    interval endpoints (lo <= p <= hi then implies bin(lo) <= bin(p) <=
+    bin(hi), and the sequence-explode covers every bin between), with the
+    exact residual deciding membership — so even double floor-division,
+    whose quotient ULP near 2^50-scale epoch micros is coarser than 1
+    unit, never drops a pair. Exact BIGINT floors are still preferable:
+    bins land on true width boundaries, so the interval→bin explode
+    factor, skew diagnostics, and bin_width tuning behave as documented
+    instead of drifting by a ULP near edges. ``(n - pmod(n, w)) DIV w``
+    stays integer end to end and is true floor division for negative
+    values too (pmod is the non-negative remainder); fractional keys keep
+    the double path, which the argument above covers."""
+    if dtype in _INTEGRAL or dtype.startswith("timestamp"):
+        return F.expr(
+            f"({tmp_name} - pmod({tmp_name}, {bin_width}L)) DIV {bin_width}L"
+        )
+    return F.floor(F.col(tmp_name) / F.lit(bin_width)).cast("bigint")
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -97,19 +124,26 @@ def range_join(
     lo_type = dict(intervals.dtypes)[lo_col]
     hi_type = dict(intervals.dtypes)[hi_col]
 
-    p_num = _as_numeric(F.col(point_col), p_type)
-    lo_num = _as_numeric(F.col(lo_col), lo_type)
-    hi_num = _as_numeric(F.col(hi_col), hi_type)
-
-    p = points.withColumn(_BIN, F.floor(p_num / F.lit(bin_width)))
-    iv = intervals.withColumn(
-        _BIN,
-        F.explode(
-            F.sequence(
-                F.floor(lo_num / F.lit(bin_width)),
-                F.floor(hi_num / F.lit(bin_width)),
-            )
-        ),
+    # materialize the numeric ordering values as temp columns so the exact
+    # DIV-based bin expression can name them, then drop them after binning
+    p = (
+        points.withColumn("__rj_pnum", _as_numeric(F.col(point_col), p_type))
+        .withColumn(_BIN, _bin_expr("__rj_pnum", p_type, bin_width))
+        .drop("__rj_pnum")
+    )
+    iv = (
+        intervals.withColumn("__rj_lonum", _as_numeric(F.col(lo_col), lo_type))
+        .withColumn("__rj_hinum", _as_numeric(F.col(hi_col), hi_type))
+        .withColumn(
+            _BIN,
+            F.explode(
+                F.sequence(
+                    _bin_expr("__rj_lonum", lo_type, bin_width),
+                    _bin_expr("__rj_hinum", hi_type, bin_width),
+                )
+            ),
+        )
+        .drop("__rj_lonum", "__rj_hinum")
     )
 
     keys = [_BIN, *equi_keys]

@@ -100,3 +100,40 @@ def test_validation(spark):
         range_join(p, i, "p", "lo", "hi", bin_width=0)
     with pytest.raises(ValueError):
         range_join(p, i, "p", "lo", "hi", bin_width=1, closed="open")
+
+
+def test_exact_bins_at_epoch_scale_bigints(spark):
+    """Integer keys near 2^62 with points exactly on / adjacent to bin
+    edges: the BIGINT floor-division path must place every edge value in
+    its true bin and the join must be exact (double division would shift
+    bins by a ULP here; membership stays correct either way — this pins
+    the stronger bin-alignment property via end-to-end results)."""
+    bw = 3_600_000_000
+    k = 1_280_000_000
+    edge = k * bw  # ~4.6e18, beyond double's 2^53 exact-integer range
+    pts = spark.createDataFrame(
+        [(1, edge - 1), (2, edge), (3, edge + 1), (4, edge - bw)],
+        "pid int, p bigint",
+    )
+    ivs = spark.createDataFrame(
+        [(10, edge - bw, edge), (11, edge, edge + bw)],
+        "iid int, lo bigint, hi bigint",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "p", "lo", "hi", bin_width=bw).collect()
+    )
+    # closed="left": [lo, hi)
+    assert got == [(1, 10), (2, 11), (3, 11), (4, 10)]
+
+
+def test_negative_integer_keys_floor_not_trunc(spark):
+    """pmod-based floor division must bin negative integers like floor
+    (-1 -> bin -1 for width 10), not like truncation (bin 0)."""
+    pts = spark.createDataFrame([(1, -1), (2, -10), (3, -11)], "pid int, p bigint")
+    ivs = spark.createDataFrame([(10, -10, 0)], "iid int, lo bigint, hi bigint")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "p", "lo", "hi", bin_width=10).collect()
+    )
+    assert got == [(1, 10), (2, 10)]
