@@ -481,7 +481,8 @@ def connected_components_star(
     for _ in range(max_iter):
         # ---- large-star: key on BOTH endpoints (symmetrize) ----
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # min over {u} ∪ N(u); min("u") == u within the group (grouping key)
+        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("m"))
         large = (
             sym.join(lmin, "u")
             .where(F.col("v") > F.col("u"))

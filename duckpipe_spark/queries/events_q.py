@@ -686,3 +686,54 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_score"),
     )
     return z.where(F.abs(F.col("z_score")) > 3)
+
+
+_OHLC_ORACLE = """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS h, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       min(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM w GROUP BY 1
+"""
+
+
+@register(
+    "events_ohlc_bars",
+    _OHLC_ORACLE,
+    "OHLC downsampling bars: first/last via tie-broken windows, no float arithmetic",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly open/high/low/close bars over the event value stream — the
+    canonical time-series downsampling shape. Open/close are elected by
+    row_number over the total (ts, event_id) order (first/last would be
+    partition-order-dependent); every output value is an UNTRANSFORMED
+    input double, so the cross-engine hash is exact with zero float
+    arithmetic. One shuffle on the hour bucket; the two windows share its
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", "ts")
+    wa = Window.partitionBy(h).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy(h).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    w = ev.select(
+        h.alias("h"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return w.groupBy(F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )
