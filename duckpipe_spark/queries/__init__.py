@@ -48,12 +48,16 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # Queries modified THIS round (geo_pivot_pipeline collect-cap, doc_jaccard_pairs
 # df-cap, embedding_lsh_topk non-eager planes, doc_span_dedup shuffle slimming)
 # stay in the gate so the changes get fresh independent rows, and the round-4
-# queries (image_decode_png, events_gap_fill, embedding_int8_quant,
-# blob_byte_entropy's first row, plus the four NEW operators below) enter in
-# place of 2-3-green-round veterans. With this window green, 101/108 of the
-# catalog is driver-attested over rounds 1-4 (image_decode_stub stays
-# rows-only by design; doc_vocab/doc_encoded/doc_pii_scrub/lang_top_bigrams
-# rotate out with 2 green rounds each to make room for the new operators).
+# additions (image_decode_png, events_gap_fill, embedding_int8_quant,
+# blob_byte_entropy's first row, plus the nine NEW operators: range join,
+# salted join, z-score anomalies, triangle counting, integer PageRank,
+# star connected components, spend quartiles, OHLC bars) enter in place of
+# 2-3-green-round veterans (doc_vocab/doc_encoded/doc_pii_scrub/
+# lang_top_bigrams/doc_hash_split/doc_stratified_sample/doc_pack_sequences/
+# events_hourly_rollup, all with >=2 green driver rounds). With this window
+# green, every r3-era query has a driver row from rounds 1-4 and all nine
+# round-4 operators are independently attested (image_decode_stub stays
+# rows-only by design).
 base.DRIVER_ORDER[:] = [
     # geo (modified this round: bounded segment pull)
     "geo_pivot_pipeline",
@@ -82,10 +86,11 @@ base.DRIVER_ORDER[:] = [
     "doc_quality_percentile",
     "lang_id_confusion",
     # sampling / packing family (+ never-verified temperature resample;
-    # hash_split rotates out with 2 green rounds for parts_pagerank)
-    "doc_stratified_sample",
-    "doc_pack_sequences",
+    # hash_split/stratified/pack rotate out with 2 green rounds each for
+    # parts_pagerank, doc_dup_components_star and customer_spend_quartiles)
     "doc_temperature_resample",
+    "doc_dup_components_star",
+    "customer_spend_quartiles",
     # corpus hygiene family
     "doc_decontamination",
     "doc_boilerplate",
@@ -94,7 +99,8 @@ base.DRIVER_ORDER[:] = [
     "doc_span_dedup",
     "doc_source_rollup",
     # events / timeseries: r3 window + the 7 never-driver-verified
-    "events_hourly_rollup",
+    # (hourly_rollup rotates out with 2 green rounds for events_ohlc_bars)
+    "events_ohlc_bars",
     "events_session_window",
     "events_props_rollup",
     "asof_clicks_purchases",

@@ -207,6 +207,25 @@ def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "doc_dup_components_star",
+    _CC_ORACLE,
+    "same closure via alternating large-star/small-star (O(log n) rounds)",
+)
+def doc_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical result contract to doc_dup_components — (id, component =
+    min reachable doc_id) — computed by the Kiveris large-star/small-star
+    rewiring instead of diameter-bounded propagation, against the SAME
+    recursive-CTE oracle. Two independent iterative algorithms hash-equal
+    to one SQL truth is the strongest cross-check the gate offers for
+    graph closure."""
+    from duckpipe_spark.functions.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return connected_components_star(pairs)
+
+
 # --- incremental dedup: admit only genuinely-new documents -----------------
 
 _INCR_ORACLE = """
