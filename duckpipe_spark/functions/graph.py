@@ -105,12 +105,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.explode(F.array_intersect("ns_src", "ns_dst")).alias("w"),
         )
     )
+    # sort-extract the ascending triple: sum-minus-min-minus-max would
+    # overflow BIGINT for ids near 2^63 (hash-derived node ids use the
+    # full range), and ANSI mode turns that into a runtime error
+    srt = F.sort_array(F.array("src", "dst", "w"))
     return tri.select(
-        F.least("src", "dst", "w").alias("a"),
-        # the middle id: total of the three minus min minus max
-        (F.col("src") + F.col("dst") + F.col("w")
-         - F.least("src", "dst", "w") - F.greatest("src", "dst", "w")).alias("b"),
-        F.greatest("src", "dst", "w").alias("c"),
+        srt.getItem(0).alias("a"),
+        srt.getItem(1).alias("b"),
+        srt.getItem(2).alias("c"),
     )
 
 

@@ -110,3 +110,13 @@ def test_group_size_cap_bounds_edge_blowup(spark):
     uncapped = cooccurrence_edges(df, "g", "item", max_group_size=None)
     # group 2's (10, 11) already exists inside group 1's C(50,2) pair set
     assert uncapped.count() == 50 * 49 // 2
+
+
+def test_triangle_ids_near_int64_max_no_overflow(spark):
+    """Hash-derived node ids span the full BIGINT range; the triple
+    extraction must not do arithmetic that overflows (ANSI mode would
+    raise; legacy mode would silently corrupt the middle id)."""
+    big = 2**62
+    pairs = [(big, big + 1), (big + 1, big + 2), (big, big + 2)]
+    got = [(r.a, r.b, r.c) for r in triangle_count(_edges_df(spark, pairs)).collect()]
+    assert got == [(big, big + 1, big + 2)]
