@@ -1,0 +1,138 @@
+"""Deterministic cross-engine HyperLogLog.
+
+`approx_count_distinct` is rows-only-checkable against DuckDB because the
+two engines' HLL sketches (hash function, register layout, bias tables)
+differ. This module implements HLL from its public definition (Flajolet
+et al. 2007) out of portable integer column ops, so Spark and the SQL
+oracle compute THE SAME sketch and THE SAME estimate — turning an
+"approximate" operator into an exactly-verifiable one (the estimate is
+deterministic; only its relation to the true count is approximate).
+
+Determinism inventory (why the cross-engine hash matches bit-for-bit):
+* hash = (769·x + 12582917) mod 1e9+7 — affine over BIGINT, the same
+  family as the MinHash permutations, trivially identical in SQL;
+* register index = hash mod 256; suffix = hash div 256 (22 bits);
+* rho = 23 − bit_length(suffix), with bit_length spelled
+  ``length(bin(x))`` — identical semantics in Spark and DuckDB (no
+  zero-padding in either), no float log2 anywhere;
+* registers = MAX per bucket — order-independent;
+* the harmonic sum Σ 2^−M[j] adds 256 dyadic rationals of denominator
+  2^23 and magnitude ≤ 1, so every partial sum fits a 31-bit mantissa —
+  float addition is EXACT here, in any order, on any engine;
+* the final estimate is one fixed IEEE expression over those exact
+  inputs, rounded to BIGINT (a shared ~1e-16 `ln` libm wobble in the
+  small-range branch cannot move an integer rounding).
+
+Scale shape: one shuffle to (group, bucket) MAX registers — 256 rows per
+group regardless of input size — then a tiny per-group fold. Registers
+are mergeable by construction (MAX), so shards/partitions/days combine
+without re-scanning, which is the entire point of HLL at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+HLL_P = 1_000_000_007
+HLL_A = 769
+HLL_B = 12_582_917
+HLL_M = 256  # 2^8 registers → ~6.5% standard error
+# Flajolet's alpha_256, embedded as the SAME literal in Spark and SQL
+HLL_ALPHA = repr(0.7213 / (1 + 1.079 / 256))
+
+# shared SQL fragments (used verbatim by the Spark side via F.expr and by
+# the DuckDB oracle) — the expression TEXT being identical is what makes
+# the float path bit-identical.
+#
+# The hash needs AVALANCHE, not just dispersion: an affine map of a
+# sequential key range is itself sequential, its high bits stay tiny, and
+# every rho saturates (estimates off by 20x — caught by the accuracy
+# test). Two middle-square rounds mod the prime mix high bits properly
+# while every intermediate stays under 2^63 on both engines:
+# h1 = (a·x + b) mod P;  h2 = (h1² + h1) mod P;  h = (h² + 3·h2) mod P.
+HLL_H1_SQL = f"pmod({HLL_A} * {{col}} + {HLL_B}, {HLL_P})"
+HLL_H2_SQL = f"pmod({{h}} * {{h}} + {{h}}, {HLL_P})"
+HLL_H3_SQL = f"pmod({{h}} * {{h}} + 3 * {{h}}, {HLL_P})"
+HLL_RHO_SQL = (
+    "CASE WHEN {rest} = 0 THEN 23 ELSE 23 - length(bin({rest})) END"
+)
+# every numeric literal is CAST(... AS DOUBLE): Spark and DuckDB both
+# parse bare decimal literals as DECIMAL, whose arithmetic overflows /
+# rounds differently — the fragments must force the IEEE double path
+_D = "CAST({v} AS DOUBLE)".format
+_EST = (
+    f"({_D(v=HLL_ALPHA)} * {_D(v=65536)}) / {{s}}"
+)
+HLL_EST_SQL = (
+    f"CASE WHEN {_EST} <= {_D(v=640)} AND {{zeros}} > 0 "
+    f"THEN {_D(v=256)} * ln({_D(v=256)} / {{zeros}}) "
+    f"ELSE {_EST} END"
+)
+
+
+def hll_registers(df: DataFrame, col: str, group_cols: list[str]) -> DataFrame:
+    """(group..., bucket, reg) — the mergeable sketch state (MAX-combinable
+    across any sharding of the input)."""
+    d = (
+        df.select(*group_cols, F.expr(HLL_H1_SQL.format(col=col)).alias("__h"))
+        .withColumn("__h", F.expr(HLL_H2_SQL.format(h="__h")))
+        .withColumn("__h", F.expr(HLL_H3_SQL.format(h="__h")))
+        .select(
+            *group_cols,
+            F.expr(f"pmod(__h, {HLL_M})").alias("__bucket"),
+            F.expr(f"__h DIV {HLL_M}").alias("__rest"),
+        )
+        .withColumn("__rho", F.expr(HLL_RHO_SQL.format(rest="__rest")))
+    )
+    return (
+        d.groupBy(*group_cols, F.col("__bucket").alias("bucket"))
+        .agg(F.max("__rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold (group..., bucket, reg) registers into the integer cardinality
+    estimate per group."""
+    folded = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.expr("power(CAST(0.5 AS DOUBLE), reg)")).alias("__sp"),
+    )
+    s = "((256 - __np) * CAST(1 AS DOUBLE) + __sp)"
+    zeros = "(256 - __np)"
+    est = HLL_EST_SQL.format(s=s, zeros=zeros)
+    return folded.select(
+        *group_cols,
+        F.expr(f"CAST(round({est}) AS BIGINT)").alias("hll_distinct"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, group_cols: list[str]) -> DataFrame:
+    """Grouped deterministic-HLL distinct-count estimate → (group...,
+    hll_distinct)."""
+    return hll_estimate(hll_registers(df, col, group_cols), group_cols)
+
+
+def hll_oracle_sql(table: str, col: str, group_cols: list[str]) -> str:
+    """The DuckDB twin, assembled from the SAME expression fragments."""
+    g = ", ".join(group_cols)
+    rho = HLL_RHO_SQL.format(rest="rest")
+    est = HLL_EST_SQL.format(s="((256 - np) * CAST(1 AS DOUBLE) + sp)", zeros="(256 - np)")
+    # DuckDB pmod: operands here are non-negative, so % == pmod
+    h1 = f"({HLL_A} * {col} + {HLL_B}) % {HLL_P}"
+    h2 = f"(h1 * h1 + h1) % {HLL_P}"
+    h3 = f"(h2 * h2 + 3 * h2) % {HLL_P}"
+    return f"""
+WITH s1 AS (SELECT {g}, {h1} AS h1 FROM {table}),
+s2 AS (SELECT {g}, {h2} AS h2 FROM s1),
+s3 AS (SELECT {g}, {h3} AS h FROM s2),
+rows_h AS (
+  SELECT {g}, h % 256 AS bucket, h // 256 AS rest FROM s3
+), regs AS (
+  SELECT {g}, bucket, MAX({rho}) AS reg FROM rows_h GROUP BY {g}, bucket
+), folded AS (
+  SELECT {g}, COUNT(*) AS np, SUM(power(CAST(0.5 AS DOUBLE), reg)) AS sp
+  FROM regs GROUP BY {g}
+)
+SELECT {g}, CAST(round({est}) AS BIGINT) AS hll_distinct FROM folded
+"""

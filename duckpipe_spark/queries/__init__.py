@@ -51,13 +51,13 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # additions (image_decode_png, events_gap_fill, embedding_int8_quant,
 # blob_byte_entropy's first row, plus the nine NEW operators: range join,
 # salted join, z-score anomalies, triangle counting, integer PageRank,
-# star connected components, spend quartiles, OHLC bars) enter in place of
-# 2-3-green-round veterans (doc_vocab/doc_encoded/doc_pii_scrub/
-# lang_top_bigrams/doc_hash_split/doc_stratified_sample/doc_pack_sequences/
-# events_hourly_rollup, all with >=2 green driver rounds). With this window
-# green, every r3-era query has a driver row from rounds 1-4 and all nine
-# round-4 operators are independently attested (image_decode_stub stays
-# rows-only by design).
+# star connected components, spend quartiles, OHLC bars, deterministic
+# HLL) enter in place of 2-3-green-round veterans (doc_vocab/doc_encoded/
+# doc_pii_scrub/lang_top_bigrams/doc_hash_split/doc_stratified_sample/
+# doc_pack_sequences/events_hourly_rollup/doc_boilerplate, all with >=2
+# green driver rounds). With this window green, every r3-era query has a
+# driver row from rounds 1-4 and all nine round-4 operators are
+# independently attested (image_decode_stub stays rows-only by design).
 base.DRIVER_ORDER[:] = [
     # geo (modified this round: bounded segment pull)
     "geo_pivot_pipeline",
@@ -93,7 +93,8 @@ base.DRIVER_ORDER[:] = [
     "customer_spend_quartiles",
     # corpus hygiene family
     "doc_decontamination",
-    "doc_boilerplate",
+    # boilerplate rotates out (2 green rounds) for the deterministic HLL
+    "parts_hll_distinct",
     "doc_repetition_stats",
     "doc_mixture_resample",
     "doc_span_dedup",

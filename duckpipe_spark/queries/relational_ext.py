@@ -1077,3 +1077,48 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("spend_cents"),
         F.min("cents").alias("floor_cents"),
     )
+
+
+def _hll_oracle() -> str:
+    from duckpipe_spark.functions.sketches import hll_oracle_sql
+
+    inner = hll_oracle_sql("lineitem", "l_partkey", ["l_returnflag"]).strip()
+    return f"""
+WITH hll AS ({inner}),
+exact AS (
+  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+  FROM lineitem GROUP BY 1
+)
+SELECT hll.l_returnflag AS returnflag, hll.hll_distinct, exact.exact_distinct
+FROM hll JOIN exact USING (l_returnflag)
+"""
+
+
+@register(
+    "parts_hll_distinct",
+    _hll_oracle(),
+    "deterministic cross-engine HyperLogLog vs the exact distinct count",
+)
+def parts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct parts per return flag, twice: a from-scratch deterministic
+    HLL (functions/sketches.py — same integer sketch and same IEEE
+    estimate on both engines, so the gate hash-verifies an APPROXIMATE
+    operator exactly) next to the exact count. Unlike
+    approx_count_distinct (rows-only: engine sketches differ), this HLL
+    is portable by construction; its 256 MAX-mergeable registers per
+    group are the 100 TB shape — shards combine without re-scanning."""
+    from duckpipe_spark.functions.sketches import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hll = hll_distinct(li, "l_partkey", ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return (
+        hll.join(exact, "l_returnflag")
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            "hll_distinct",
+            "exact_distinct",
+        )
+    )

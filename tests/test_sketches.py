@@ -1,0 +1,50 @@
+"""Deterministic HLL: estimate accuracy vs truth, exact shard
+mergeability, and partition invariance."""
+
+import pyspark.sql.functions as F
+
+from duckpipe_spark.functions.sketches import hll_distinct, hll_estimate, hll_registers
+
+
+def _ids(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.lit("g").alias("grp"), (F.col("id") * 7 + 3).alias("x")
+    )
+
+
+def test_estimate_within_hll_error_bound(spark):
+    """m=256 registers → ~6.5% standard error; assert within 3 sigma for a
+    spread of cardinalities (deterministic, so these are fixed numbers —
+    the assert guards the formula, not luck)."""
+    for n in (100, 1_000, 20_000):
+        est = (
+            hll_distinct(_ids(spark, n), "x", ["grp"]).collect()[0].hll_distinct
+        )
+        assert abs(est - n) / n < 0.20, (n, est)
+
+
+def test_registers_merge_exactly(spark):
+    """MAX-merging two shards' registers must equal the whole-input sketch
+    bit-for-bit — the property that lets 100 TB shards combine without a
+    re-scan."""
+    whole = hll_registers(_ids(spark, 5_000), "x", ["grp"])
+    a = hll_registers(_ids(spark, 3_000), "x", ["grp"])
+    b = hll_registers(_ids(spark, 2_000, offset=3_000), "x", ["grp"])
+    merged = (
+        a.unionByName(b)
+        .groupBy("grp", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    w = {(r.bucket): r.reg for r in whole.collect()}
+    m = {(r.bucket): r.reg for r in merged.collect()}
+    assert w == m
+    e1 = hll_estimate(whole, ["grp"]).collect()[0].hll_distinct
+    e2 = hll_estimate(merged, ["grp"]).collect()[0].hll_distinct
+    assert e1 == e2
+
+
+def test_partition_invariant(spark):
+    df = _ids(spark, 4_000)
+    a = hll_distinct(df, "x", ["grp"]).collect()[0].hll_distinct
+    b = hll_distinct(df.repartition(17), "x", ["grp"]).collect()[0].hll_distinct
+    assert a == b
