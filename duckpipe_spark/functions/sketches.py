@@ -136,3 +136,81 @@ rows_h AS (
 )
 SELECT {g}, CAST(round({est}) AS BIGINT) AS hll_distinct FROM folded
 """
+
+
+# --- Count-Min frequency sketch (Cormode & Muthukrishnan 2005) -------------
+#
+# Same portability story as the HLL above, but simpler: the sketch is a
+# d x w grid of COUNTS (exact BIGINT sums — no float anywhere), the
+# point-query estimate is the MIN over d cells, and both build and probe
+# are plain groupBy/join algebra. Estimates are upper bounds: exact for
+# keys with no cell collisions, inflated by collision mass otherwise —
+# deterministic on any engine, so the oracle hash-matches exactly.
+
+CM_D = 4          # rows (independent hash seeds)
+CM_W = 1024       # counters per row
+# distinct odd multipliers per row, same affine-then-middle-square mixer
+CM_SEEDS = [(769, 12_582_917), (1543, 25_165_843), (3079, 50_331_653), (6151, 100_663_319)]
+
+
+def _cm_cell_sql(col: str, a: int, b: int) -> str:
+    h1 = f"pmod({a} * {col} + {b}, {HLL_P})"
+    h2 = f"pmod({h1} * {h1} + {h1}, {HLL_P})"
+    return f"pmod({h2}, {CM_W})"
+
+
+def cm_sketch(df: DataFrame, col: str) -> DataFrame:
+    """Build the d×w sketch → (row, cell, cnt). One explode (d rows per
+    input row) + one groupBy: at most d·w = 4096 output rows regardless of
+    input size, SUM-mergeable across shards."""
+    cells = F.array(
+        *[F.expr(_cm_cell_sql(col, a, b)) for a, b in CM_SEEDS]
+    )
+    d = df.select(F.posexplode(cells).alias("row", "cell"))
+    return d.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(sketch: DataFrame, keys: DataFrame, col: str) -> DataFrame:
+    """Point-query each key in ``keys`` → (col, cm_count): MIN over the d
+    probed cells. The sketch side is ≤4096 rows — always broadcast."""
+    probes = keys.select(
+        F.col(col),
+        F.posexplode(
+            F.array(*[F.expr(_cm_cell_sql(col, a, b)) for a, b in CM_SEEDS])
+        ).alias("row", "cell"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_count"))
+    )
+
+
+def cm_oracle_sql(table: str, col: str, keys_sql: str) -> str:
+    """DuckDB twin: same cells, same SUM/MIN algebra. ``keys_sql`` is a
+    query producing the distinct keys to probe (column name = ``col``).
+    DuckDB has no pmod(); every operand here is non-negative so ``%`` is
+    identical."""
+
+    def cell(a: int, b: int) -> str:
+        h1 = f"(({a} * {col} + {b}) % {HLL_P})"
+        h2 = f"(({h1} * {h1} + {h1}) % {HLL_P})"
+        return f"({h2} % {CM_W})"
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {cell(a, b)} AS cell FROM {table}"
+        for i, (a, b) in enumerate(CM_SEEDS)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {col}, {i} AS row, {cell(a, b)} AS cell FROM ks"
+        for i, (a, b) in enumerate(CM_SEEDS)
+    )
+    return f"""
+WITH cells AS ({cell_rows}),
+sk AS (SELECT row, cell, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+ks AS ({keys_sql}),
+probes AS ({probe_rows})
+SELECT probes.{col}, CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS cm_count
+FROM probes LEFT JOIN sk USING (row, cell)
+GROUP BY 1
+"""

@@ -93,9 +93,10 @@ base.DRIVER_ORDER[:] = [
     "customer_spend_quartiles",
     # corpus hygiene family
     "doc_decontamination",
-    # boilerplate rotates out (2 green rounds) for the deterministic HLL
+    # boilerplate/repetition_stats rotate out (2 green rounds each) for
+    # the deterministic sketches (HLL cardinality + Count-Min frequency)
     "parts_hll_distinct",
-    "doc_repetition_stats",
+    "parts_cm_frequencies",
     "doc_mixture_resample",
     "doc_span_dedup",
     "doc_source_rollup",

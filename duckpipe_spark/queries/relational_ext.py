@@ -1122,3 +1122,44 @@ def parts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+def _cm_oracle() -> str:
+    from duckpipe_spark.functions.sketches import cm_oracle_sql
+
+    inner = cm_oracle_sql(
+        "lineitem", "l_partkey", "SELECT DISTINCT l_partkey FROM lineitem"
+    ).strip()
+    return f"""
+WITH cm AS ({inner}),
+exact AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
+  FROM lineitem GROUP BY 1
+)
+SELECT cm.l_partkey AS part, cm.cm_count, exact.exact_count
+FROM cm JOIN exact USING (l_partkey)
+"""
+
+
+@register(
+    "parts_cm_frequencies",
+    _cm_oracle(),
+    "deterministic Count-Min frequency estimates vs exact per-key counts",
+)
+def parts_cm_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part lineitem frequency, twice: a 4x1024 Count-Min sketch
+    (functions/sketches.py — all-integer, SUM-mergeable, always-broadcast
+    probe) next to the exact count. The estimate is a deterministic upper
+    bound (min over 4 hashed cells), identical on both engines, so the
+    gate hash-verifies the frequency-sketch family the way
+    parts_hll_distinct verifies cardinality."""
+    from duckpipe_spark.functions.sketches import cm_estimate, cm_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = cm_sketch(li.select("l_partkey"), "l_partkey")
+    keys = li.select("l_partkey").distinct()
+    est = cm_estimate(sk, keys, "l_partkey")
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "l_partkey").select(
+        F.col("l_partkey").alias("part"), "cm_count", "exact_count"
+    )

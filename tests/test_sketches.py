@@ -48,3 +48,36 @@ def test_partition_invariant(spark):
     a = hll_distinct(df, "x", ["grp"]).collect()[0].hll_distinct
     b = hll_distinct(df.repartition(17), "x", ["grp"]).collect()[0].hll_distinct
     assert a == b
+
+
+def test_cm_upper_bound_and_exactness_without_collisions(spark):
+    """CM estimates are >= truth always, and == truth when w >> keys
+    (no collisions possible to force, so assert the bound plus closeness
+    on a small key set)."""
+    from duckpipe_spark.functions.sketches import cm_estimate, cm_sketch
+
+    df = spark.range(0, 1000).select((F.col("id") % 10).alias("k"))
+    sk = cm_sketch(df, "k")
+    keys = df.select("k").distinct()
+    got = {r.k: r.cm_count for r in cm_estimate(sk, keys, "k").collect()}
+    assert all(v >= 100 for v in got.values())
+    assert set(got) == set(range(10))
+    # 10 keys in 4x1024 cells: collisions essentially impossible
+    assert all(v == 100 for v in got.values())
+
+
+def test_cm_sketch_merges_by_sum(spark):
+    from duckpipe_spark.functions.sketches import cm_estimate, cm_sketch
+
+    a = spark.range(0, 500).select((F.col("id") % 7).alias("k"))
+    b = spark.range(500, 1200).select((F.col("id") % 7).alias("k"))
+    whole = cm_sketch(a.unionAll(b), "k")
+    merged = (
+        cm_sketch(a, "k").unionByName(cm_sketch(b, "k"))
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    keys = a.select("k").distinct()
+    e1 = sorted((r.k, r.cm_count) for r in cm_estimate(whole, keys, "k").collect())
+    e2 = sorted((r.k, r.cm_count) for r in cm_estimate(merged, keys, "k").collect())
+    assert e1 == e2
