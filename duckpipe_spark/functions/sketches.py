@@ -214,3 +214,95 @@ SELECT probes.{col}, CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS cm_count
 FROM probes LEFT JOIN sk USING (row, cell)
 GROUP BY 1
 """
+
+
+# --- Bloom filter (membership; Bloom 1970) ---------------------------------
+#
+# Third sketch of the family: set MEMBERSHIP with one-sided error (false
+# positives only, never false negatives). The filter is 32 BIGINT words
+# (2048 bits) built with bit_or — an aggregate both engines share — and
+# the same mixer as CM/HLL for the k=4 bit positions, so build and probe
+# are bit-identical cross-engine and the gate hash-verifies the
+# APPROXIMATE membership verdicts, false positives included.
+#
+# 100 TB shape: the built filter is <=32 rows (broadcast-always); probing
+# a fact stream is a broadcast join + bit test — the decontamination /
+# blocklist pattern where shipping the full key set would shuffle, and
+# bit_or-mergeable words mean shards build independently.
+
+BLOOM_BITS = 2048           # ~33 x 63-bit words; sized for a DEMO fp-rate —
+BLOOM_WORDS = BLOOM_BITS // 63 + 1  # production would size m/n ~ 10+ bits/key
+BLOOM_K = 4
+# 63 bits per BIGINT word, not 64: bit 63 is the sign bit, and
+# 1 << 63 overflows DuckDB's checked BIGINT (Spark would wrap silently —
+# the engines would even disagree); bits 0..62 are portable
+
+
+def _bloom_pos_sql(col: str, a: int, b: int) -> str:
+    h1 = f"pmod({a} * {col} + {b}, {HLL_P})"
+    h2 = f"pmod({h1} * {h1} + {h1}, {HLL_P})"
+    return f"pmod({h2}, {BLOOM_BITS})"
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """→ (word, bits): the filter as OR-combined 64-bit words."""
+    pos = F.array(*[F.expr(_bloom_pos_sql(col, a, b)) for a, b in CM_SEEDS])
+    p = df.select(F.explode(pos).alias("__pos")).select(
+        F.expr("__pos DIV 63").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 63) AS INT))").alias("__bit"),
+    )
+    return p.groupBy("word").agg(F.expr("bit_or(__bit)").alias("bits"))
+
+
+def bloom_probe(filt: DataFrame, df: DataFrame, col: str) -> DataFrame:
+    """df + ``maybe_member`` (1 = all k bits set; 0 = definitely absent)."""
+    pos = F.array(*[F.expr(_bloom_pos_sql(col, a, b)) for a, b in CM_SEEDS])
+    probes = df.select(
+        "*", F.posexplode(pos).alias("__i", "__pos")
+    ).select(
+        *df.columns,
+        "__i",
+        F.expr("__pos DIV 63").alias("word"),
+        F.expr("CAST(pmod(__pos, 63) AS INT)").alias("__bitpos"),
+    )
+    hit = F.expr("CAST(shiftright(COALESCE(bits, CAST(0 AS BIGINT)), __bitpos) & 1 AS INT)")
+    return (
+        probes.join(F.broadcast(filt), "word", "left")
+        .select(*df.columns, hit.alias("__hit"))
+        .groupBy(*df.columns)
+        .agg(F.min("__hit").alias("maybe_member"))
+    )
+
+
+def bloom_oracle_sql(build_sql: str, probe_table: str, col: str) -> str:
+    """DuckDB twin. ``build_sql`` yields the member keys (column ``col``);
+    the probe scans ``probe_table``. Returns rows of the probe table's key
+    plus maybe_member. Non-negative operands → % == pmod; DuckDB's >> <<
+    & and bit_or match Spark's on BIGINT."""
+
+    def pos(a: int, b: int, c: str) -> str:
+        h1 = f"(({a} * {c} + {b}) % {HLL_P})"
+        h2 = f"(({h1} * {h1} + {h1}) % {HLL_P})"
+        return f"({h2} % {BLOOM_BITS})"
+
+    build_rows = " UNION ALL ".join(
+        f"SELECT {pos(a, b, col)} AS p FROM member_keys" for a, b in CM_SEEDS
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {col}, {pos(a, b, col)} AS p FROM {probe_table}" for a, b in CM_SEEDS
+    )
+    return f"""
+WITH member_keys AS ({build_sql}),
+bpos AS ({build_rows}),
+filt AS (
+  SELECT p // 63 AS word, bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+ppos AS ({probe_rows}),
+hits AS (
+  SELECT ppos.{col},
+         CAST(((COALESCE(filt.bits, CAST(0 AS BIGINT)) >> CAST(ppos.p % 63 AS INT)) & 1) AS INT) AS hit
+  FROM ppos LEFT JOIN filt ON ppos.p // 63 = filt.word
+)
+SELECT {col}, CAST(min(hit) AS INT) AS maybe_member FROM hits GROUP BY 1
+"""

@@ -93,11 +93,12 @@ base.DRIVER_ORDER[:] = [
     "customer_spend_quartiles",
     # corpus hygiene family
     "doc_decontamination",
-    # boilerplate/repetition_stats rotate out (2 green rounds each) for
-    # the deterministic sketches (HLL cardinality + Count-Min frequency)
+    # boilerplate/repetition_stats/mixture_resample rotate out (2 green
+    # rounds each) for the deterministic sketch family (HLL cardinality,
+    # Count-Min frequency, Bloom membership)
     "parts_hll_distinct",
     "parts_cm_frequencies",
-    "doc_mixture_resample",
+    "orders_bloom_blocklist",
     "doc_span_dedup",
     "doc_source_rollup",
     # events / timeseries: r3 window + the 7 never-driver-verified

@@ -1163,3 +1163,64 @@ def parts_cm_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "l_partkey").select(
         F.col("l_partkey").alias("part"), "cm_count", "exact_count"
     )
+
+
+def _bloom_oracle() -> str:
+    from duckpipe_spark.functions.sketches import bloom_oracle_sql
+
+    inner = bloom_oracle_sql(
+        "SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0",
+        "(SELECT DISTINCT o_custkey AS k FROM orders) pk",
+        "k",
+    ).strip()
+    return f"""
+WITH probed AS ({inner}),
+blocked AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0),
+ord_counts AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1
+)
+SELECT probed.k AS custkey,
+       probed.maybe_member AS maybe_blocked,
+       CAST(CASE WHEN blocked.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_blocked,
+       ord_counts.n_orders
+FROM probed
+LEFT JOIN blocked ON probed.k = blocked.k
+JOIN ord_counts ON probed.k = ord_counts.k
+"""
+
+
+@register(
+    "orders_bloom_blocklist",
+    _bloom_oracle(),
+    "deterministic Bloom-filter blocklist probe: false positives hash-verified",
+)
+def orders_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-Bloom blocklist pattern: build a 2048-bit filter over
+    negative-balance customers, probe every ordering customer, and emit
+    the Bloom verdict NEXT TO the exact membership — so the driver gate
+    hash-verifies the sketch's one-sided error behavior itself (every
+    is_blocked=1 row must carry maybe_blocked=1; the deterministic false
+    positives match DuckDB's bit for bit). At 100 TB the filter stays
+    <=32 broadcast rows while the exact key set would be a shuffle join
+    — the decontamination/blocklist scale path of functions/sketches.py."""
+    from duckpipe_spark.functions.sketches import bloom_build, bloom_probe
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    block = cust.where(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("k"))
+    filt = bloom_build(block, "k")
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probed = bloom_probe(filt, keys, "k")
+    counts = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        probed.join(block.withColumn("__b", F.lit(1)), "k", "left")
+        .join(counts, "k")
+        .select(
+            F.col("k").alias("custkey"),
+            F.col("maybe_member").alias("maybe_blocked"),
+            F.coalesce("__b", F.lit(0)).cast("int").alias("is_blocked"),
+            "n_orders",
+        )
+    )

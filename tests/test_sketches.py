@@ -81,3 +81,30 @@ def test_cm_sketch_merges_by_sum(spark):
     e1 = sorted((r.k, r.cm_count) for r in cm_estimate(whole, keys, "k").collect())
     e2 = sorted((r.k, r.cm_count) for r in cm_estimate(merged, keys, "k").collect())
     assert e1 == e2
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from duckpipe_spark.functions.sketches import bloom_build, bloom_probe
+
+    members = spark.range(0, 300).select((F.col("id") * 13 + 5).alias("k"))
+    others = spark.range(0, 500).select((F.col("id") * 13 + 6).alias("k"))
+    filt = bloom_build(members, "k")
+    got = bloom_probe(filt, members.unionAll(others), "k")
+    # ALL members flagged (one-sided error: never a false negative)
+    assert got.join(members, "k", "left_semi").where(F.col("maybe_member") == 0).count() == 0
+    # filters built from shards OR-merge into the whole-input filter
+    a = bloom_build(members.where(F.col("k") < 2000), "k")
+    b = bloom_build(members.where(F.col("k") >= 2000), "k")
+    merged = a.unionByName(b).groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    w = {r.word: r.bits for r in filt.collect()}
+    m = {r.word: r.bits for r in merged.collect()}
+    assert w == m
+
+
+def test_bloom_never_sets_the_sign_bit(spark):
+    """Bit 63 is unportable (DuckDB checked-overflows on 1<<63); every
+    stored word must stay non-negative."""
+    from duckpipe_spark.functions.sketches import bloom_build
+
+    members = spark.range(0, 5000).select(F.col("id").alias("k"))
+    assert bloom_build(members, "k").where(F.col("bits") < 0).count() == 0
