@@ -49,15 +49,17 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # df-cap, embedding_lsh_topk non-eager planes, doc_span_dedup shuffle slimming)
 # stay in the gate so the changes get fresh independent rows, and the round-4
 # additions (image_decode_png, events_gap_fill, embedding_int8_quant,
-# blob_byte_entropy's first row, plus the nine NEW operators: range join,
-# salted join, z-score anomalies, triangle counting, integer PageRank,
-# star connected components, spend quartiles, OHLC bars, deterministic
-# HLL) enter in place of 2-3-green-round veterans (doc_vocab/doc_encoded/
-# doc_pii_scrub/lang_top_bigrams/doc_hash_split/doc_stratified_sample/
-# doc_pack_sequences/events_hourly_rollup/doc_boilerplate, all with >=2
-# green driver rounds). With this window green, every r3-era query has a
-# driver row from rounds 1-4 and all nine round-4 operators are
-# independently attested (image_decode_stub stays rows-only by design).
+# blob_byte_entropy's first row, plus the eleven NEW operators: range
+# join, salted join, z-score anomalies, triangle counting, integer
+# PageRank, star connected components, spend quartiles, OHLC bars, and
+# the deterministic sketch family HLL/Count-Min/Bloom) enter in place of
+# 2-3-green-round veterans (doc_vocab/doc_encoded/doc_pii_scrub/
+# lang_top_bigrams/doc_hash_split/doc_stratified_sample/doc_pack_sequences/
+# events_hourly_rollup/doc_boilerplate/doc_repetition_stats/
+# doc_mixture_resample, all with >=2 green driver rounds). With this
+# window green, every r3-era query has a driver row from rounds 1-4 and
+# all eleven round-4 operators are independently attested
+# (image_decode_stub stays rows-only by design).
 base.DRIVER_ORDER[:] = [
     # geo (modified this round: bounded segment pull)
     "geo_pivot_pipeline",
