@@ -345,3 +345,38 @@ def test_latest_per_key_breaks_order_ties_deterministically(spark):
     for _ in range(3):
         got = {(r.k, r.payload) for r in latest_per_key(df, "k", "ord").collect()}
         assert got == {(1, "b"), (2, "x")}  # desc tie-break: 'b' > 'a'
+
+
+def test_streaming_hll_registers_equal_batch(spark, event_files):
+    """The HLL sketch builds incrementally on a stream: MAX-per-bucket is a
+    streaming-safe aggregate (monotone, order-free), so the registers after
+    the stream drains — and therefore the estimate — must equal the batch
+    sketch bit for bit. This is the streaming half of the sketch family's
+    mergeability story: micro-batches are just another sharding."""
+    from duckpipe_spark.functions.sketches import hll_estimate, hll_registers
+
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    sreg = hll_registers(
+        stream.select(F.lit("g").alias("grp"), "user_id"), "user_id", ["grp"]
+    )
+    got = _run_stream(spark, sreg, "hll_regs_t").toPandas()
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    exp = hll_registers(
+        batch.select(F.lit("g").alias("grp"), "user_id"), "user_id", ["grp"]
+    ).toPandas()
+
+    g = got.sort_values("bucket").reset_index(drop=True)[["bucket", "reg"]]
+    e = exp.sort_values("bucket").reset_index(drop=True)[["bucket", "reg"]]
+    assert g.equals(e)
+
+    est_s = hll_estimate(
+        spark.createDataFrame(got), ["grp"]
+    ).collect()[0].hll_distinct
+    est_b = hll_estimate(
+        hll_registers(batch.select(F.lit("g").alias("grp"), "user_id"), "user_id", ["grp"]),
+        ["grp"],
+    ).collect()[0].hll_distinct
+    n_true = batch.select("user_id").distinct().count()
+    assert est_s == est_b
+    assert abs(est_s - n_true) / n_true < 0.25
