@@ -211,3 +211,41 @@ def temperature_resample(
         .where(F.col("sample_rank") <= F.col("target_n"))
         .drop("target_n")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling without replacement, exactly k rows: priority
+    sampling (Ohlsson's sequential Poisson / Duffield-Lund-Thorup).
+    Each row gets priority = weight / u with u a uniform draw; the k
+    highest priorities form a weighted-inclusion sample with strong
+    estimator properties — the standard one-pass weighted sampler.
+
+    Determinism: u comes from the id's middle-square mod-prime mix (no
+    rand()), and the priority is one fixed IEEE expression
+    ``w·(P+1)/(h+1)`` — division by the shifted hash, monotone-equivalent
+    to w/u — so the kept set, like every sampler in this module, is a
+    pure function of the data and bit-reproducible against the SQL
+    oracle.
+
+    Scale shape: the ORDER BY priority LIMIT k plans as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    driver side of the exchange, never a global sort. Weights must be
+    positive."""
+    from duckpipe_spark.functions.sketches import HLL_P
+
+    h1 = f"pmod(769 * {id_col} + 12582917, {HLL_P})"
+    h2 = f"pmod({h1} * {h1} + {h1}, {HLL_P})"
+    prio = (
+        f"(CAST({weight_col} AS DOUBLE) * CAST({HLL_P + 1} AS DOUBLE))"
+        f" / CAST({h2} + 1 AS DOUBLE)"
+    )
+    return (
+        df.withColumn("priority", F.expr(prio))
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -93,8 +93,9 @@ base.DRIVER_ORDER[:] = [
     "doc_temperature_resample",
     "doc_dup_components_star",
     "customer_spend_quartiles",
-    # corpus hygiene family
-    "doc_decontamination",
+    # corpus hygiene family (decontamination rotates out, 2 green rounds,
+    # for the NEW weighted priority sampler)
+    "doc_priority_sample",
     # boilerplate/repetition_stats/mixture_resample rotate out (2 green
     # rounds each) for the deterministic sketch family (HLL cardinality,
     # Count-Min frequency, Bloom membership)

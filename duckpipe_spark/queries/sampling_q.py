@@ -210,3 +210,36 @@ def doc_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.sampling import temperature_resample
 
     return temperature_resample(load_table(spark, sf_dir, "documents"), _TEMP_BUDGET)
+
+
+_PRIORITY_ORACLE = """
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         (CAST(n_chars AS DOUBLE) * CAST(1000000008 AS DOUBLE))
+           / CAST((((769 * doc_id + 12582917) % 1000000007)
+                   * ((769 * doc_id + 12582917) % 1000000007)
+                   + ((769 * doc_id + 12582917) % 1000000007)) % 1000000007 + 1 AS DOUBLE)
+           AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars, priority FROM pr
+ORDER BY priority DESC, doc_id LIMIT 100
+"""
+
+
+@register(
+    "doc_priority_sample",
+    _PRIORITY_ORACLE,
+    "weighted sampling without replacement: deterministic priority top-k",
+)
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 length-weighted document sample via priority sampling
+    (`functions.sampling.priority_sample`) — long documents are
+    proportionally more likely to survive, the draw is a pure function of
+    doc_id (hash-derived uniform, no rand()), and the float priorities
+    hash-match the oracle bit for bit. Plans as TakeOrderedAndProject,
+    never a global sort."""
+    from duckpipe_spark.functions.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample(docs, "n_chars", "doc_id", 100)

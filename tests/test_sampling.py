@@ -115,3 +115,30 @@ def test_mixture_resample_weight_scale_invariant(spark):
     a = {r.doc_id for r in mixture_resample(docs, w1).select("doc_id").collect()}
     b = {r.doc_id for r in mixture_resample(docs, w2).select("doc_id").collect()}
     assert a == b
+
+
+def test_priority_sample_exact_k_weighted_and_plan(spark):
+    """Exactly k rows; long docs overrepresented vs their population share;
+    plan is TakeOrderedAndProject (distributed partial top-k), not a global
+    Sort."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.sampling import priority_sample
+
+    df = spark.range(1, 2001).select(
+        F.col("id").alias("doc_id"),
+        # 10% of rows carry 50x the weight of the rest
+        F.when(F.col("id") % 10 == 0, F.lit(5000)).otherwise(F.lit(100)).alias("w"),
+    )
+    got = priority_sample(df, "w", "doc_id", 200)
+    rows = got.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r.doc_id % 10 == 0)
+    # heavy rows are 10% of the population but ~50x weighted: they must
+    # dominate the sample (deterministic, so this is a fixed number)
+    assert heavy > 120, heavy
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # determinism across partitionings
+    again = priority_sample(df.repartition(17), "w", "doc_id", 200).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
