@@ -509,16 +509,21 @@ def connected_components_star(
         if changed == 0:
             converged = True
             break
+    # fixed point is a star forest: every (u, v) row maps leaf v -> center u
+    leaves = cur.select(F.col("v").alias("id"), F.col("u").alias("component"))
     if not converged:
         import warnings
 
         warnings.warn(
-            f"connected_components_star did not converge within max_iter={max_iter}",
+            f"connected_components_star did not converge within max_iter={max_iter}; "
+            "labels are not final (collapsed to one min-label row per id)",
             RuntimeWarning,
             stacklevel=2,
         )
-    # fixed point is a star forest: every (u, v) row maps leaf v -> center u
-    leaves = cur.select(F.col("v").alias("id"), F.col("u").alias("component"))
+        # a non-fixed-point edge set may attach a leaf to several centers;
+        # collapse to the min so the one-row-per-id contract still holds
+        # (a no-op shuffle only on this already-degraded path)
+        leaves = leaves.groupBy("id").agg(F.min("component").alias("component"))
     return nodes.join(leaves, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )

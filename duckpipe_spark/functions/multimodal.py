@@ -3,12 +3,13 @@
 ``mapInPandas`` kernels.
 
 The Spark-side machinery — schema, partitioning, UDF signatures, batch shapes
-— is real and tested. Image decode has one REAL path: PNG blobs decode
-through the vendored pure-python codec (`functions.png`; Pillow is used
-instead when importable). Other media formats are stubbed behind an
-import-try: with ``fake_decode=True`` they produce a deterministic
-pseudo-decode derived from the blob bytes, otherwise ``NotImplementedError``
-at the exact point a real codec (Pillow/ffmpeg) would plug in.
+— is real and tested. Image decode has two REAL paths: PNG blobs decode
+through the vendored pure-python codec (`functions.png`) and baseline
+JPEGs through `functions.jpeg` (Pillow is used instead when importable).
+Audio/video formats are stubbed behind an import-try: with
+``fake_decode=True`` they produce a deterministic pseudo-decode derived
+from the blob bytes, otherwise ``NotImplementedError`` at the exact point
+a real codec (Pillow/ffmpeg) would plug in.
 
 Byte-level feature extraction (histogram, entropy, byte stats) is fully real
 — those are the kernels a 100 TB curation pipeline runs before any decode
@@ -91,10 +92,11 @@ def decode_images(
     """Image decode → (width, height, channels, mean_pixel).
 
     Decode priority per blob: Pillow if importable (any format) → the
-    vendored pure-python PNG decoder (`functions.png`, REAL decode, 8-bit
-    non-interlaced PNGs) → ``fake_decode`` (deterministic pseudo-decode
-    from the blob's sha1, for plumbing tests) → ``NotImplementedError``.
-    Non-PNG formats without Pillow are exactly where a production deploy
+    vendored pure-python codecs (`functions.png` for 8-bit non-interlaced
+    PNGs, `functions.jpeg` for baseline sequential JPEGs — both REAL
+    decodes) → ``fake_decode`` (deterministic pseudo-decode from the
+    blob's sha1, for plumbing tests) → ``NotImplementedError``. Audio /
+    video formats without Pillow are exactly where a production deploy
     plugs in its codec.
     """
     try:  # pragma: no cover - not present in this container
@@ -105,6 +107,7 @@ def decode_images(
         have_pil = False
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckpipe_spark.functions.jpeg import decode_jpeg
         from duckpipe_spark.functions.png import decode_png
 
         for pdf in batches:
@@ -128,6 +131,11 @@ def decode_images(
                     out.append(
                         (bid, arr.shape[1], arr.shape[0], arr.shape[2], float(arr.mean()))
                     )
+                elif _sniff_format(blob) == "jpeg":
+                    arr = decode_jpeg(blob)  # real decode, no image library
+                    out.append(
+                        (bid, arr.shape[1], arr.shape[0], arr.shape[2], float(arr.mean()))
+                    )
                 elif fake_decode:
                     h = hashlib.sha1(blob).digest()
                     width = 64 + h[0]
@@ -137,8 +145,10 @@ def decode_images(
                     out.append((bid, width, height, channels, mean_pixel))
                 else:
                     raise NotImplementedError(
-                        "image decode requires an image codec (PIL) — not available "
-                        "in this environment; pass fake_decode=True for plumbing tests"
+                        "decode for this format requires an external codec (PIL/"
+                        "ffmpeg) — not available in this environment; PNG and "
+                        "baseline JPEG decode natively; pass fake_decode=True "
+                        "for plumbing tests"
                     )
             yield pd.DataFrame(
                 out, columns=["blob_id", "width", "height", "channels", "mean_pixel"]

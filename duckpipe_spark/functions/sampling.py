@@ -235,8 +235,18 @@ def priority_sample(
     Scale shape: the ORDER BY priority LIMIT k plans as
     TakeOrderedAndProject — per-partition top-k then a k-row merge on the
     driver side of the exchange, never a global sort. Weights must be
-    positive."""
+    positive.
+
+    The computed ``priority`` column is RETAINED in the output (it is the
+    inclusion-probability evidence an estimator downstream needs); the
+    name is reserved — same contract as range_join's ``_BIN`` and
+    salted_join's ``_SALT``."""
     from duckpipe_spark.functions.sketches import HLL_P
+
+    if "priority" in df.columns:
+        raise ValueError(
+            "priority_sample reserves the column name 'priority'; rename it first"
+        )
 
     h1 = f"pmod(769 * {id_col} + 12582917, {HLL_P})"
     h2 = f"pmod({h1} * {h1} + {h1}, {HLL_P})"

@@ -255,23 +255,33 @@ def bloom_build(df: DataFrame, col: str) -> DataFrame:
 
 
 def bloom_probe(filt: DataFrame, df: DataFrame, col: str) -> DataFrame:
-    """df + ``maybe_member`` (1 = all k bits set; 0 = definitely absent)."""
-    pos = F.array(*[F.expr(_bloom_pos_sql(col, a, b)) for a, b in CM_SEEDS])
-    probes = df.select(
-        "*", F.posexplode(pos).alias("__i", "__pos")
-    ).select(
-        *df.columns,
-        "__i",
-        F.expr("__pos DIV 63").alias("word"),
-        F.expr("CAST(pmod(__pos, 63) AS INT)").alias("__bitpos"),
-    )
-    hit = F.expr("CAST(shiftright(COALESCE(bits, CAST(0 AS BIGINT)), __bitpos) & 1 AS INT)")
-    return (
-        probes.join(F.broadcast(filt), "word", "left")
-        .select(*df.columns, hit.alias("__hit"))
-        .groupBy(*df.columns)
-        .agg(F.min("__hit").alias("maybe_member"))
-    )
+    """df + ``maybe_member`` (1 = all k bits set; 0 = definitely absent).
+
+    Output rows are exactly 1:1 with input rows — duplicates pass through
+    and no column of ``df`` needs to be groupable — via k chained
+    broadcast joins against the ≤``BLOOM_WORDS``-row filter (one per hash
+    seed), folded with ``least`` over the k bit tests. No shuffle of the
+    probe side at any size."""
+    reserved = {"maybe_member"} | {
+        c for i in range(BLOOM_K) for c in (f"__w{i}", f"__bits{i}")
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"bloom_probe reserves column name(s) {sorted(clash)}")
+    out = df
+    hits = []
+    for i, (a, b) in enumerate(CM_SEEDS):
+        pos = _bloom_pos_sql(col, a, b)
+        out = out.withColumn(f"__w{i}", F.expr(f"({pos}) DIV 63"))
+        side = filt.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__bits{i}")
+        )
+        out = out.join(F.broadcast(side), f"__w{i}", "left")
+        hits.append(
+            f"CAST(shiftright(COALESCE(__bits{i}, CAST(0 AS BIGINT)),"
+            f" CAST(pmod({pos}, 63) AS INT)) & 1 AS INT)"
+        )
+    return out.select(*df.columns, F.expr("least(" + ", ".join(hits) + ")").alias("maybe_member"))
 
 
 def bloom_oracle_sql(build_sql: str, probe_table: str, col: str) -> str:

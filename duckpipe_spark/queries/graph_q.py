@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from duckpipe_spark.functions.graph import cooccurrence_edges, triangle_count
+from duckpipe_spark.functions.graph import cooccurrence_edges, triangle_counts_by_min
 from duckpipe_spark.queries.base import register
 from duckpipe_spark.sources.tables import load_table
 
@@ -42,17 +42,19 @@ def parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle's smallest part id.
 
     The Spark side counts with degree orientation (wedge volume O(m^1.5),
-    skew-immune — see `functions/graph.py`); the oracle counts with the
-    naive a<b<c three-way self-join DuckDB's optimizer handles fine at
-    test scale. Identical triangle sets, structurally different plans —
-    which is the point: the count is orientation-invariant, the worst-case
-    reducer load is not."""
+    skew-immune — see `functions/graph.py`) via the no-per-triangle-row
+    aggregate `triangle_counts_by_min`; the oracle counts with the naive
+    a<b<c three-way self-join DuckDB's optimizer handles fine at test
+    scale. Identical triangle sets, structurally different plans — which
+    is the point: the count is orientation-invariant, the worst-case
+    reducer load is not. ``broadcast_adj=True`` because the part graph's
+    node table (~20k·SF nodes) keeps the adjacency payload a few MB —
+    the documented small-graph fast path, not the web-scale default."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    tris = triangle_count(edges)
-    return tris.groupBy(F.col("a").alias("part")).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    sym = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", distinct=False, symmetric=True
     )
+    return triangle_counts_by_min(sym=sym, broadcast_adj=True)
 
 
 _PR_ITER, _PR_DAMP, _PR_SCALE = 6, 85, 10**12

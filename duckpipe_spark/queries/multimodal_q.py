@@ -28,16 +28,58 @@ def blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_blob_metadata(blobs).select("blob_id", "n_bytes")
 
 
-@register("blob_byte_entropy", None, "byte histogram + entropy kernel (rows-only)")
+# The histogram is a pure-integer function of the blob bytes; the oracle
+# recomputes it character-wise (the driver testdata's documents are pure
+# ASCII, asserted below, so UTF-8 bytes == code points) and folds the same
+# Shannon expression. n_bytes / distinct_bytes are exact integers; entropy
+# is a 256-term sum of doubles whose libm/summation-order wobble (~1e-14)
+# cannot move a round(·, 6) boundary in practice — same argument as the
+# HLL estimate in functions/sketches.py.
+_BLOB_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, ord(c) AS byte
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+  WHERE c <> ''
+), hist AS (
+  SELECT doc_id, byte, CAST(count(*) AS BIGINT) AS h FROM chars GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(h) AS BIGINT) AS n FROM hist GROUP BY 1
+), folded AS (
+  SELECT hist.doc_id,
+         min(tot.n) AS n_bytes,
+         CAST(count(*) AS INT) AS distinct_bytes,
+         round(-sum((CAST(h AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2(CAST(h AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy
+  FROM hist JOIN tot USING (doc_id)
+  GROUP BY hist.doc_id
+)
+SELECT d.doc_id AS blob_id,
+       COALESCE(f.n_bytes, 0) AS n_bytes,
+       COALESCE(f.distinct_bytes, 0) AS distinct_bytes,
+       COALESCE(f.entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN folded f USING (doc_id)
+"""
+
+
+@register(
+    "blob_byte_entropy",
+    _BLOB_ENTROPY_ORACLE,
+    "byte histogram + entropy kernel (hash-checked vs character-wise oracle)",
+)
 def blob_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level pre-decode kernel: exact byte count + distinct-byte count
+    (pure integers) and Shannon entropy over the 256-bin histogram. The
+    oracle-side histogram is character-wise, valid because the testdata
+    text is ASCII (an oracle assumption, not an engine one — the Spark
+    kernel is byte-true for any input)."""
     blobs = documents_as_blobs(load_table(spark, sf_dir, "documents"))
-    return byte_histogram(blobs).select("blob_id", F.round("entropy", 6).alias("entropy"))
-
-
-@register("image_decode_stub", None, "stubbed deterministic image decode (rows-only)")
-def image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    blobs = documents_as_blobs(load_table(spark, sf_dir, "documents"))
-    return decode_images(blobs, fake_decode=True)
+    h = byte_histogram(blobs)
+    return h.select(
+        "blob_id",
+        F.expr("aggregate(histogram, 0L, (a, x) -> a + x)").alias("n_bytes"),
+        F.expr("CAST(size(filter(histogram, x -> x > 0)) AS INT)").alias("distinct_bytes"),
+        F.round("entropy", 6).alias("entropy"),
+    )
 
 
 # Real-codec round trip, oracle-checked: each document becomes a genuine PNG
@@ -54,6 +96,52 @@ SELECT doc_id AS blob_id,
        CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
 FROM documents
 """
+
+
+# JPEG twin of the PNG round trip (VERDICT r4 item 7): each document
+# becomes a REAL baseline JFIF JPEG (constant greyscale, quality 95) and
+# decodes through the from-scratch T.81 codec — DCT, scaled quantization,
+# zigzag, DC prediction, run-length AC, canonical Huffman, byte stuffing,
+# and back. At quality 95 the DC quantizer is 2, so both rounding steps of
+# the constant-image path are exact in IEEE floats and the decoded mean is
+# analytically doc_id % 256 (see tests/test_jpeg_codec.py for the
+# argument and the deliberately-lossy low-quality case).
+_IMAGE_JPEG_ORACLE = """
+SELECT doc_id AS blob_id,
+       CAST(8 + doc_id % 8 AS INT) AS width,
+       CAST(8 + doc_id % 5 AS INT) AS height,
+       1 AS channels,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+FROM documents
+"""
+
+
+@register(
+    "image_decode_jpeg",
+    _IMAGE_JPEG_ORACLE,
+    "real baseline-JPEG decode (vendored T.81 codec) round trip",
+)
+def image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                img = np.full((8 + d % 5, 8 + d % 8), d % 256, dtype=np.uint8)
+                blobs.append(encode_jpeg_gray(img, quality=95))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
+    return decode_images(blobs)  # real path: no PIL, no fake_decode
 
 
 @register("image_decode_png", _IMAGE_PNG_ORACLE, "real PNG decode (vendored codec) round trip")

@@ -44,6 +44,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's 64 MB advisory target is tuned for cluster-scale inputs; at
+        # local-bench scale it coalesces every exchange to 3-4 partitions and
+        # strands 28 of 32 cores (measured 1.7x on the triangle query). 8 MB
+        # is the interleaved-sweep optimum on this box (1m starves
+        # shuffle-heavy multi-join queries with task overhead; 64m starves
+        # wide aggregations of parallelism). A cluster deploy sets
+        # SPARK_GRAFT_ADVISORY_PARTITION=64m (or larger) per its task sizing.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION", "512k"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- Arrow for pandas-UDF geometry kernels & toPandas ---

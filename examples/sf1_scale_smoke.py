@@ -27,18 +27,36 @@ DST = os.path.join(REPO, ".scale", "sf1")
 COPIES = 10
 
 # id columns to remap per table so replicated rows keep unique keys and FK
-# joins scale linearly instead of fanning out copy×copy
-_REMAP: dict[str, list[str]] = {
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "region": [],
-    "nation": [],
+# joins scale linearly instead of fanning out copy×copy. Every column is
+# shifted by the span of the key DOMAIN it belongs to, and a domain's span
+# comes from its owning (PK) table — an FK must move by the same amount as
+# the PK it references even when the FK column doesn't cover the full
+# domain (max(l_partkey) can be < max(p_partkey)). l_partkey IS remapped:
+# without it a 10x corpus re-uses the same 20k parts and the co-purchase
+# graph DENSIFIES (10x degree, superlinear triangles) instead of GROWING
+# (10 disjoint copies — what real catalog growth looks like), faking a
+# quadratic blowup in the graph family.
+_DOMAIN_OWNER = {  # domain -> (owning table, PK column)
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+_REMAP: dict[str, dict[str, str]] = {  # table -> {column: domain}
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+    "region": {},
+    "nation": {},
 }
 
 # compute-bound at sf0.1 (DuckDB >= ~0.3 s) — the 8 queries worth scaling
@@ -57,6 +75,10 @@ QUERIES = [
 def synthesize(spark) -> None:
     import pyspark.sql.functions as F
 
+    domain_span = {
+        d: spark.read.parquet(f"{SRC}/{tbl}.parquet").agg(F.max(col)).collect()[0][0] + 1
+        for d, (tbl, col) in _DOMAIN_OWNER.items()
+    }
     for t, keys in _REMAP.items():
         out = f"{DST}/{t}.parquet"
         if os.path.exists(out):
@@ -65,12 +87,11 @@ def synthesize(spark) -> None:
         if not keys:  # tiny dims stay as-is
             df.write.mode("overwrite").parquet(out)
             continue
-        span = df.agg(F.max(keys[0])).collect()[0][0] + 1
         copies = None
         for i in range(COPIES):
             c = df
-            for k in keys:
-                c = c.withColumn(k, (F.col(k) + i * span).cast("bigint"))
+            for k, dom in keys.items():
+                c = c.withColumn(k, (F.col(k) + i * domain_span[dom]).cast("bigint"))
             if t == "events":
                 # a 10x event corpus covers 10x the TIME, not 10x the density:
                 # shift each copy past the 30-day source span so window joins

@@ -294,3 +294,21 @@ class TestStarConnectedComponents:
         df = self._pairs_df(spark, [(5, 3), (3, 9), (20, 21), (21, 20)])
         got = {r.id: r.component for r in connected_components_star(df).collect()}
         assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_cc_star_non_convergence_still_one_row_per_id(spark):
+    """max_iter too small: labels are not final (warned), but the result
+    must still be one row per id — a leaf attached to multiple centers in
+    the non-fixed-point edge set is collapsed to its min label."""
+    import warnings
+
+    from duckpipe_spark.functions.dedup import connected_components_star
+
+    pairs = [(i, i + 1) for i in range(60)]
+    e = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components_star(e, max_iter=1).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    ids = [r.id for r in out]
+    assert len(ids) == len(set(ids)) == 61

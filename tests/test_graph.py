@@ -120,3 +120,42 @@ def test_triangle_ids_near_int64_max_no_overflow(spark):
     pairs = [(big, big + 1), (big + 1, big + 2), (big, big + 2)]
     got = [(r.a, r.b, r.c) for r in triangle_count(_edges_df(spark, pairs)).collect()]
     assert got == [(big, big + 1, big + 2)]
+
+
+def test_pagerank_includes_pure_sink_nodes(spark):
+    """A genuinely directed edge list: node 3 has in-edges only. It must
+    still appear in the output (base rank + received mass), and mass it
+    receives is not redistributed (no dangling re-spread, by contract)."""
+    from duckpipe_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame([(1, 3), (2, 3), (1, 2)], "src bigint, dst bigint")
+    got = {r.node: r.rank_int for r in pagerank(e, iterations=4).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3] == max(got.values())  # the sink absorbs the most mass
+
+
+def test_counts_by_min_equals_explode_path(spark):
+    """triangle_counts_by_min ≡ triangle_count(...).groupBy(min).count(),
+    both broadcast and shuffle adjacency attach, on a random graph."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.graph import triangle_counts_by_min
+
+    rng = random.Random(23)
+    pairs = [(u, v) for u, v in {(rng.randint(1, 60), rng.randint(1, 60)) for _ in range(500)} if u != v]
+    e = _edges_df(spark, pairs)
+    want = sorted(
+        (r.part, r.n_triangles)
+        for r in triangle_count(e)
+        .groupBy(F.col("a").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .collect()
+    )
+    for bc in (False, True):
+        got = sorted(
+            (r.part, r.n_triangles)
+            for r in triangle_counts_by_min(e, broadcast_adj=bc).collect()
+        )
+        assert got == want, f"broadcast_adj={bc}"

@@ -142,3 +142,17 @@ def test_priority_sample_exact_k_weighted_and_plan(spark):
     # determinism across partitionings
     again = priority_sample(df.repartition(17), "w", "doc_id", 200).collect()
     assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+
+def test_priority_sample_reserved_column_guard(spark):
+    """'priority' is a reserved output name — same contract as range_join's
+    _BIN and salted_join's _SALT: collide -> ValueError, and the column is
+    retained in the output."""
+    import pytest as _pytest
+
+    from duckpipe_spark.functions.sampling import priority_sample
+
+    df = spark.range(10).selectExpr("id AS doc_id", "CAST(id + 1 AS DOUBLE) AS w")
+    with _pytest.raises(ValueError, match="priority"):
+        priority_sample(df.withColumn("priority", F.lit(0.0)), "w", "doc_id", 3)
+    assert "priority" in priority_sample(df, "w", "doc_id", 3).columns

@@ -108,3 +108,20 @@ def test_bloom_never_sets_the_sign_bit(spark):
 
     members = spark.range(0, 5000).select(F.col("id").alias("k"))
     assert bloom_build(members, "k").where(F.col("bits") < 0).count() == 0
+
+
+def test_bloom_probe_rows_are_one_to_one_with_input(spark):
+    """Duplicate probe rows pass through (no silent collapse), and columns
+    that are not groupable (maps) ride along untouched."""
+    from duckpipe_spark.functions.sketches import bloom_build, bloom_probe
+
+    members = spark.range(0, 100).select((F.col("id") * 3).alias("k"))
+    filt = bloom_build(members, "k")
+    probes = spark.createDataFrame(
+        [(3, "a"), (3, "b"), (3, "b"), (4, "c")], "k bigint, tag string"
+    ).withColumn("m", F.create_map(F.lit("x"), F.col("tag")))
+    got = bloom_probe(filt, probes, "k")
+    assert got.count() == 4  # 1:1, duplicates intact
+    rows = sorted((r.k, r.tag, r.maybe_member) for r in got.collect())
+    assert [r[2] for r in rows if r[0] == 3] == [1, 1, 1]
+    assert got.columns == ["k", "tag", "m", "maybe_member"]
