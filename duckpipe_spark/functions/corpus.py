@@ -252,12 +252,18 @@ def remove_duplicate_spans(
     # first-occurrence election on hashes only: every occurrence EXCEPT the
     # (id, i)-least per span hash is dropped. Same two-level
     # min-doc-then-min-position rule as the SQL oracle.
-    from pyspark.sql import Window
-
-    w_first = Window.partitionBy("h").orderBy("id", "i")
+    #
+    # Two-phase election (VERDICT r4 item 6), not a row_number window: the
+    # min(struct(id, i)) aggregate gets map-side partial combine — on a
+    # duplicate-heavy corpus the winner shuffle shrinks toward one row per
+    # DISTINCT span — and neither phase sorts anything, where the window
+    # form sorted every shuffle partition by (h, id, i). The wins⋈firsts
+    # join needs the same h-partitioning the groupBy produced, so Catalyst
+    # reuses that exchange: still one full shuffle of the 28-byte rows.
+    firsts = wins.groupBy("h").agg(F.min(F.struct("id", "i")).alias("f"))
     dropped = (
-        wins.withColumn("_rn", F.row_number().over(w_first))
-        .where(F.col("_rn") > 1)
+        wins.join(firsts, "h")
+        .where((F.col("id") != F.col("f.id")) | (F.col("i") != F.col("f.i")))
         .groupBy("id")
         .agg(F.collect_list("i").alias("_dropped"))
     )

@@ -38,103 +38,82 @@ except ImportError:
 from duckpipe_spark.queries import base
 from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 
-# First ~50 names are what the driver's correctness gate will actually check:
-# the engine's distinctive operator families first, then the unique-evidence
-# relational queries. Everything else (TPC-H sweep, rows-only stubs) follows
-# in registration order via base._ordered_items.
-# Round-4 rotation (VERDICT r3 item 1): the 16 queries that had never had a
-# driver CORRECTNESS row are swapped into the 50-entry gate, displacing
-# geo/dedup/ANN entries with >=2 green driver rounds (r2+r3, several r1-r3).
-# Queries modified THIS round (geo_pivot_pipeline collect-cap, doc_jaccard_pairs
-# df-cap, embedding_lsh_topk non-eager planes, doc_span_dedup shuffle slimming)
-# stay in the gate so the changes get fresh independent rows, and the round-4
-# additions (image_decode_png, events_gap_fill, embedding_int8_quant,
-# blob_byte_entropy's first row, plus the eleven NEW operators: range
-# join, salted join, z-score anomalies, triangle counting, integer
-# PageRank, star connected components, spend quartiles, OHLC bars, and
-# the deterministic sketch family HLL/Count-Min/Bloom) enter in place of
-# 2-3-green-round veterans (doc_vocab/doc_encoded/doc_pii_scrub/
-# lang_top_bigrams/doc_hash_split/doc_stratified_sample/doc_pack_sequences/
-# events_hourly_rollup/doc_boilerplate/doc_repetition_stats/
-# doc_mixture_resample, all with >=2 green driver rounds). With this
-# window green, every r3-era query has a driver row from rounds 1-4 and
-# all eleven round-4 operators are independently attested
-# (image_decode_stub stays rows-only by design).
+# First 50 names are what the driver's correctness gate will actually check.
+# Round-5 rotation (VERDICT r4 item 9 + the documented policy: never-attested
+# and just-modified queries first, then re-attest the queries whose latest
+# green driver row is oldest). Composition, from CORRECTNESS_r01-r04:
+#   * 2 never-green rows: blob_byte_entropy (oracle added this round) and
+#     image_decode_jpeg (NEW this round — vendored T.81 codec round trip);
+#   * 6 queries whose code changed this round: parts_triangle_counts
+#     (no-per-triangle-row aggregate), parts_pagerank (dst-union node
+#     spine), orders_bloom_blocklist (1:1 bloom_probe), doc_span_dedup
+#     (two-phase span election), doc_dup_components_star (non-convergence
+#     collapse), doc_priority_sample (reserved-name guard);
+#   * all 32 queries whose latest green is ROUND 1 (the TPC-H sweep +
+#     relational veterans — 4 rounds unattested by now) and the 3 from
+#     round 2 (events_moving_avg, events_value_quantiles,
+#     q12_shipmode_priority);
+#   * 7 round-3-green picks that are also bench headliners or share code
+#     touched this round (minhash/lsh/simhash/token_stats, the three geo
+#     pipelines).
+# The 49-strong round-4 green cohort rotates out with 1 fresh green row
+# each; the 24 remaining round-3-green queries are the r6 priority (their
+# rows age to 3 rounds then).
 base.DRIVER_ORDER[:] = [
-    # geo (modified this round: bounded segment pull)
-    "geo_pivot_pipeline",
-    # dedup family (modified: df-capped jaccard; 1-green-round incremental)
-    "doc_jaccard_pairs",
-    "doc_incremental_dedup",
-    # ANN family (modified: non-eager plane resolution; 1-green lsh_recall;
-    # never-driver-verified ivf_recall / cluster_profile)
-    "embedding_lsh_topk",
-    "embedding_lsh_recall",
-    "embedding_ivf_recall",
-    "embedding_cluster_profile",
-    # NEW round-4 operators: LOCF gap-fill resample, int8 quantization,
-    # bin-bucketed range join, salted skew join, rolling z-score anomalies,
-    # degree-oriented triangle counting
-    "events_gap_fill",
-    "embedding_int8_quant",
-    "events_purchase_window_clicks",
-    "events_salted_join",
-    "events_anomaly_zscore",
+    # never-attested + round-5-modified operators first
+    "blob_byte_entropy",
+    "image_decode_jpeg",
     "parts_triangle_counts",
     "parts_pagerank",
-    # text analysis family (+ never-verified lang_id_confusion;
-    # language_guess/quality_score rotate out with 3 green rounds each)
-    "doc_tfidf_topterms",
-    "doc_quality_percentile",
-    "lang_id_confusion",
-    # sampling / packing family (+ never-verified temperature resample;
-    # hash_split/stratified/pack rotate out with 2 green rounds each for
-    # parts_pagerank, doc_dup_components_star and customer_spend_quartiles)
-    "doc_temperature_resample",
-    "doc_dup_components_star",
-    "customer_spend_quartiles",
-    # corpus hygiene family (decontamination rotates out, 2 green rounds,
-    # for the NEW weighted priority sampler)
-    "doc_priority_sample",
-    # boilerplate/repetition_stats/mixture_resample rotate out (2 green
-    # rounds each) for the deterministic sketch family (HLL cardinality,
-    # Count-Min frequency, Bloom membership)
-    "parts_hll_distinct",
-    "parts_cm_frequencies",
     "orders_bloom_blocklist",
     "doc_span_dedup",
-    "doc_source_rollup",
-    # events / timeseries: r3 window + the 7 never-driver-verified
-    # (hourly_rollup rotates out with 2 green rounds for events_ohlc_bars)
-    "events_ohlc_bars",
-    "events_session_window",
-    "events_props_rollup",
-    "asof_clicks_purchases",
-    "events_sliding_rollup",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "events_dau_wau",
-    "events_salted_counts",
-    "events_json_extract",
-    # spatial proxies on TPC-H tables
-    "nearest_feature_distance",
-    "features_within_radius",
-    # multimodal (+ never-verified byte entropy; image_decode_png is NEW
-    # round-4 code — the real PNG decode round trip — displacing the
-    # 2-green-round sessionize_users)
-    "blob_metadata",
-    "blob_byte_entropy",
-    "image_decode_png",
-    # relational: unique-evidence r3 window + the 4 never-driver-verified
-    "approx_distinct_parts",
-    "first_order_per_customer",
-    "custkey_status_skeleton",
-    "nation_stats_unpivot",
-    "lineitem_column_stats",
-    "lineitem_price_histogram",
-    "orders_merge_upsert",
-    "custkey_yearly_delta_full_outer",
+    "doc_dup_components_star",
+    "doc_priority_sample",
+    # latest-green r1: TPC-H sweep + relational veterans (oldest rows)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_suppliers",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "brand_min_price",
+    "custkeys_f_and_o_intersect",
+    "customer_cumulative_spend",
+    "customers_without_orders",
+    "lineitem_multi_distinct",
+    "order_gaps_lag",
+    "orders_cube",
+    "orders_except",
+    "orders_rollup",
+    "segment_year_pivot",
+    "suppliers_with_big_lineitems",
+    "top3_orders_per_customer",
+    # latest-green r2
+    "events_moving_avg",
+    "events_value_quantiles",
+    "q12_shipmode_priority",
+    # latest-green r3 picks: bench headliners + code families touched
+    "doc_minhash_signatures",
+    "doc_lsh_candidates",
+    "doc_simhash",
+    "doc_token_stats",
+    "geo_buffer_clip_pipeline",
+    "geo_nearest_distance_pipeline",
+    "geo_elevation_pipeline",
 ]
 
 __all__ = ["REGISTRY", "spark_queries", "oracle_queries"]
