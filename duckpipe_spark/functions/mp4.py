@@ -1,0 +1,132 @@
+"""Minimal pure-python MP4/ISO-BMFF *metadata* parser (stdlib ``struct``).
+
+Fourth vendored media parser (after png/jpeg/wav): walks the ISO base
+media file format box structure (ISO/IEC 14496-12, the public spec whose
+box layout also appears in Apple's QuickTime File Format documentation)
+and extracts the container-level metadata a curation pipeline wants
+BEFORE any codec runs — brand, duration, timescale, per-track type and
+dimensions. Sample DECODE (H.264 etc.) stays behind the external-codec
+plug point in `functions/multimodal.py`; this makes the video column's
+metadata pass real the same way `with_blob_metadata` is real for bytes.
+
+Box layout: [uint32 size][fourcc type][payload]; size==1 → 64-bit
+largesize follows; size==0 → box extends to EOF. Container boxes
+(moov/trak/mdia/minf/stbl) nest children directly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError(f"malformed box {btype!r} (size {size})")
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def parse_mp4_metadata(data: bytes) -> dict:
+    """→ {brand, duration_s, timescale, n_tracks, tracks: [{type, width,
+    height}]}. Raises ValueError when the blob is not ISO-BMFF or the
+    required moov/mvhd boxes are absent/malformed."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 blob (no ftyp)")
+    out: dict = {"brand": data[8:12].decode("latin1"), "duration_s": None,
+                 "timescale": None, "n_tracks": 0, "tracks": []}
+
+    def walk(start: int, end: int) -> None:
+        for btype, body, bend in _boxes(data, start, end):
+            if btype in _CONTAINERS:
+                if btype == b"trak":
+                    # tkhd precedes mdia/hdlr inside trak: open the track
+                    # record here so both fill the same entry
+                    out["n_tracks"] += 1
+                    out["tracks"].append({"type": None, "width": None, "height": None})
+                walk(body, bend)
+            elif btype == b"mvhd":
+                ver = data[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", data, body + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", data, body + 12)
+                out["timescale"] = ts
+                out["duration_s"] = dur / ts if ts else None
+            elif btype == b"hdlr":
+                handler = data[body + 8 : body + 12].decode("latin1")
+                if out["tracks"]:
+                    out["tracks"][-1]["type"] = handler
+            elif btype == b"tkhd":
+                ver = data[body]
+                # ver/flags + times + track_id + reserved + duration = 24
+                # (v0) / 36 (v1); then reserved/layer/volume/matrix = 52
+                off = body + (36 if ver == 1 else 24) + 52
+                if off + 8 <= bend:
+                    w, h = struct.unpack_from(">II", data, off)
+                    # 16.16 fixed point
+                    if out["tracks"]:
+                        out["tracks"][-1]["width"] = w >> 16
+                        out["tracks"][-1]["height"] = h >> 16
+
+    walk(0, len(data))
+    if out["timescale"] is None:
+        raise ValueError("no mvhd box — not a playable MP4")
+    return out
+
+
+def build_minimal_mp4(
+    duration_s: float,
+    timescale: int = 1000,
+    tracks: tuple[tuple[str, int, int], ...] = (("vide", 640, 480),),
+    brand: bytes = b"isom",
+) -> bytes:
+    """Synthesize a structurally-valid (ftyp + moov/mvhd/trak...) MP4 shell
+    with NO media data — the deterministic fixture generator for the oracle
+    round trip, same role as `encode_jpeg_gray`/`encode_wav_pcm16`."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    dur = int(round(duration_s * timescale))
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, dur)
+        + b"\x00" * 80,  # rate/volume/matrix/predefines/next_track_id
+    )
+    trak_boxes = b""
+    for handler, w, h in tracks:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1)  # track id
+            + b"\x00" * 4
+            + struct.pack(">I", dur)
+            + b"\x00" * 52
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = box(
+            b"hdlr",
+            b"\x00\x00\x00\x00" + b"\x00" * 4 + handler.encode("latin1") + b"\x00" * 13,
+        )
+        mdia = box(b"mdia", hdlr)
+        trak_boxes += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak_boxes)
+    return ftyp + moov

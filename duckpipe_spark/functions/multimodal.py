@@ -157,6 +157,101 @@ def decode_images(
     return df.mapInPandas(gen, DECODED_IMAGE_SCHEMA)
 
 
+DECODED_AUDIO_SCHEMA = (
+    "blob_id bigint, n_frames bigint, sample_rate int, channels int, "
+    "duration_s double, rms double"
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """Audio decode → (n_frames, sample_rate, channels, duration_s, rms).
+
+    RIFF/WAVE PCM blobs decode through the vendored pure-python codec
+    (`functions.wav` — integer 8/16/24/32-bit and IEEE-float samples);
+    compressed codecs (MP3/AAC/...) raise at the documented external-codec
+    plug point, same contract as image decode. RMS is computed over all
+    samples of all channels in float64."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckpipe_spark.functions.wav import decode_wav
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(getattr(row, blob_col))
+                bid = getattr(row, id_col)
+                if _sniff_format(blob) != "wav":
+                    raise NotImplementedError(
+                        "audio decode for non-WAV formats requires an external "
+                        "codec (ffmpeg) — not available in this environment"
+                    )
+                arr, rate = decode_wav(blob)
+                n, ch = arr.shape
+                rms = float(np.sqrt((arr**2).mean())) if n else 0.0
+                out.append((bid, n, rate, ch, n / rate, rms))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "blob_id", "n_frames", "sample_rate", "channels",
+                    "duration_s", "rms",
+                ],
+            )
+
+    return df.mapInPandas(gen, DECODED_AUDIO_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "blob_id bigint, brand string, duration_s double, timescale int, "
+    "n_tracks int, video_width int, video_height int"
+)
+
+
+def video_metadata(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """Container-level video metadata via the vendored ISO-BMFF box walker
+    (`functions.mp4`) — brand, duration, timescale, track count and the
+    first video track's dimensions. This is the REAL pre-decode pass a
+    curation pipeline runs on video blobs (corrupt-container rejection,
+    duration/resolution filtering); SAMPLE decode stays behind the
+    external-codec plug point."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckpipe_spark.functions.mp4 import parse_mp4_metadata
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                m = parse_mp4_metadata(bytes(getattr(row, blob_col)))
+                vid = next((t for t in m["tracks"] if t["type"] == "vide"), None)
+                out.append(
+                    (
+                        getattr(row, id_col),
+                        m["brand"],
+                        m["duration_s"],
+                        m["timescale"],
+                        m["n_tracks"],
+                        vid["width"] if vid else None,
+                        vid["height"] if vid else None,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "blob_id", "brand", "duration_s", "timescale",
+                    "n_tracks", "video_width", "video_height",
+                ],
+            )
+
+    return df.mapInPandas(gen, VIDEO_META_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,

@@ -1,0 +1,106 @@
+"""Minimal pure-python WAV (RIFF PCM) codec (stdlib ``struct`` + numpy).
+
+Third vendored media codec after `functions/png.py` and
+`functions/jpeg.py`: turns the audio branch of `decode_audio` from an
+honest stub into a REAL decode for the format a curation pipeline meets
+first — RIFF/WAVE containers holding integer PCM (8/16/24/32-bit) or
+IEEE-float samples, mono or multi-channel. Compressed codecs (MP3, AAC,
+ADPCM...) remain the documented external-codec plug point.
+
+From-scratch implementation of the public RIFF/WAVE layout (the original
+Microsoft/IBM multimedia spec, mirrored in RFC 2361's format registry):
+chunks are (fourcc, uint32 size) pairs; ``fmt `` carries the sample
+layout; ``data`` carries little-endian interleaved frames.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_PCM = 1
+_IEEE_FLOAT = 3
+_EXTENSIBLE = 0xFFFE
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode int16 samples — shape (n,) mono or (n, channels) — as a
+    canonical 44-byte-header RIFF/WAVE PCM blob (the round-trip twin for
+    `decode_wav`, same role as `encode_jpeg_gray`)."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_pcm16 expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", _PCM, ch, sample_rate, sample_rate * block, block, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE blob → (samples float64 in [-1, 1] of shape
+    (n_frames, channels), sample_rate). Integer PCM is scaled by its
+    full-scale value (2^(bits-1)); float PCM passes through. Raises
+    ValueError outside the subset (compressed codecs, malformed)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            tag, ch, rate, _br, block, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag == _EXTENSIBLE and size >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real tag is the first two
+                # bytes of the SubFormat GUID
+                (tag,) = struct.unpack_from("<H", body, 24)
+            fmt = (tag, ch, rate, block, bits)
+        elif cid == b"data":
+            raw = body
+            if fmt is not None:
+                break  # fmt is required before data in practice
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, ch, rate, block, bits = fmt
+    if ch == 0 or bits == 0:
+        raise ValueError("zero channels or bit depth")
+    if tag == _PCM:
+        if bits == 8:  # 8-bit WAV is unsigned
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            arr /= 128.0
+        elif bits == 16:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            arr = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise ValueError(f"{bits}-bit integer PCM unsupported")
+    elif tag == _IEEE_FLOAT:
+        if bits == 32:
+            arr = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"{bits}-bit float PCM unsupported")
+    else:
+        raise ValueError(f"compressed WAV format tag {tag} needs an external codec")
+    n = len(arr) - len(arr) % ch
+    return arr[:n].reshape(-1, ch), rate

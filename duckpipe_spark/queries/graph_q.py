@@ -36,6 +36,7 @@ GROUP BY 1
     "parts_triangle_counts",
     _TRIANGLE_ORACLE,
     "degree-oriented triangle counting on the co-purchase part graph",
+    bench=True,  # VERDICT r4 item 1's done-criterion reads BENCH_r5
 )
 def parts_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the parts-bought-together graph, grouped by the

@@ -144,6 +144,109 @@ def image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(blobs)  # real path: no PIL, no fake_decode
 
 
+# WAV twin of the image round trips: each document becomes a REAL
+# RIFF/WAVE PCM16 blob (constant samples) and decodes through the
+# vendored `functions.wav` codec. For a constant int16 sample v, rms =
+# |v|/32768 EXACTLY in IEEE doubles: v/32768 is exact (power-of-two
+# divisor), its square has a ≤28-bit mantissa so the n-term sum and /n
+# are exact, and sqrt of an exact square of a representable value is that
+# value. duration = n/rate is one exact-input double division both
+# engines share. No rounding anywhere.
+_AUDIO_WAV_ORACLE = """
+SELECT doc_id AS blob_id,
+       CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(100 + doc_id % 50 AS DOUBLE) / (8000 + (doc_id % 4) * 4000) AS duration_s,
+       abs((doc_id * 7) % 2001 - 1000) / 32768.0 AS rms
+FROM documents
+"""
+
+
+@register(
+    "audio_decode_wav",
+    _AUDIO_WAV_ORACLE,
+    "real RIFF/WAVE PCM decode (vendored codec) round trip",
+)
+def audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import decode_audio
+    from duckpipe_spark.functions.wav import encode_wav_pcm16
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 100 + d % 50
+                ch = 1 + d % 2
+                rate = 8000 + (d % 4) * 4000
+                v = (d * 7) % 2001 - 1000
+                samples = np.full((n, ch), v, dtype=np.int16)
+                blobs.append(encode_wav_pcm16(samples, sample_rate=rate))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
+    return decode_audio(blobs)
+
+
+# MP4 twin: each document becomes a structurally-valid ISO-BMFF shell
+# (ftyp + moov/mvhd/trak/tkhd/mdia/hdlr, no media data) and the vendored
+# box walker extracts container metadata. duration = ticks/timescale with
+# ticks = (doc_id%100+1)*250 and timescale 1000 → k/4, exact in IEEE
+# doubles on both engines.
+_VIDEO_MP4_ORACLE = """
+SELECT doc_id AS blob_id,
+       'isom' AS brand,
+       ((doc_id % 100 + 1) * 250) / 1000.0 AS duration_s,
+       1000 AS timescale,
+       CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+       CAST(320 + (doc_id % 32) * 8 AS INT) AS video_width,
+       CAST(240 + (doc_id % 24) * 8 AS INT) AS video_height
+FROM documents
+"""
+
+
+@register(
+    "video_metadata_mp4",
+    _VIDEO_MP4_ORACLE,
+    "real ISO-BMFF container metadata (vendored box walker) round trip",
+)
+def video_metadata_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from duckpipe_spark.functions.mp4 import build_minimal_mp4
+    from duckpipe_spark.functions.multimodal import video_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                tracks = [("vide", 320 + (d % 32) * 8, 240 + (d % 24) * 8)]
+                if d % 2:
+                    tracks.append(("soun", 0, 0))
+                blobs.append(
+                    build_minimal_mp4(
+                        (d % 100 + 1) / 4.0, timescale=1000, tracks=tuple(tracks)
+                    )
+                )
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
+    return video_metadata(blobs)
+
+
 @register("image_decode_png", _IMAGE_PNG_ORACLE, "real PNG decode (vendored codec) round trip")
 def image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator

@@ -1,0 +1,78 @@
+"""RIFF/WAVE codec round trips (pure-python, no Spark)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from duckpipe_spark.functions.wav import decode_wav, encode_wav_pcm16
+
+
+def test_pcm16_round_trip_mono_and_stereo():
+    rng = np.random.default_rng(7)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32767, size=(200, ch), dtype=np.int16)
+        arr, rate = decode_wav(encode_wav_pcm16(s, 22_050))
+        assert rate == 22_050
+        assert arr.shape == (200, ch)
+        np.testing.assert_array_equal((arr * 32768.0).astype(np.int16), s)
+
+
+def test_constant_rms_is_exact():
+    """The analytic-oracle property: constant v -> rms == |v|/32768 with
+    NO float error (see audio_decode_wav's derivation)."""
+    for v in (-1000, -1, 0, 1, 777, 32767):
+        s = np.full((137, 2), v, dtype=np.int16)
+        arr, _ = decode_wav(encode_wav_pcm16(s))
+        rms = float(np.sqrt((arr**2).mean()))
+        assert rms == abs(v) / 32768.0
+
+
+def test_8bit_and_24bit_and_float_paths():
+    # hand-build an 8-bit mono WAV: values 0..255 map to [-1, 1)
+    def wav(tag, ch, rate, bits, payload):
+        fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload)) + b"WAVE"
+        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(payload)) + payload
+        return out
+
+    arr, rate = decode_wav(wav(1, 1, 8000, 8, bytes([128, 0, 255])))
+    assert rate == 8000
+    np.testing.assert_allclose(arr[:, 0], [0.0, -1.0, 127 / 128])
+    # 24-bit: 0x000001 = 1/2^23; 0xFFFFFF = -1/2^23
+    arr, _ = decode_wav(wav(1, 1, 8000, 24, b"\x01\x00\x00\xff\xff\xff"))
+    np.testing.assert_allclose(arr[:, 0], [1 / (1 << 23), -1 / (1 << 23)])
+    # float32 passthrough
+    arr, _ = decode_wav(wav(3, 1, 8000, 32, np.array([0.5, -0.25], "<f4").tobytes()))
+    np.testing.assert_allclose(arr[:, 0], [0.5, -0.25])
+
+
+def test_rejects_outside_subset():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\xff\xd8\xffnot a wav")
+    # MP3-in-WAV (format tag 85) is the external-codec plug point
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="external codec"):
+        decode_wav(blob)
+
+
+def test_word_alignment_of_odd_chunks():
+    """An odd-sized chunk before data must be skipped with its pad byte."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = np.array([1234, -1234], "<i2").tobytes()
+    blob = (
+        b"RIFF" + struct.pack("<I", 99) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd chunk + pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    arr, _ = decode_wav(blob)
+    np.testing.assert_array_equal((arr[:, 0] * 32768).astype(np.int16), [1234, -1234])
