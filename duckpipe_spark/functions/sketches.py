@@ -284,6 +284,105 @@ def bloom_probe(filt: DataFrame, df: DataFrame, col: str) -> DataFrame:
     return out.select(*df.columns, F.expr("least(" + ", ".join(hits) + ")").alias("maybe_member"))
 
 
+# --- sampled quantiles (deterministic bounded-sample sketch) ---------------
+#
+# Fourth member of the family: per-group QUANTILES from a deterministic
+# k-row sample. approx_percentile is rows-only-checkable (engine-specific
+# GK/KLL internals); here the "sketch" is the k rows with the smallest
+# middle-square hash priority of their id — a uniform-without-replacement
+# sample that is a pure function of the data — and the estimate is the
+# exact lower-index quantile of that sample (integer indexing, no
+# interpolation), so build and probe hash-verify cross-engine exactly.
+# Error behavior is the standard sampled-quantile bound (±O(1/sqrt(k))
+# rank error w.h.p.); determinism makes it attestable.
+#
+# 100 TB shape: one rank window partitioned by group (state = top-k per
+# group, never the group's row count), then a k-bounded per-group fold.
+# The sample rows are themselves mergeable evidence: union two shards'
+# samples and re-rank to get the combined sketch.
+
+QSK_QS = (25, 50, 75, 90, 99)
+
+
+def _qsk_priority_sql(id_col: str, pmod: bool = True) -> str:
+    """The mixer in Spark `pmod(...)` form, or DuckDB `%` form (operands
+    are non-negative, so the two are identical)."""
+    if pmod:
+        h1 = f"pmod({HLL_A} * {id_col} + {HLL_B}, {HLL_P})"
+        return f"pmod({h1} * {h1} + {h1}, {HLL_P})"
+    h1 = f"(({HLL_A} * {id_col} + {HLL_B}) % {HLL_P})"
+    return f"(({h1} * {h1} + {h1}) % {HLL_P})"
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    k: int = 512,
+    qs: tuple[int, ...] = QSK_QS,
+) -> DataFrame:
+    """Per-group deterministic sampled quantiles → (group..., n_sampled,
+    q<p> for each p). Values must be integer-comparable (use cents, not
+    float money). Groups smaller than k are sampled whole (exact
+    quantiles)."""
+    from pyspark.sql import Window
+
+    pri = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.col(id_col).alias("__id"),
+        F.expr(_qsk_priority_sql(id_col)).alias("__p"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__p", "__id")
+    samp = pri.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    folded = samp.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__v")).alias("__s")
+    )
+    cols = [F.expr("CAST(size(__s) AS BIGINT)").alias("n_sampled")]
+    for q in qs:
+        cols.append(
+            F.expr(f"element_at(__s, CAST(1 + ({q} * (size(__s) - 1)) DIV 100 AS INT))")
+            .alias(f"q{q}")
+        )
+    return folded.select(*group_cols, *cols)
+
+
+def sampled_quantiles_oracle_sql(
+    table: str,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    k: int = 512,
+    qs: tuple[int, ...] = QSK_QS,
+) -> str:
+    """DuckDB twin: same priorities, same rank cut, same lower-index
+    quantile rule. Ties in ORDER BY value are harmless — the i-th element
+    VALUE is unique regardless of how equal values are ordered."""
+    g = ", ".join(group_cols)
+    pri = _qsk_priority_sql(id_col, pmod=False)
+    q_exprs = ",\n       ".join(
+        f"MAX(CASE WHEN i = 1 + ({q} * (n - 1)) // 100 THEN v END) AS q{q}"
+        for q in qs
+    )
+    return f"""
+WITH pri AS (
+  SELECT {g}, {value_col} AS v, {id_col} AS id, {pri} AS p FROM {table}
+), rk AS (
+  SELECT {g}, v, row_number() OVER (PARTITION BY {g} ORDER BY p, id) AS r FROM pri
+), samp AS (
+  SELECT {g}, v FROM rk WHERE r <= {k}
+), sorted AS (
+  SELECT {g}, v,
+         row_number() OVER (PARTITION BY {g} ORDER BY v) AS i,
+         count(*) OVER (PARTITION BY {g}) AS n
+  FROM samp
+)
+SELECT {g}, CAST(MAX(n) AS BIGINT) AS n_sampled, {q_exprs}
+FROM sorted GROUP BY {g}
+"""
+
+
 def bloom_oracle_sql(build_sql: str, probe_table: str, col: str) -> str:
     """DuckDB twin. ``build_sql`` yields the member keys (column ``col``);
     the probe scans ``probe_table``. Returns rows of the probe table's key

@@ -42,9 +42,10 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # Round-5 rotation (VERDICT r4 item 9 + the documented policy: never-attested
 # and just-modified queries first, then re-attest the queries whose latest
 # green driver row is oldest). Composition, from CORRECTNESS_r01-r04:
-#   * 4 never-green rows: blob_byte_entropy (oracle added this round) and
+#   * 5 never-green rows: blob_byte_entropy (oracle added this round),
 #     the three NEW vendored-codec round trips (image_decode_jpeg,
-#     audio_decode_wav, video_metadata_mp4);
+#     audio_decode_wav, video_metadata_mp4) and the NEW deterministic
+#     sampled-quantile sketch (lineitem_price_quantiles);
 #   * 6 queries whose code changed this round: parts_triangle_counts
 #     (no-per-triangle-row aggregate), parts_pagerank (dst-union node
 #     spine), orders_bloom_blocklist (1:1 bloom_probe), doc_span_dedup
@@ -54,8 +55,8 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     relational veterans — 4 rounds unattested by now) and the 3 from
 #     round 2 (events_moving_avg, events_value_quantiles,
 #     q12_shipmode_priority);
-#   * 5 round-3-green picks that are also bench headliners (minhash/lsh/
-#     simhash, buffer-clip + nearest-distance geo pipelines).
+#   * 4 round-3-green picks that are also bench headliners (minhash,
+#     lsh_candidates, buffer-clip + nearest-distance geo pipelines).
 # The 49-strong round-4 green cohort rotates out with 1 fresh green row
 # each; the 24 remaining round-3-green queries are the r6 priority (their
 # rows age to 3 rounds then).
@@ -65,6 +66,7 @@ base.DRIVER_ORDER[:] = [
     "image_decode_jpeg",
     "audio_decode_wav",
     "video_metadata_mp4",
+    "lineitem_price_quantiles",
     "parts_triangle_counts",
     "parts_pagerank",
     "orders_bloom_blocklist",
@@ -111,7 +113,6 @@ base.DRIVER_ORDER[:] = [
     # latest-green r3 picks: bench headliners + code families touched
     "doc_minhash_signatures",
     "doc_lsh_candidates",
-    "doc_simhash",
     "geo_buffer_clip_pipeline",
     "geo_nearest_distance_pipeline",
 ]

@@ -1224,3 +1224,47 @@ def orders_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+def _quantile_sketch_oracle() -> str:
+    from duckpipe_spark.functions.sketches import sampled_quantiles_oracle_sql
+
+    inner = sampled_quantiles_oracle_sql(
+        "(SELECT l_returnflag,"
+        " CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,"
+        " l_orderkey * 8 + l_linenumber AS rid FROM lineitem)",
+        "cents",
+        "rid",
+        ["l_returnflag"],
+    ).strip()
+    return f"SELECT l_returnflag AS returnflag, n_sampled, q25, q50, q75, q90, q99 FROM ({inner})"
+
+
+@register(
+    "lineitem_price_quantiles",
+    _quantile_sketch_oracle(),
+    "deterministic sampled-quantile sketch (4th sketch family member)",
+)
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price quantiles per return flag from a deterministic 512-row
+    priority sample (functions/sketches.py `sampled_quantiles`): where
+    approx_percentile is rows-only-checkable (engine-internal GK/KLL
+    sketches differ), this sketch is a pure function of the data — the k
+    smallest id-hash priorities per group, exact lower-index quantiles of
+    the sorted sample — so the gate hash-verifies an approximate-quantile
+    operator exactly, like the HLL/Count-Min/Bloom siblings. Prices are
+    integer cents (the repo's no-float-money rule). Scale shape: one rank
+    window per group with top-k state, then a k-bounded fold; shard
+    samples re-rank to merge."""
+    from duckpipe_spark.functions.sketches import sampled_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("l_orderkey * 8 + l_linenumber").alias("rid"),
+    )
+    out = sampled_quantiles(li, "cents", "rid", ["l_returnflag"])
+    return out.select(
+        F.col("l_returnflag").alias("returnflag"),
+        "n_sampled", "q25", "q50", "q75", "q90", "q99",
+    )

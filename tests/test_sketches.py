@@ -125,3 +125,58 @@ def test_bloom_probe_rows_are_one_to_one_with_input(spark):
     rows = sorted((r.k, r.tag, r.maybe_member) for r in got.collect())
     assert [r[2] for r in rows if r[0] == 3] == [1, 1, 1]
     assert got.columns == ["k", "tag", "m", "maybe_member"]
+
+
+def test_sampled_quantiles_exact_on_small_groups_and_merge(spark):
+    """Groups smaller than k are sampled whole (exact quantiles), and two
+    shards' samples re-rank into the whole-input sketch."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from duckpipe_spark.functions.sketches import sampled_quantiles
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("rid"), (F.col("id") * 7).alias("v")
+    )
+    got = {r.g: r for r in sampled_quantiles(df, "v", "rid", ["g"], k=512).collect()}
+    # whole-group sample: quantiles are exact lower-index order stats
+    import numpy as np
+
+    for g in range(3):
+        vals = sorted(i * 7 for i in range(300) if i % 3 == g)
+        assert got[g].n_sampled == 100
+        for q in (25, 50, 75, 90, 99):
+            assert getattr(got[g], f"q{q}") == vals[(q * 99) // 100], (g, q)
+    # merge property: shard samples (k rows each) -> re-rank -> same sketch
+    k = 16
+    whole = sampled_quantiles(df, "v", "rid", ["g"], k=k).collect()
+    a = df.where(F.col("rid") < 150)
+    b = df.where(F.col("rid") >= 150)
+    from duckpipe_spark.functions.sketches import _qsk_priority_sql
+    from pyspark.sql import Window
+
+    def shard_sample(d):
+        w = Window.partitionBy("g").orderBy("__p", "rid")
+        return (
+            d.withColumn("__p", F.expr(_qsk_priority_sql("rid")))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .select("g", "rid", "v")
+        )
+
+    merged_input = shard_sample(a).unionByName(shard_sample(b))
+    merged = sampled_quantiles(merged_input, "v", "rid", ["g"], k=k).collect()
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
+
+
+def test_sampled_quantiles_deterministic_across_partitionings(spark):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from duckpipe_spark.functions.sketches import sampled_quantiles
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("rid"),
+        F.expr("CAST(xxhash64(id) % 100000 AS BIGINT)").alias("v"),
+    )
+    r1 = sorted(map(tuple, sampled_quantiles(df, "v", "rid", ["g"], k=64).collect()))
+    r2 = sorted(map(tuple, sampled_quantiles(df.repartition(17), "v", "rid", ["g"], k=64).collect()))
+    assert r1 == r2
