@@ -111,3 +111,27 @@ def write_spatially_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write clustered by arbitrary key columns: range-partition across
+    files, sort within files. Every parquet row group then covers a
+    narrow key interval, so min/max column statistics let a key-filtered
+    scan skip almost all row groups at read time — the generic (non-geo)
+    sibling of `write_spatially_clustered`, and the cheap two-thirds of a
+    Z-order layout (for ONE dominant filter column, a plain sort beats
+    interleaving). At 100 TB this is the difference between a point query
+    reading ~1/n_rowgroups of the table and reading all of it; the
+    skip-fraction is pinned by `tests/test_sinks.py`."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

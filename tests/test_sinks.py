@@ -210,3 +210,58 @@ def test_scan_memo_refreshes_on_rewrite(spark, tmp_path):
 
     invalidate_scan_memo(spark)
     assert load_table(spark, sf, "documents") is not fresh  # forced re-scan
+
+
+def test_clustered_write_makes_rowgroups_skippable(spark, tmp_path):
+    """The layout claim, measured on the parquet footers themselves: after
+    write_clustered on k, a 5%-range predicate overlaps <20% of row
+    groups' [min, max] stats; the same data written key-random overlaps
+    >80%. (Spark's parquet reader applies exactly these stats at scan
+    time — PushedFilters is also asserted — so skippable == skipped.)"""
+    import pyarrow.parquet as pq
+
+    from duckpipe_spark.sources.sinks import write_clustered
+
+    df = spark.range(200_000).select(
+        F.expr("CAST(xxhash64(id) % 100000 AS BIGINT)").alias("k"),
+        F.col("id").alias("v"),
+    )
+    clustered = str(tmp_path / "clustered")
+    random_ = str(tmp_path / "random")
+    write_clustered(df, clustered, ["k"], n_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(random_)
+
+    lo, hi = 10_000, 15_000  # ~5% of the key domain
+
+    def overlap_fraction(path):
+        import glob
+
+        tot = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "k"
+                )
+                st = col.statistics
+                tot += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        assert tot >= 8, "expected at least one row group per file"
+        return hit / tot
+
+    assert overlap_fraction(clustered) < 0.2
+    assert overlap_fraction(random_) > 0.8
+    # and the predicate actually reaches the scan
+    plan = (
+        spark.read.parquet(clustered)
+        .where((F.col("k") >= lo) & (F.col("k") <= hi))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k," in plan
+    # same answer from both layouts
+    a = spark.read.parquet(clustered).where(F.col("k").between(lo, hi)).count()
+    b = spark.read.parquet(random_).where(F.col("k").between(lo, hi)).count()
+    assert a == b > 0
