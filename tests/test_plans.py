@@ -328,3 +328,45 @@ def test_anomaly_zscore_single_shuffle_window(spark):
     assert a.python_stages == 0
     assert a.exchanges == 1, a.text
     assert a.sort_merge_joins + a.broadcast_hash_joins + a.shuffle_hash_joins == 0
+
+
+def test_triangle_counts_by_min_no_distinct_exchange(spark):
+    """Round-5 triangle rebuild: pair dedup rides the adjacency
+    collect_set, so no separate distinct/dedup exchange exists; the count
+    path stays JVM-only and never materializes per-triangle rows (no
+    Generate of a 3-struct sort — the only explodes are the pair
+    generator, the adjacency, and the bounded w<min filter)."""
+    with no_aqe(spark):
+        a = audit_plan(_q("parts_triangle_counts")(spark, SF_SMOKE))
+    assert a.python_stages == 0
+    assert a.broadcast_nl_joins == 0 and "CartesianProduct" not in a.text
+    assert "HashAggregate(keys=[u#" in a.text or "ObjectHashAggregate" in a.text
+    # the old path's per-triangle sort_array(array(src, dst, w)) is gone
+    assert "sort_array(array(src" not in a.text.replace(" ", "")
+
+
+def test_sampled_quantiles_bounded_plan(spark):
+    """lineitem_price_quantiles: one rank-window shuffle + the k-bounded
+    fold reusing the same partitioning — ≤2 unique exchanges, no joins,
+    no Python stages."""
+    with no_aqe(spark):
+        a = audit_plan(_q("lineitem_price_quantiles")(spark, SF_SMOKE))
+    assert a.python_stages == 0
+    assert a.sort_merge_joins + a.broadcast_hash_joins + a.shuffle_hash_joins == 0
+    assert a.exchanges <= 2, a.text
+
+
+def test_bloom_probe_is_broadcast_only_one_to_one(spark):
+    """orders_bloom_blocklist: the probe side never shuffles for the
+    filter — all filter attaches are broadcast joins; no aggregation
+    collapses probe rows between scan and verdict."""
+    from duckpipe_spark.functions.sketches import BLOOM_K, bloom_build, bloom_probe
+    import pyspark.sql.functions as F
+
+    keys = spark.range(0, 1000).select(F.col("id").alias("k"))
+    filt = bloom_build(spark.range(0, 100).select(F.col("id").alias("k")), "k")
+    a = audit_plan(bloom_probe(filt, keys, "k"))
+    # formatted explain under AQE lists nodes in tree + detail sections,
+    # so the count doubles; >= K pins that every attach is broadcast
+    assert a.broadcast_hash_joins >= BLOOM_K
+    assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0
