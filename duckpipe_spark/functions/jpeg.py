@@ -359,10 +359,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit samples supported")
+            if h == 0 or w == 0 or nc == 0:
+                raise ValueError("zero-sized frame")
+            if h * w > 1 << 26:  # 67M pixels: curation-kernel sanity cap
+                raise ValueError("frame too large")
             comps = []
             for c in range(nc):
                 cid, samp, qid = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "q": qid})
+                hs, vs = samp >> 4, samp & 0xF
+                if hs == 0 or vs == 0:
+                    raise ValueError("zero sampling factor")
+                comps.append({"id": cid, "hs": hs, "vs": vs, "q": qid})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential DCT JPEG supported")
@@ -404,15 +411,19 @@ def _decode_scan(data, pos, frame, scan_tabs, qtables, htables, restart_interval
                 br.reset_at_marker()
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
+                if c["id"] not in scan_tabs:
+                    raise ValueError("scan does not cover frame component")
                 dc_tab = htables.get((0, scan_tabs[c["id"]][0]))
                 ac_tab = htables.get((1, scan_tabs[c["id"]][1]))
-                qt = qtables[c["q"]]
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("missing Huffman table")
+                qt = qtables.get(c["q"])
+                if dc_tab is None or ac_tab is None or qt is None:
+                    raise ValueError("missing Huffman or quantization table")
                 for by in range(c["vs"]):
                     for bx in range(c["hs"]):
                         zz = np.zeros(64, dtype=np.int64)
                         size = _read_symbol(br, dc_tab)
+                        if size > 11:  # T.81 table F.1: DC size 0-11 for 8-bit
+                            raise ValueError("invalid DC size category")
                         diff = _extend(br.bits(size), size)
                         pred[ci] += diff
                         zz[0] = pred[ci]

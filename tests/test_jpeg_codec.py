@@ -93,3 +93,36 @@ def test_non_multiple_of_8_uses_edge_padding():
     out = decode_jpeg(encode_jpeg_gray(img, quality=95))
     assert out.shape == (9, 11, 1)
     assert int(out.min()) == int(out.max()) == 77  # q_dc=2: exact DC path
+
+
+def test_fuzz_decoder_never_crashes():
+    """Arbitrary bytes and truncations/corruptions of a valid stream must
+    raise ValueError (or decode) — never hang, loop, or raise an
+    unexpected exception type. Property-based like the WKB codec's
+    garbage tests."""
+    from hypothesis import given, settings, strategies as st
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    valid = encode_jpeg_gray(img, quality=90)
+
+    @settings(max_examples=150, deadline=2000)
+    @given(st.binary(min_size=0, max_size=400))
+    def fuzz_raw(data):
+        try:
+            decode_jpeg(data)
+        except (ValueError, IndexError, struct.error):
+            pass
+
+    @settings(max_examples=150, deadline=2000)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 255))
+    def fuzz_corrupt(pos, byte):
+        blob = valid[:pos] + bytes([byte]) + valid[pos + 1 :]
+        try:
+            decode_jpeg(blob)
+        except (ValueError, IndexError, struct.error):
+            pass
+
+    import struct
+
+    fuzz_raw()
+    fuzz_corrupt()

@@ -68,3 +68,30 @@ def test_version1_64bit_mvhd():
     patched = patched[:j] + struct.pack(">I", msize + delta) + patched[j + 4:]
     m = parse_mp4_metadata(patched)
     assert m["timescale"] == 90000 and m["duration_s"] == 2.0
+
+
+def test_fuzz_parser_never_crashes():
+    """Arbitrary bytes and single-byte corruptions of a valid shell must
+    raise ValueError (or parse) — never hang on the box walk."""
+    from hypothesis import given, settings, strategies as st
+
+    valid = build_minimal_mp4(3.0, tracks=(("vide", 64, 48), ("soun", 0, 0)))
+
+    @settings(max_examples=150, deadline=2000)
+    @given(st.binary(min_size=0, max_size=300))
+    def fuzz_raw(data):
+        try:
+            parse_mp4_metadata(data)
+        except (ValueError, struct.error):
+            pass
+
+    @settings(max_examples=150, deadline=2000)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 255))
+    def fuzz_corrupt(pos, byte):
+        try:
+            parse_mp4_metadata(valid[:pos] + bytes([byte]) + valid[pos + 1 :])
+        except (ValueError, struct.error):
+            pass
+
+    fuzz_raw()
+    fuzz_corrupt()

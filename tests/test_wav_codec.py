@@ -76,3 +76,30 @@ def test_word_alignment_of_odd_chunks():
     )
     arr, _ = decode_wav(blob)
     np.testing.assert_array_equal((arr[:, 0] * 32768).astype(np.int16), [1234, -1234])
+
+
+def test_fuzz_decoder_never_crashes():
+    """Arbitrary bytes and single-byte corruptions of a valid stream must
+    raise ValueError (or decode) — never hang or crash."""
+    from hypothesis import given, settings, strategies as st
+
+    valid = encode_wav_pcm16(np.arange(-50, 50, dtype=np.int16), 8000)
+
+    @settings(max_examples=150, deadline=2000)
+    @given(st.binary(min_size=0, max_size=300))
+    def fuzz_raw(data):
+        try:
+            decode_wav(data)
+        except (ValueError, struct.error):
+            pass
+
+    @settings(max_examples=150, deadline=2000)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 255))
+    def fuzz_corrupt(pos, byte):
+        try:
+            decode_wav(valid[:pos] + bytes([byte]) + valid[pos + 1 :])
+        except (ValueError, struct.error):
+            pass
+
+    fuzz_raw()
+    fuzz_corrupt()
