@@ -192,15 +192,24 @@ def triangle_counts_by_min(
     # (broadcast under the fast path — NOT a single-row map literal:
     # Spark MapData lookups are linear scans, a 20k-entry map probed 2.4M
     # times is quadratic), oriented lists re-collected by src
-    deg = nbrs.select(F.col("u").alias("v"), F.col("du").alias("dv"))
+    deg = nbrs.select(F.col("u").alias("w"), F.col("du").alias("dw"))
     if broadcast_adj:
         deg = F.broadcast(deg)
-    ex = nbrs.select("u", "du", F.explode("nb").alias("v")).join(deg, "v")
+    # the neighbor column is named "w" (not re-aliased "u"/"v") and the
+    # group key stays the ORIGINAL u attribute: nbrs is already hash-
+    # partitioned by u from its aggregation, and keeping the attribute
+    # identity lets Catalyst elide the exchange for the re-group below —
+    # one full shuffle of the oriented edge list saved (plan-pinned)
+    ex = nbrs.select("u", "du", F.explode("nb").alias("w")).join(deg, "w")
     oriented = ex.where(
-        (F.col("du") < F.col("dv"))
-        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("ns"))
+        (F.col("du") < F.col("dw"))
+        | ((F.col("du") == F.col("dw")) & (F.col("u") < F.col("w")))
+    )
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.collect_list("w").alias("ns"))
+        .select(F.col("u").alias("src"), "ns")
+    )
     e1 = adj.select("src", F.col("ns").alias("ns_src"), F.explode("ns").alias("dst"))
     a_dst = adj.select(F.col("src").alias("dst"), F.col("ns").alias("ns_dst"))
     if broadcast_adj:

@@ -343,6 +343,13 @@ def test_triangle_counts_by_min_no_distinct_exchange(spark):
     assert "HashAggregate(keys=[u#" in a.text or "ObjectHashAggregate" in a.text
     # the old path's per-triangle sort_array(array(src, dst, w)) is gone
     assert "sort_array(array(src" not in a.text.replace(" ", "")
+    # exactly 3 shuffle keys: per-order sets, per-node adjacency, final
+    # count — the orientation re-group reuses the adjacency partitioning
+    # (attribute kept, not re-aliased), so no 4th exchange exists
+    import re as _re
+
+    keys = set(_re.findall(r"hashpartitioning\((\w+)#\d+", a.text))
+    assert len(keys) == 3, keys
 
 
 def test_sampled_quantiles_bounded_plan(spark):
