@@ -380,3 +380,33 @@ def test_streaming_hll_registers_equal_batch(spark, event_files):
     n_true = batch.select("user_id").distinct().count()
     assert est_s == est_b
     assert abs(est_s - n_true) / n_true < 0.25
+
+
+def test_streaming_cm_and_bloom_equal_batch(spark, event_files):
+    """The other two mergeable sketches build incrementally too: Count-Min
+    cells are SUM-combinable and Bloom words are bit_or-combinable, both
+    order-free, so the drained stream's sketch state equals the batch
+    sketch exactly — micro-batches are just another sharding."""
+    from duckpipe_spark.functions.sketches import bloom_build, cm_sketch
+
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
+    batch = load_table(spark, SF_SMOKE, "events")
+
+    got_cm = _run_stream(
+        spark, cm_sketch(stream.select("user_id"), "user_id"), "cm_t"
+    ).toPandas()
+    exp_cm = cm_sketch(batch.select("user_id"), "user_id").toPandas()
+    key = ["row", "cell"]
+    assert (
+        got_cm.sort_values(key).reset_index(drop=True)[key + ["cnt"]]
+        .equals(exp_cm.sort_values(key).reset_index(drop=True)[key + ["cnt"]])
+    )
+
+    got_bl = _run_stream(
+        spark, bloom_build(stream.select("user_id"), "user_id"), "bloom_t"
+    ).toPandas()
+    exp_bl = bloom_build(batch.select("user_id"), "user_id").toPandas()
+    assert (
+        got_bl.sort_values("word").reset_index(drop=True)[["word", "bits"]]
+        .equals(exp_bl.sort_values("word").reset_index(drop=True)[["word", "bits"]])
+    )
