@@ -263,14 +263,9 @@ def minhash_signatures(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(_map, schema)
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH banding over MinHash signatures: a pair is a candidate iff it
-    collides in ≥1 band of BAND_SIZE consecutive signature rows.
-
-    One self-join on exploded (band_idx, band_key) rows — a single shuffle
-    regardless of band count, vs one join per band. The band index is part
-    of the join key, so collisions never cross bands; the signature table is
-    cached because the self-join reads the banded rows twice."""
+def banded_keys(sigs: DataFrame) -> DataFrame:
+    """Explode MinHash signatures to LSH band rows → (id, bidx, bk). The
+    band index is part of the join key, so collisions never cross bands."""
     n_bands = N_HASHES // BAND_SIZE
     band_entries = [
         F.struct(
@@ -282,9 +277,19 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         )
         for b in range(n_bands)
     ]
-    banded = sigs.select(
-        "id", F.explode(F.array(*band_entries)).alias("band")
-    ).select("id", F.col("band.bidx").alias("bidx"), F.col("band.bk").alias("bk")).cache()
+    return sigs.select("id", F.explode(F.array(*band_entries)).alias("band")).select(
+        "id", F.col("band.bidx").alias("bidx"), F.col("band.bk").alias("bk")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banding over MinHash signatures: a pair is a candidate iff it
+    collides in ≥1 band of BAND_SIZE consecutive signature rows.
+
+    One self-join on exploded (band_idx, band_key) rows — a single shuffle
+    regardless of band count, vs one join per band; the signature table is
+    cached because the self-join reads the banded rows twice."""
+    banded = banded_keys(sigs).cache()
     left = banded.select(F.col("id").alias("id_a"), "bidx", "bk")
     right = banded.select(F.col("id").alias("id_b"), "bidx", "bk")
     return (
@@ -292,6 +297,58 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_jaccard_pct: int = 20,
+) -> DataFrame:
+    """Cross-corpus near-duplicate join — the decontamination shape: match
+    every ``left`` document against the ``right`` corpus (benchmark /
+    blocklist / previous crawl) by MinHash-LSH banding, then verify each
+    candidate with the EXACT Jaccard over distinct shingle hashes.
+    → (id_a from left, id_b from right, n_inter, n_union), kept when
+    100·n_inter ≥ min_jaccard_pct·n_union — an integer threshold on an
+    integer fraction, so the result hash-verifies exactly (a float
+    jaccard column would invite round()-tie divergence; divide
+    downstream if a ratio is wanted).
+
+    Scale shape: band keys are the only cross-corpus join (candidates are
+    collision-bounded, never |L|×|R|); the verify step attaches the two
+    bounded per-doc hash arrays to candidate pairs and intersects
+    JVM-side — same skeleton as `lsh_candidate_pairs` + the Jaccard
+    verify of `corpus_pipeline`, generalized to two tables."""
+    lb = banded_keys(minhash_signatures(left, text_col, id_col, k)).select(
+        F.col("id").alias("id_a"), "bidx", "bk"
+    )
+    rb = banded_keys(minhash_signatures(right, text_col, id_col, k)).select(
+        F.col("id").alias("id_b"), "bidx", "bk"
+    )
+    cand = lb.join(rb, ["bidx", "bk"]).select("id_a", "id_b").distinct()
+    la = shingle_hash_array(left, text_col, id_col, k).select(
+        F.col("id").alias("id_a"), F.col("hvs").alias("_ha")
+    )
+    ra = shingle_hash_array(right, text_col, id_col, k).select(
+        F.col("id").alias("id_b"), F.col("hvs").alias("_hb")
+    )
+    n_inter = F.size(F.array_intersect("_ha", "_hb"))
+    verified = (
+        cand.join(la, "id_a")
+        .join(ra, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_inter.cast("bigint").alias("n_inter"),
+            (F.size("_ha") + F.size("_hb") - n_inter).cast("bigint").alias("n_union"),
+        )
+    )
+    return verified.where(
+        F.lit(100) * F.col("n_inter") >= F.lit(int(min_jaccard_pct)) * F.col("n_union")
     )
 
 

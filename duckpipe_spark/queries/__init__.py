@@ -55,8 +55,11 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     relational veterans — 4 rounds unattested by now) and the 3 from
 #     round 2 (events_moving_avg, events_value_quantiles,
 #     q12_shipmode_priority);
-#   * 4 round-3-green picks that are also bench headliners (minhash,
-#     lsh_candidates, buffer-clip + nearest-distance geo pipelines).
+#   * the NEW cross-corpus LSH decontamination join + 3 round-3-green
+#     picks (lsh_candidates — its banding helper was refactored this
+#     round — and the buffer-clip + nearest-distance geo pipelines;
+#     doc_minhash_signatures' unchanged code rides inside both LSH
+#     queries).
 # The 49-strong round-4 green cohort rotates out with 1 fresh green row
 # each; the 24 remaining round-3-green queries are the r6 priority (their
 # rows age to 3 rounds then).
@@ -111,7 +114,7 @@ base.DRIVER_ORDER[:] = [
     "events_value_quantiles",
     "q12_shipmode_priority",
     # latest-green r3 picks: bench headliners + code families touched
-    "doc_minhash_signatures",
+    "doc_decontam_lsh_join",
     "doc_lsh_candidates",
     "geo_buffer_clip_pipeline",
     "geo_nearest_distance_pipeline",

@@ -263,3 +263,53 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     batch = docs.where(F.col("doc_id") % 2 == 1)
     return dedup_against_corpus(batch, corpus)
+
+
+# Cross-corpus decontamination join: corpus (doc_id % 7 != 3) matched
+# against a held-out "benchmark" split (doc_id % 7 = 3) by LSH banding,
+# then exact hashed-shingle Jaccard as an INTEGER fraction (n_inter,
+# n_union) with an integer threshold — no float jaccard column, so no
+# round()-tie divergence surface (see functions.dedup.lsh_join).
+_DECONTAM_PCT = 20
+_LSH_JOIN_BANDS = "\nUNION\n".join(
+    "SELECT a.id AS id_a, b.id AS id_b FROM sa a JOIN sb b ON "
+    + " AND ".join(
+        f"a.s{b * BAND_SIZE + j} = b.s{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+    )
+    for b in range(_N_BANDS)
+)
+_LSH_JOIN_ORACLE = f"""
+WITH {_WORD_HASH_SHINGLES_SQL},
+sig AS (SELECT id, {_SIG_EXPRS} FROM h GROUP BY id),
+sa AS (SELECT * FROM sig WHERE id % 7 != 3),
+sb AS (SELECT * FROM sig WHERE id % 7 = 3),
+cand AS ({_LSH_JOIN_BANDS}),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN h a ON a.id = c.id_a
+  JOIN h b ON b.id = c.id_b AND b.hv = a.hv
+  GROUP BY 1, 2
+)
+SELECT inter.id_a, inter.id_b, n_inter,
+       CAST(za.n + zb.n - n_inter AS BIGINT) AS n_union
+FROM inter
+JOIN sizes za ON za.id = inter.id_a
+JOIN sizes zb ON zb.id = inter.id_b
+WHERE 100 * n_inter >= {_DECONTAM_PCT} * (za.n + zb.n - n_inter)
+"""
+
+
+@register(
+    "doc_decontam_lsh_join",
+    _LSH_JOIN_ORACLE,
+    "cross-corpus LSH near-dup join (decontamination), integer-exact Jaccard verify",
+)
+def doc_decontam_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.dedup import lsh_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 != 3)
+    benchmark = docs.where(F.col("doc_id") % 7 == 3)
+    return lsh_join(corpus, benchmark, min_jaccard_pct=_DECONTAM_PCT)

@@ -312,3 +312,39 @@ def test_cc_star_non_convergence_still_one_row_per_id(spark):
     assert any("did not converge" in str(x.message) for x in w)
     ids = [r.id for r in out]
     assert len(ids) == len(set(ids)) == 61
+
+
+def test_lsh_join_finds_planted_cross_corpus_neardup(spark):
+    """A benchmark doc with one word changed must match its corpus twin
+    (high integer Jaccard); unrelated docs must not appear."""
+    from duckpipe_spark.functions.dedup import lsh_join
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark partitions and shuffles here")],
+        "doc_id bigint, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, base.replace("today", "tonight")), (101, "unrelated benchmark prose with no overlap at all whatsoever")],
+        "doc_id bigint, text string",
+    )
+    got = lsh_join(corpus, benchmark, min_jaccard_pct=20).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 100)]
+    r = got[0]
+    # 14 tokens -> 12 shingles; the changed LAST word breaks exactly one
+    # window ("river bank today") on each side: 11 shared, 13 in the union
+    assert r.n_inter == 11 and r.n_union == 13
+
+
+def test_lsh_join_rows_match_self_join_on_identical_corpora(spark):
+    """Degenerate check: joining a corpus against itself yields every
+    identity pair at jaccard 100%."""
+    from duckpipe_spark.functions.dedup import lsh_join
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    got = lsh_join(docs, docs, min_jaccard_pct=100)
+    ident = got.where(F.col("id_a") == F.col("id_b"))
+    assert ident.count() == docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 3).count()
+    assert ident.where(F.col("n_inter") != F.col("n_union")).count() == 0
