@@ -325,7 +325,10 @@ def sampled_quantiles(
     """Per-group deterministic sampled quantiles → (group..., n_sampled,
     q<p> for each p). Values must be integer-comparable (use cents, not
     float money). Groups smaller than k are sampled whole (exact
-    quantiles)."""
+    quantiles). ``id_col`` must be UNIQUE per row: it seeds the priority
+    AND breaks priority ties, so a duplicated id would make the rank cut
+    partition-order-dependent and break the determinism contract (same
+    requirement as `priority_sample`)."""
     from pyspark.sql import Window
 
     pri = df.select(
