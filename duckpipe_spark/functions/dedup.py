@@ -347,8 +347,13 @@ def lsh_join(
             (F.size("_ha") + F.size("_hb") - n_inter).cast("bigint").alias("n_union"),
         )
     )
+    # n_inter > 0 unconditionally: a "near-duplicate" with zero shared
+    # shingles is meaningless, and the SQL-oracle formulation (inner join
+    # on shared hashes) cannot even represent such a pair — keeping them
+    # at min_jaccard_pct=0 would silently diverge from the oracle
     return verified.where(
-        F.lit(100) * F.col("n_inter") >= F.lit(int(min_jaccard_pct)) * F.col("n_union")
+        (F.col("n_inter") > 0)
+        & (F.lit(100) * F.col("n_inter") >= F.lit(int(min_jaccard_pct)) * F.col("n_union"))
     )
 
 

@@ -183,6 +183,8 @@ def triangle_counts_by_min(
     intersect sides) is left to exchange reuse — measured faster than
     eager localCheckpoint cuts, which serialize the stage pipeline."""
     if sym is None:
+        if edges is None:
+            raise ValueError("triangle_counts_by_min needs `edges` or `sym`")
         sym = edges.select("u", "v").unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )

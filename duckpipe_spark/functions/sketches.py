@@ -331,6 +331,10 @@ def sampled_quantiles(
     requirement as `priority_sample`)."""
     from pyspark.sql import Window
 
+    if k < 1:
+        raise ValueError("sampled_quantiles needs k >= 1")
+    if not qs or any(not 0 <= q <= 100 for q in qs):
+        raise ValueError("qs must be percentages in [0, 100]")
     pri = df.select(
         *group_cols,
         F.col(value_col).alias("__v"),
