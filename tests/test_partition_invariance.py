@@ -255,6 +255,43 @@ def op_anomaly_zscore(spark, scramble):
     return z.where(F.abs(F.col("z_score")) > 3)
 
 
+def op_lsh_join(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.dedup import lsh_join
+
+    docs = _docs(spark)
+    return lsh_join(
+        scramble(docs.where(F.col("doc_id") % 7 != 3)),
+        scramble(docs.where(F.col("doc_id") % 7 == 3)),
+        min_jaccard_pct=20,
+    )
+
+
+def op_sampled_quantiles(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.sketches import sampled_quantiles
+
+    li = scramble(load_table(spark, SF_SMOKE, "lineitem")).select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("l_orderkey * 8 + l_linenumber").alias("rid"),
+    )
+    return sampled_quantiles(li, "cents", "rid", ["l_returnflag"], k=64)
+
+
+def op_bloom_probe(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.sketches import bloom_build, bloom_probe
+
+    li = scramble(load_table(spark, SF_SMOKE, "orders"))
+    members = li.where(F.col("o_custkey") % 5 == 0).select(F.col("o_custkey").alias("k")).distinct()
+    probes = li.select(F.col("o_custkey").alias("k")).distinct()
+    return bloom_probe(bloom_build(members, "k"), probes, "k")
+
+
 _OPS = [
     op_token_stats,
     op_minhash,
@@ -278,6 +315,9 @@ _OPS = [
     op_salted_join,
     op_triangles,
     op_anomaly_zscore,
+    op_lsh_join,
+    op_sampled_quantiles,
+    op_bloom_probe,
 ]
 
 

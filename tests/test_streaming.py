@@ -410,3 +410,63 @@ def test_streaming_cm_and_bloom_equal_batch(spark, event_files):
         got_bl.sort_values("word").reset_index(drop=True)[["word", "bits"]]
         .equals(exp_bl.sort_values("word").reset_index(drop=True)[["word", "bits"]])
     )
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """The ingest-time shape of `lsh_join`: a DOCUMENT stream is minhashed
+    and band-joined against the static benchmark corpus, candidates
+    verified with the exact integer Jaccard — every stage (mapInPandas
+    signatures, band explode, stream-static joins) is streaming-legal, so
+    the drained stream must produce exactly the batch join's matches."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.dedup import (
+        banded_keys,
+        lsh_join,
+        minhash_signatures,
+        shingle_hash_array,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 != 3)
+    benchmark = docs.where(F.col("doc_id") % 7 == 3)
+    expected = sorted(
+        (r.id_a, r.id_b, r.n_inter, r.n_union)
+        for r in lsh_join(corpus, benchmark, min_jaccard_pct=20).collect()
+    )
+
+    # stream the corpus in 3 files
+    d = tmp_path / "docstream"
+    d.mkdir()
+    pdf = corpus.toPandas()
+    n = len(pdf)
+    for i, chunk in enumerate([pdf[: n // 3], pdf[n // 3 : 2 * n // 3], pdf[2 * n // 3 :]]):
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(str(d / f"b{i}"))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+
+    lb = banded_keys(minhash_signatures(stream)).select(
+        F.col("id").alias("id_a"), "bidx", "bk"
+    )
+    rb = banded_keys(minhash_signatures(benchmark)).select(
+        F.col("id").alias("id_b"), "bidx", "bk"
+    )
+    cand = lb.join(rb, ["bidx", "bk"]).select("id_a", "id_b").dropDuplicates()
+    la = shingle_hash_array(stream).select(F.col("id").alias("id_a"), F.col("hvs").alias("_ha"))
+    ra = shingle_hash_array(benchmark).select(F.col("id").alias("id_b"), F.col("hvs").alias("_hb"))
+    n_inter = F.size(F.array_intersect("_ha", "_hb"))
+    verified = (
+        cand.join(la, "id_a")
+        .join(ra, "id_b")
+        .select(
+            "id_a", "id_b",
+            n_inter.cast("bigint").alias("n_inter"),
+            (F.size("_ha") + F.size("_hb") - n_inter).cast("bigint").alias("n_union"),
+        )
+        .where((F.col("n_inter") > 0) & (F.lit(100) * F.col("n_inter") >= F.lit(20) * F.col("n_union")))
+    )
+    got = _run_stream(spark, verified, "decontam_t", mode="append")
+    assert sorted(map(tuple, got.collect())) == expected
