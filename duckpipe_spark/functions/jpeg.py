@@ -326,12 +326,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn:
+            pos += 2  # standalone markers carry no length segment
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         seg = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen

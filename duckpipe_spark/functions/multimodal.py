@@ -6,10 +6,13 @@ The Spark-side machinery — schema, partitioning, UDF signatures, batch shapes
 — is real and tested. Image decode has two REAL paths: PNG blobs decode
 through the vendored pure-python codec (`functions.png`) and baseline
 JPEGs through `functions.jpeg` (Pillow is used instead when importable).
-Audio/video formats are stubbed behind an import-try: with
-``fake_decode=True`` they produce a deterministic pseudo-decode derived
-from the blob bytes, otherwise ``NotImplementedError`` at the exact point
-a real codec (Pillow/ffmpeg) would plug in.
+Audio decode is REAL for RIFF/WAVE PCM (`functions.wav`, integer
+8/16/24/32-bit + IEEE float) and video container metadata is REAL for
+ISO-BMFF MP4 (`functions.mp4`). Only compressed codecs (MP3/AAC,
+progressive/arithmetic JPEG) and video sample decode raise
+``NotImplementedError`` at the exact point a real codec (Pillow/ffmpeg)
+would plug in; images also accept ``fake_decode=True`` for a
+deterministic pseudo-decode in plumbing tests.
 
 Byte-level feature extraction (histogram, entropy, byte stats) is fully real
 — those are the kernels a 100 TB curation pipeline runs before any decode

@@ -233,6 +233,11 @@ GROUP BY 1
 BLOOM_BITS = 2048           # ~33 x 63-bit words; sized for a DEMO fp-rate —
 BLOOM_WORDS = BLOOM_BITS // 63 + 1  # production would size m/n ~ 10+ bits/key
 BLOOM_K = 4
+# Single source for the bloom hash family: build, probe (and its
+# reserved-name guard), and the oracle SQL all iterate BLOOM_SEEDS, so
+# resizing BLOOM_K can never desynchronize them.
+BLOOM_SEEDS = CM_SEEDS[:BLOOM_K]
+assert len(BLOOM_SEEDS) == BLOOM_K, "BLOOM_K exceeds available CM_SEEDS"
 # 63 bits per BIGINT word, not 64: bit 63 is the sign bit, and
 # 1 << 63 overflows DuckDB's checked BIGINT (Spark would wrap silently —
 # the engines would even disagree); bits 0..62 are portable
@@ -246,7 +251,7 @@ def _bloom_pos_sql(col: str, a: int, b: int) -> str:
 
 def bloom_build(df: DataFrame, col: str) -> DataFrame:
     """→ (word, bits): the filter as OR-combined 64-bit words."""
-    pos = F.array(*[F.expr(_bloom_pos_sql(col, a, b)) for a, b in CM_SEEDS])
+    pos = F.array(*[F.expr(_bloom_pos_sql(col, a, b)) for a, b in BLOOM_SEEDS])
     p = df.select(F.explode(pos).alias("__pos")).select(
         F.expr("__pos DIV 63").alias("word"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 63) AS INT))").alias("__bit"),
@@ -263,14 +268,14 @@ def bloom_probe(filt: DataFrame, df: DataFrame, col: str) -> DataFrame:
     seed), folded with ``least`` over the k bit tests. No shuffle of the
     probe side at any size."""
     reserved = {"maybe_member"} | {
-        c for i in range(BLOOM_K) for c in (f"__w{i}", f"__bits{i}")
+        c for i in range(len(BLOOM_SEEDS)) for c in (f"__w{i}", f"__bits{i}")
     }
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"bloom_probe reserves column name(s) {sorted(clash)}")
     out = df
     hits = []
-    for i, (a, b) in enumerate(CM_SEEDS):
+    for i, (a, b) in enumerate(BLOOM_SEEDS):
         pos = _bloom_pos_sql(col, a, b)
         out = out.withColumn(f"__w{i}", F.expr(f"({pos}) DIV 63"))
         side = filt.select(
@@ -402,10 +407,10 @@ def bloom_oracle_sql(build_sql: str, probe_table: str, col: str) -> str:
         return f"({h2} % {BLOOM_BITS})"
 
     build_rows = " UNION ALL ".join(
-        f"SELECT {pos(a, b, col)} AS p FROM member_keys" for a, b in CM_SEEDS
+        f"SELECT {pos(a, b, col)} AS p FROM member_keys" for a, b in BLOOM_SEEDS
     )
     probe_rows = " UNION ALL ".join(
-        f"SELECT {col}, {pos(a, b, col)} AS p FROM {probe_table}" for a, b in CM_SEEDS
+        f"SELECT {col}, {pos(a, b, col)} AS p FROM {probe_table}" for a, b in BLOOM_SEEDS
     )
     return f"""
 WITH member_keys AS ({build_sql}),

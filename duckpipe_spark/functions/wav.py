@@ -75,8 +75,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError("missing fmt or data chunk")
     tag, ch, rate, block, bits = fmt
-    if ch == 0 or bits == 0:
-        raise ValueError("zero channels or bit depth")
+    if ch == 0 or bits == 0 or rate == 0:
+        raise ValueError("zero channels, bit depth, or sample rate")
     if tag == _PCM:
         if bits == 8:  # 8-bit WAV is unsigned
             arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0

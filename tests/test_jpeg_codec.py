@@ -126,3 +126,18 @@ def test_fuzz_decoder_never_crashes():
 
     fuzz_raw()
     fuzz_corrupt()
+
+
+def test_fill_bytes_and_standalone_markers_between_segments():
+    """ADVICE r5 / T.81 B.1.1.2: 0xFF fill bytes may pad any marker, and
+    TEM (0x01) / stray RSTn markers are standalone (no length segment).
+    Both are legal in the baseline subset and must not be rejected."""
+    img = np.full((16, 16), 128, np.uint8)
+    blob = encode_jpeg_gray(img, quality=90)
+    ref = decode_jpeg(blob)
+    # fill bytes + TEM right after SOI
+    padded = blob[:2] + b"\xff\xff\x01" + blob[2:]
+    np.testing.assert_array_equal(decode_jpeg(padded), ref)
+    # stray RST4 between marker segments
+    stray = blob[:2] + b"\xff\xd4" + blob[2:]
+    np.testing.assert_array_equal(decode_jpeg(stray), ref)

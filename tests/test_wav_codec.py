@@ -103,3 +103,17 @@ def test_fuzz_decoder_never_crashes():
 
     fuzz_raw()
     fuzz_corrupt()
+
+
+def test_zero_sample_rate_rejected_not_zerodivision():
+    """ADVICE r5: a parseable WAV with rate=0 must raise ValueError, not
+    reach decode_audio's duration division as a ZeroDivisionError."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    payload = np.array([1, 2], "<i2").tobytes()
+    blob = (
+        b"RIFF" + struct.pack("<I", 99) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(blob)
