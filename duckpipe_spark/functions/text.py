@@ -169,20 +169,28 @@ def build_vocab(
     n_occurrences): the ``max_size`` most frequent whitespace tokens, ids
     1..max_size by (count desc, token asc); id 0 is reserved for OOV.
 
-    Scale shape: the term counts are one map-side-combinable aggregate whose
-    output is corpus-VOCABULARY-sized (≪ corpus — Heaps' law), so the global
-    rank window that follows orders only that small relation; the trained
+    Scale shape: the term counts are one map-side-combinable aggregate
+    (output corpus-VOCABULARY-sized — Heaps' law); the top-``max_size``
+    selection is two-phase — ``orderBy().limit()`` compiles to
+    ``TakeOrderedAndProject`` (partial top-k per partition, single merge of
+    the partials) so no partition ever sorts the full distinct-token table —
+    and only then does a rank window assign ids, over a relation bounded by
+    ``max_size`` (output-sized) regardless of corpus vocabulary. The trained
     vocabulary is the canonical broadcast-side table for ``encode_docs``.
     Deterministic ties (count, then token text) make the vocabulary — and
-    therefore every downstream token id — reproducible across engines."""
+    therefore every downstream token id — reproducible across engines; the
+    order is total (tokens are distinct), so the limit selects exactly the
+    rows the old full-relation rank window kept."""
     toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
     tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    topk = tf.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(
+        max_size
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
     return (
-        tf.withColumn("token_id", F.row_number().over(w).cast("bigint"))
-        .where(F.col("token_id") <= max_size)
+        topk.withColumn("token_id", F.row_number().over(w).cast("bigint"))
         .select("token", "token_id", "n_occurrences")
     )
 

@@ -377,3 +377,21 @@ def test_bloom_probe_is_broadcast_only_one_to_one(spark):
     # so the count doubles; >= K pins that every attach is broadcast
     assert a.broadcast_hash_joins >= BLOOM_K
     assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0
+
+
+def test_build_vocab_two_phase_topk(spark):
+    """VERDICT r5 item 5: the vocabulary rank window must never sort the
+    full distinct-token relation in one partition — the top-max_size
+    selection compiles to TakeOrderedAndProject (partial per-partition
+    top-k + merge), and only the max_size survivors reach the window."""
+    from duckpipe_spark.functions.text import build_vocab
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with no_aqe(spark):
+        a = audit_plan(build_vocab(docs, 500))
+    assert "TakeOrderedAndProject" in a.text, a.text
+    # no full-relation global sort anywhere in the plan (the old shape fed
+    # the window with Sort[global] over the whole distinct-token table)
+    import re
+
+    assert not re.search(r"Sort .*global=true", a.text), a.text
