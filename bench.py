@@ -2,6 +2,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Since round 6 the same line also carries the DuckDB oracle side-by-side
+(VERDICT r5 item 3): "duckdb": {name: sec}, "ratio": {name: spark/duckdb},
+"duckdb_total", "ratio_total" — both engines timed with the identical
+warm-once/time-second protocol on the same parquet, so the within-2x bar
+is checkable from the artifact alone. Set SPARK_GRAFT_BENCH_NO_ORACLE=1
+to skip the DuckDB pass during quick local iteration.
 """
 
 from __future__ import annotations
@@ -112,17 +119,57 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_ORACLE"):
+        duck = _duckdb_timings(sf_dir, names)
+        out["duckdb"] = duck
+        out["duckdb_total"] = round(sum(v for v in duck.values() if v), 3)
+        out["ratio"] = {
+            n: round(timings[n] / duck[n], 2)
+            for n in timings
+            if duck.get(n)
+        }
+        if out["duckdb_total"]:
+            out["ratio_total"] = round(total / out["duckdb_total"], 3)
+
+    print(json.dumps(out))
+
+
+def _duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
+    """DuckDB oracle wall-clock for each named query (warm + timed second
+    run — the exact protocol the Spark side uses). Queries without oracle
+    SQL, or whose oracle errors, record null rather than aborting the
+    bench line."""
+    import duckdb
+
+    from duckpipe_spark.queries import REGISTRY
+    from duckpipe_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    duck: dict[str, float | None] = {}
+    for name in names:
+        q = REGISTRY[name].oracle
+        if q is None:
+            duck[name] = None
+            continue
+        try:
+            con.execute(q).fetchall()  # warm
+            t0 = time.perf_counter()
+            con.execute(q).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # pragma: no cover - diagnostic path
+            print(f"# duckdb {name} failed: {exc}", file=sys.stderr)
+            duck[name] = None
+    return duck
 
 
 if __name__ == "__main__":
