@@ -39,85 +39,75 @@ from duckpipe_spark.queries import base
 from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 
 # First 50 names are what the driver's correctness gate will actually check.
-# Round-5 rotation (VERDICT r4 item 9 + the documented policy: never-attested
-# and just-modified queries first, then re-attest the queries whose latest
-# green driver row is oldest). Composition, from CORRECTNESS_r01-r04:
-#   * 5 never-green rows: blob_byte_entropy (oracle added this round),
-#     the three NEW vendored-codec round trips (image_decode_jpeg,
-#     audio_decode_wav, video_metadata_mp4) and the NEW deterministic
-#     sampled-quantile sketch (lineitem_price_quantiles);
-#   * 6 queries whose code changed this round: parts_triangle_counts
-#     (no-per-triangle-row aggregate), parts_pagerank (dst-union node
-#     spine), orders_bloom_blocklist (1:1 bloom_probe), doc_span_dedup
-#     (two-phase span election), doc_dup_components_star (non-convergence
-#     collapse), doc_priority_sample (reserved-name guard);
-#   * all 32 queries whose latest green is ROUND 1 (the TPC-H sweep +
-#     relational veterans — 4 rounds unattested by now) and the 3 from
-#     round 2 (events_moving_avg, events_value_quantiles,
-#     q12_shipmode_priority);
-#   * the NEW cross-corpus LSH decontamination join + 3 round-3-green
-#     picks (lsh_candidates — its banding helper was refactored this
-#     round — and the buffer-clip + nearest-distance geo pipelines;
-#     doc_minhash_signatures' unchanged code rides inside both LSH
-#     queries).
-# The 49-strong round-4 green cohort rotates out with 1 fresh green row
-# each; the 24 remaining round-3-green queries are the r6 priority (their
-# rows age to 3 rounds then).
+# Round-6 rotation (VERDICT r5 item 1 + the standing policy: just-modified
+# queries first, then re-attest the queries whose latest green driver row
+# is oldest). Composition, from CORRECTNESS_r01-r05:
+#   * ALL 28 queries whose latest green row is ROUND 3 (3 rounds old —
+#     the doc_* text/sampling family, embedding_*, events_hourly_rollup,
+#     sessionize_users, geo_elevation_pipeline, lang_top_bigrams);
+#     doc_vocab's top-k selection was also rebuilt this round (two-phase
+#     TakeOrderedAndProject);
+#   * 5 queries whose code changed this round: audio_decode_wav (rate=0
+#     rejection), image_decode_jpeg (fill bytes + standalone markers),
+#     orders_bloom_blocklist (single-source BLOOM_SEEDS),
+#     parts_triangle_counts + doc_span_dedup (round-6 perf passes);
+#   * 17 of the 43-strong round-4 cohort (alphabetical prefix — the rest
+#     age to 2 rounds and lead the r7 window with the remaining 26).
+# The 50-strong round-5 green cohort rotates out with 1 fresh row each.
 base.DRIVER_ORDER[:] = [
-    # never-attested + round-5-modified operators first
-    "blob_byte_entropy",
-    "image_decode_jpeg",
+    # round-6-modified operators first
     "audio_decode_wav",
-    "video_metadata_mp4",
-    "lineitem_price_quantiles",
-    "parts_triangle_counts",
-    "parts_pagerank",
+    "image_decode_jpeg",
     "orders_bloom_blocklist",
+    "parts_triangle_counts",
     "doc_span_dedup",
-    "doc_dup_components_star",
-    "doc_priority_sample",
-    # latest-green r1: TPC-H sweep + relational veterans (oldest rows)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_part_suppliers",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    "brand_min_price",
-    "custkeys_f_and_o_intersect",
-    "customer_cumulative_spend",
-    "customers_without_orders",
-    "lineitem_multi_distinct",
-    "order_gaps_lag",
-    "orders_cube",
-    "orders_except",
-    "orders_rollup",
-    "segment_year_pivot",
-    "suppliers_with_big_lineitems",
-    "top3_orders_per_customer",
-    # latest-green r2
-    "events_moving_avg",
-    "events_value_quantiles",
-    "q12_shipmode_priority",
-    # latest-green r3 picks: bench headliners + code families touched
-    "doc_decontam_lsh_join",
-    "doc_lsh_candidates",
-    "geo_buffer_clip_pipeline",
-    "geo_nearest_distance_pipeline",
+    # latest-green r3: the full 28-strong veteran cohort (oldest rows)
+    "doc_boilerplate",
+    "doc_decontamination",
+    "doc_dup_components",
+    "doc_encoded",
+    "doc_fingerprint_dedup",
+    "doc_hash_split",
+    "doc_language_guess",
+    "doc_minhash_signatures",
+    "doc_mixture_resample",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_simhash",
+    "doc_stratified_sample",
+    "doc_token_stats",
+    "doc_vocab",
+    "embedding_cosine_topk",
+    "embedding_ivf_topk",
+    "embedding_kmeans_cells",
+    "embedding_neardup_pairs",
+    "embedding_pq_adc_topk",
+    "embedding_pq_codes",
+    "embedding_semantic_dedup",
+    "events_hourly_rollup",
+    "geo_elevation_pipeline",
+    "lang_top_bigrams",
+    "sessionize_users",
+    # latest-green r4 cohort, alphabetical prefix (17 of 43)
+    "approx_distinct_parts",
+    "asof_clicks_purchases",
+    "blob_metadata",
+    "custkey_status_skeleton",
+    "custkey_yearly_delta_full_outer",
+    "customer_spend_quartiles",
+    "doc_incremental_dedup",
+    "doc_jaccard_pairs",
+    "doc_quality_percentile",
+    "doc_source_rollup",
+    "doc_temperature_resample",
+    "doc_tfidf_topterms",
+    "embedding_cluster_profile",
+    "embedding_int8_quant",
+    "embedding_ivf_recall",
+    "embedding_lsh_recall",
+    "embedding_lsh_topk",
 ]
 
 __all__ = ["REGISTRY", "spark_queries", "oracle_queries"]
