@@ -261,14 +261,23 @@ def remove_duplicate_spans(
     # join needs the same h-partitioning the groupBy produced, so Catalyst
     # reuses that exchange: still one full shuffle of the 28-byte rows.
     firsts = wins.groupBy("h").agg(F.min(F.struct("id", "i")).alias("f"))
+    # SHUFFLE_HASH, not the default sort-merge: SMJ pays two full sorts of
+    # the span stream by its 32-char md5 key (measured the dominant cost —
+    # 4.6 s of a 6.7 s query at 500k docs; 2.5 s with SHJ, BASELINE §10).
+    # Hash join is also the skew-safe shape here: the build side is ONE row
+    # per distinct span hash (min-struct winners), so a hot boilerplate
+    # span costs nothing on the build side and streams on the probe side —
+    # unlike a window/collect_list election, which would buffer every
+    # occurrence of the hot span in one reducer group. Both sides reuse
+    # the same hashpartitioning(h) exchange the election aggregate wrote.
     dropped = (
-        wins.join(firsts, "h")
+        wins.join(firsts.hint("SHUFFLE_HASH"), "h")
         .where((F.col("id") != F.col("f.id")) | (F.col("i") != F.col("f.i")))
         .groupBy("id")
         .agg(F.collect_list("i").alias("_dropped"))
     )
     keep_idx = F.filter(
-        span_idx, lambda i: ~F.coalesce(F.array_contains("_dropped", i), F.lit(False))
+        span_idx, lambda i: ~F.array_contains("_dropped", i)
     )
     body = F.nullif(
         F.array_join(
@@ -281,6 +290,16 @@ def remove_duplicate_spans(
     tail = F.when(
         tail_len > 0, F.concat_ws(" ", F.slice("_t", F.col("_nwin") * w + 1, tail_len))
     )
+    # reconstruction short-circuit: duplicates are the sparse minority of a
+    # corpus, so most docs have no dropped span — their clean text is just
+    # the whitespace-normalized token join (identical to the span-by-span
+    # rebuild: every span joined by ' ' plus the tail IS concat_ws(_t)).
+    # The per-span slice/transform rebuild then only runs on the docs the
+    # anti-joined dropped list actually names (measured 6.7→5.0 s on a
+    # 500k-doc corpus, BASELINE §10).
+    clean = F.when(
+        F.col("_dropped").isNull(), F.array_join("_t", " ")
+    ).otherwise(F.concat_ws(" ", body, tail))
     return (
         base.join(dropped, "id", "left")
         .select(
@@ -289,7 +308,7 @@ def remove_duplicate_spans(
             F.size(F.coalesce(F.col("_dropped"), F.array().cast("array<int>")))
             .cast("bigint")
             .alias("n_dropped"),
-            F.concat_ws(" ", body, tail).alias("clean_text"),
+            clean.alias("clean_text"),
         )
     )
 

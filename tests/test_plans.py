@@ -219,6 +219,11 @@ def test_span_dedup_plan_bounded_shuffles(spark):
     assert a.broadcast_nl_joins == 0
     assert "CartesianProduct" not in a.text
     assert a.exchanges <= 8
+    # the wins⋈firsts election join must be the hinted shuffled-hash join,
+    # not sort-merge: SMJ's two md5-key sorts were the dominant cost at
+    # 500k docs (BASELINE §11), and SHJ's build side is one row per
+    # distinct span hash (hot-span skew-safe)
+    assert "ShuffledHashJoin" in a.text, a.text
 
 
 def test_source_rollup_single_shuffle(spark):
