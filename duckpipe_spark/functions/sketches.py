@@ -263,30 +263,35 @@ def bloom_probe(filt: DataFrame, df: DataFrame, col: str) -> DataFrame:
     """df + ``maybe_member`` (1 = all k bits set; 0 = definitely absent).
 
     Output rows are exactly 1:1 with input rows — duplicates pass through
-    and no column of ``df`` needs to be groupable — via k chained
-    broadcast joins against the ≤``BLOOM_WORDS``-row filter (one per hash
-    seed), folded with ``least`` over the k bit tests. No shuffle of the
-    probe side at any size."""
-    reserved = {"maybe_member"} | {
-        c for i in range(len(BLOOM_SEEDS)) for c in (f"__w{i}", f"__bits{i}")
-    }
+    and no column of ``df`` needs to be groupable. The whole
+    ≤``BLOOM_WORDS``-row filter is folded into ONE single-row broadcast
+    (a word→bits map), so the probe is one cross join plus k in-row map
+    lookups — replacing the previous k chained broadcast joins, which
+    cost k join operators and ~6× the wall-clock at sf1 (BASELINE §12).
+    ``element_at`` on the ≤33-entry map is a bounded scan (the map is
+    BLOOM_WORDS-sized by construction, never data-sized). No shuffle of
+    the probe side at any size; an empty filter still yields the one
+    (empty-map) build row, and absent words coalesce to 0."""
+    reserved = {"maybe_member", "__bloom_map"}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"bloom_probe reserves column name(s) {sorted(clash)}")
-    out = df
-    hits = []
-    for i, (a, b) in enumerate(BLOOM_SEEDS):
-        pos = _bloom_pos_sql(col, a, b)
-        out = out.withColumn(f"__w{i}", F.expr(f"({pos}) DIV 63"))
-        side = filt.select(
-            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__bits{i}")
+    bmap = filt.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias(
+            "__bloom_map"
         )
-        out = out.join(F.broadcast(side), f"__w{i}", "left")
+    )
+    hits = []
+    for a, b in BLOOM_SEEDS:
+        pos = _bloom_pos_sql(col, a, b)
         hits.append(
-            f"CAST(shiftright(COALESCE(__bits{i}, CAST(0 AS BIGINT)),"
+            f"CAST(shiftright("
+            f"COALESCE(element_at(__bloom_map, ({pos}) DIV 63), CAST(0 AS BIGINT)),"
             f" CAST(pmod({pos}, 63) AS INT)) & 1 AS INT)"
         )
-    return out.select(*df.columns, F.expr("least(" + ", ".join(hits) + ")").alias("maybe_member"))
+    return df.crossJoin(F.broadcast(bmap)).select(
+        *df.columns, F.expr("least(" + ", ".join(hits) + ")").alias("maybe_member")
+    )
 
 
 # --- sampled quantiles (deterministic bounded-sample sketch) ---------------

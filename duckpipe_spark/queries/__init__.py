@@ -47,12 +47,14 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     sessionize_users, geo_elevation_pipeline, lang_top_bigrams);
 #     doc_vocab's top-k selection was also rebuilt this round (two-phase
 #     TakeOrderedAndProject);
-#   * 5 queries whose code changed this round: audio_decode_wav (rate=0
+#   * 6 queries whose code changed this round: audio_decode_wav (rate=0
 #     rejection), image_decode_jpeg (fill bytes + standalone markers),
-#     orders_bloom_blocklist (single-source BLOOM_SEEDS),
-#     parts_triangle_counts + doc_span_dedup (round-6 perf passes);
-#   * 17 of the 43-strong round-4 cohort (alphabetical prefix — the rest
-#     age to 2 rounds and lead the r7 window with the remaining 26).
+#     orders_bloom_blocklist (single-row map-broadcast probe + one-agg
+#     keys/counts), doc_span_dedup (SHJ election join + reconstruction
+#     short-circuit), doc_decontam_lsh_join (broadcast_small_side fast
+#     path), parts_triangle_counts (measurement pass, BASELINE §10);
+#   * 16 of the 43-strong round-4 cohort (alphabetical prefix — the rest
+#     age to 2 rounds and lead the r7 window with the remaining 27).
 # The 50-strong round-5 green cohort rotates out with 1 fresh row each.
 base.DRIVER_ORDER[:] = [
     # round-6-modified operators first
@@ -61,6 +63,7 @@ base.DRIVER_ORDER[:] = [
     "orders_bloom_blocklist",
     "parts_triangle_counts",
     "doc_span_dedup",
+    "doc_decontam_lsh_join",
     # latest-green r3: the full 28-strong veteran cohort (oldest rows)
     "doc_boilerplate",
     "doc_decontamination",
@@ -107,7 +110,6 @@ base.DRIVER_ORDER[:] = [
     "embedding_int8_quant",
     "embedding_ivf_recall",
     "embedding_lsh_recall",
-    "embedding_lsh_topk",
 ]
 
 __all__ = ["REGISTRY", "spark_queries", "oracle_queries"]

@@ -312,4 +312,9 @@ def doc_decontam_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 7 != 3)
     benchmark = docs.where(F.col("doc_id") % 7 == 3)
-    return lsh_join(corpus, benchmark, min_jaccard_pct=_DECONTAM_PCT)
+    # benchmark is 1/7th of the corpus by construction — the documented
+    # small-side fast path (scale deploys keep the default for an
+    # unbounded right corpus)
+    return lsh_join(
+        corpus, benchmark, min_jaccard_pct=_DECONTAM_PCT, broadcast_small_side=True
+    )

@@ -1209,14 +1209,16 @@ def orders_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     block = cust.where(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("k"))
     filt = bloom_build(block, "k")
-    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
-    probed = bloom_probe(filt, keys, "k")
+    # ONE aggregation yields both the distinct probe keys and their order
+    # counts — the previous separate .distinct() shuffled the same
+    # o_custkey stream a second time and then paid a key-join to stitch
+    # the two aggregates back together (r6: one shuffle, no stitch join)
     counts = orders.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+    probed = bloom_probe(filt, counts, "k")
     return (
         probed.join(block.withColumn("__b", F.lit(1)), "k", "left")
-        .join(counts, "k")
         .select(
             F.col("k").alias("custkey"),
             F.col("maybe_member").alias("maybe_blocked"),
