@@ -56,6 +56,22 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #   * 16 of the 43-strong round-4 cohort (alphabetical prefix — the rest
 #     age to 2 rounds and lead the r7 window with the remaining 27).
 # The 50-strong round-5 green cohort rotates out with 1 fresh row each.
+# Queries whose implementation changed this round. The local oracle
+# mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
+# sf0.01 differential run (tests/test_queries_oracle.py::
+# test_changed_query_matches_oracle_sf001) — the driver gate's exact
+# scale — so scale-sensitive divergence in touched code surfaces locally
+# before the gate does (VERDICT r5 item 7). Update each round alongside
+# DRIVER_ORDER.
+CHANGED_THIS_ROUND = [
+    "audio_decode_wav",
+    "image_decode_jpeg",
+    "orders_bloom_blocklist",
+    "doc_span_dedup",
+    "doc_decontam_lsh_join",
+    "doc_vocab",
+]
+
 base.DRIVER_ORDER[:] = [
     # round-6-modified operators first
     "audio_decode_wav",

@@ -19,6 +19,24 @@ def test_query_matches_oracle(spark, name):
     assert r.get("ok"), r
 
 
+def _changed():
+    from duckpipe_spark.queries import CHANGED_THIS_ROUND
+
+    return list(CHANGED_THIS_ROUND)
+
+
+@pytest.mark.parametrize("name", _changed())
+def test_changed_query_matches_oracle_sf001(spark, name):
+    """Changed-query tier (VERDICT r5 item 7): re-run this round's touched
+    queries at sf0.01 — the driver gate's exact scale — so divergence that
+    only appears above sf0.001 (sampling densities, collision counts,
+    window populations) fails locally before the gate runs."""
+    from tests.conftest import SF_ORACLE
+
+    r = compare(name, spark, SF_ORACLE)
+    assert r.get("ok"), r
+
+
 def test_entry_contract(spark):
     import importlib.util
 
