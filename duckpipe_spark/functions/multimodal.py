@@ -166,6 +166,59 @@ DECODED_AUDIO_SCHEMA = (
 )
 
 
+def ffmpeg_available() -> bool:
+    """True when the ffmpeg + ffprobe binaries are on PATH (the
+    production plug point for compressed audio/video decode)."""
+    import shutil
+
+    return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
+
+
+def ffmpeg_decode_pcm(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode any ffmpeg-supported audio blob → (float64 array of shape
+    (n_frames, channels), sample_rate) — the same contract as the
+    vendored `functions.wav.decode_wav`, through the external binary a
+    production deploy ships. ffprobe reads the stream layout, ffmpeg
+    emits f32le PCM on a pipe; no temp files, no shell.
+
+    Raises ``NotImplementedError`` when the binaries are absent (this
+    container) so callers keep the documented plug-point contract, and
+    ``ValueError`` when ffmpeg rejects the stream."""
+    import json as _json
+    import subprocess
+
+    if not ffmpeg_available():
+        raise NotImplementedError(
+            "compressed-audio decode requires the ffmpeg/ffprobe binaries — "
+            "not available in this environment"
+        )
+    try:
+        probe = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-select_streams", "a:0",
+                "-show_entries", "stream=sample_rate,channels",
+                "-of", "json", "pipe:0",
+            ],
+            input=blob, capture_output=True, check=True,
+        )
+        meta = _json.loads(probe.stdout)["streams"][0]
+        rate, ch = int(meta["sample_rate"]), int(meta["channels"])
+        raw = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-i", "pipe:0",
+                "-f", "f32le", "-acodec", "pcm_f32le", "pipe:1",
+            ],
+            input=blob, capture_output=True, check=True,
+        )
+    except (subprocess.CalledProcessError, KeyError, IndexError) as exc:
+        raise ValueError(f"ffmpeg could not decode blob: {exc}") from exc
+    if rate == 0 or ch == 0:
+        raise ValueError("ffprobe reported zero sample rate or channels")
+    arr = np.frombuffer(raw.stdout, dtype="<f4").astype(np.float64)
+    n = len(arr) - len(arr) % ch
+    return arr[:n].reshape(-1, ch), rate
+
+
 def decode_audio(
     df: DataFrame,
     blob_col: str = "blob",
@@ -188,11 +241,12 @@ def decode_audio(
                 blob = bytes(getattr(row, blob_col))
                 bid = getattr(row, id_col)
                 if _sniff_format(blob) != "wav":
-                    raise NotImplementedError(
-                        "audio decode for non-WAV formats requires an external "
-                        "codec (ffmpeg) — not available in this environment"
-                    )
-                arr, rate = decode_wav(blob)
+                    # compressed formats go through the external-binary
+                    # plug point; raises NotImplementedError when the
+                    # deploy doesn't ship ffmpeg
+                    arr, rate = ffmpeg_decode_pcm(blob)
+                else:
+                    arr, rate = decode_wav(blob)
                 n, ch = arr.shape
                 rms = float(np.sqrt((arr**2).mean())) if n else 0.0
                 out.append((bid, n, rate, ch, n / rate, rms))

@@ -1,0 +1,60 @@
+"""External-codec passthrough tests (VERDICT r5 item 8): the PIL and
+ffmpeg paths are exercised the day the dependency appears in a deploy,
+and skip cleanly here (neither ships in this container) — same pattern
+as the env-gated transformWithState test.
+
+What runs TODAY in this container: the absent-binary contract (the plug
+points must raise NotImplementedError, not crash differently)."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+from duckpipe_spark.functions.multimodal import ffmpeg_available, ffmpeg_decode_pcm
+from duckpipe_spark.functions.png import decode_png, encode_png
+from duckpipe_spark.functions.wav import decode_wav, encode_wav_pcm16
+
+_HAVE_PIL = importlib.util.find_spec("PIL") is not None
+
+
+def test_ffmpeg_plug_point_contract_without_binary():
+    if ffmpeg_available():  # pragma: no cover - binary-present environments
+        pytest.skip("ffmpeg present; the passthrough tests below cover it")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        ffmpeg_decode_pcm(b"\xff\xfb\x90\x00 not really mp3 ")
+
+
+@pytest.mark.skipif(not ffmpeg_available(), reason="ffmpeg/ffprobe not on PATH")
+def test_ffmpeg_passthrough_matches_vendored_wav_decode():
+    """WAV is the interchange: both the vendored codec and ffmpeg decode
+    the same PCM16 blob, samples must agree exactly (both scale by 1/32768)."""
+    rng = np.random.default_rng(7)
+    samples = (rng.integers(-30000, 30000, size=(4000, 2))).astype(np.int16)
+    blob = encode_wav_pcm16(samples.astype(np.float64) / 32768.0, sample_rate=16_000)
+    ours, rate_a = decode_wav(blob)
+    theirs, rate_b = ffmpeg_decode_pcm(blob)
+    assert rate_a == rate_b == 16_000
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+@pytest.mark.skipif(not _HAVE_PIL, reason="Pillow not installed")
+def test_pil_passthrough_matches_vendored_png_decode(spark):
+    """decode_images prefers Pillow when importable; on a lossless PNG the
+    PIL path must reproduce the vendored decoder's pixels and metadata."""
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import decode_images
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    blob = encode_png(img)
+    np.testing.assert_array_equal(decode_png(blob), img)
+
+    df = spark.createDataFrame(pd.DataFrame({"blob_id": [1], "blob": [bytearray(blob)]}))
+    row = decode_images(df).collect()[0]
+    assert (row.width, row.height, row.channels) == (16, 24, 3)
+    assert row.mean_pixel == pytest.approx(float(img.mean()))
