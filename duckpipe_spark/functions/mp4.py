@@ -130,3 +130,171 @@ def build_minimal_mp4(
         trak_boxes += box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak_boxes)
     return ftyp + moov
+
+
+# --- sample tables (stbl): the part of ISO 14496-12 a frame sampler needs ---
+
+
+def parse_video_sample_table(data: bytes) -> dict:
+    """Locate the first video track's sample table and resolve every
+    sample to its byte extent → {"codec": fourcc str, "samples":
+    [(offset, size), ...]}.
+
+    Implements the standard stbl resolution (ISO/IEC 14496-12 §8.5-8.7):
+    ``stsz`` gives per-sample sizes, ``stco`` gives chunk offsets,
+    ``stsc`` maps samples onto chunks as runs of (first_chunk,
+    samples_per_chunk) entries, and a sample's offset is its chunk's
+    offset plus the sizes of the samples before it in that chunk. Raises
+    ValueError when no video track carries a complete table."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 blob (no ftyp)")
+    tracks: list[dict] = []
+
+    def walk(start: int, end: int) -> None:
+        for btype, body, bend in _boxes(data, start, end):
+            if btype in _CONTAINERS:
+                if btype == b"trak":
+                    tracks.append({})
+                walk(body, bend)
+            elif not tracks:
+                continue
+            elif btype == b"hdlr":
+                tracks[-1]["handler"] = data[body + 8 : body + 12]
+            elif btype == b"stsd":
+                (n,) = struct.unpack_from(">I", data, body + 4)
+                if n >= 1:
+                    tracks[-1]["codec"] = data[body + 12 : body + 16]
+            elif btype == b"stsz":
+                fixed, n = struct.unpack_from(">II", data, body + 4)
+                if fixed:
+                    tracks[-1]["sizes"] = [fixed] * n
+                else:
+                    tracks[-1]["sizes"] = list(
+                        struct.unpack_from(f">{n}I", data, body + 12)
+                    )
+            elif btype == b"stco":
+                (n,) = struct.unpack_from(">I", data, body + 4)
+                tracks[-1]["chunks"] = list(struct.unpack_from(f">{n}I", data, body + 8))
+            elif btype == b"co64":
+                (n,) = struct.unpack_from(">I", data, body + 4)
+                tracks[-1]["chunks"] = list(struct.unpack_from(f">{n}Q", data, body + 8))
+            elif btype == b"stsc":
+                (n,) = struct.unpack_from(">I", data, body + 4)
+                tracks[-1]["stsc"] = [
+                    struct.unpack_from(">III", data, body + 8 + 12 * i) for i in range(n)
+                ]
+
+    walk(0, len(data))
+    for t in tracks:
+        if t.get("handler") == b"vide" and all(
+            k in t for k in ("codec", "sizes", "chunks", "stsc")
+        ):
+            break
+    else:
+        raise ValueError("no video track with a complete sample table")
+
+    sizes, chunks, stsc = t["sizes"], t["chunks"], t["stsc"]
+    samples: list[tuple[int, int]] = []
+    si = 0
+    for ei, (first, spc, _sdi) in enumerate(stsc):
+        # this stsc entry covers chunks [first, next_first) — the last
+        # entry runs to the end of the chunk list
+        last = stsc[ei + 1][0] if ei + 1 < len(stsc) else len(chunks) + 1
+        for ci in range(first, last):
+            if ci > len(chunks) or si >= len(sizes):
+                break
+            off = chunks[ci - 1]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                samples.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    if si != len(sizes):
+        raise ValueError("stsc/stco do not cover every stsz sample")
+    return {"codec": t["codec"].decode("latin1"), "samples": samples}
+
+
+def build_mjpeg_mp4(
+    frames: list[bytes],
+    fps: int = 10,
+    width: int = 16,
+    height: int = 16,
+) -> bytes:
+    """Synthesize a structurally-valid Motion-JPEG MP4: real ``mdat``
+    carrying the JPEG sample bytes and a complete video sample table
+    (stsd 'jpeg' + stts/stsc/stsz/stco) — the deterministic fixture
+    generator for the frame-sampling oracle, and a genuine (if ancient)
+    codec layout: MJPEG is just one baseline JPEG per sample, which is
+    exactly what the vendored `functions.jpeg` decoder reads."""
+    if not frames:
+        raise ValueError("MJPEG needs at least one frame")
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat_payload = b"".join(frames)
+    mdat = box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + 8  # first sample starts after the mdat header
+    n = len(frames)
+    dur = n  # stts delta 1 tick per frame at `fps` ticks/second
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", fps, dur)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+    # VisualSampleEntry ('jpeg' — the QuickTime MJPEG fourcc): 6 reserved
+    # + data_ref_index, then the 70-byte visual fields
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count per sample
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = box(
+        b"stsd",
+        b"\x00" * 4
+        + struct.pack(">I", 1)
+        + box(b"jpeg", entry)[:4]  # size prefix
+        + b"jpeg"
+        + entry,
+    )
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, n, 1))
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, n)
+        + struct.pack(f">{n}I", *[len(f) for f in frames]),
+    )
+    stco = box(b"stco", b"\x00" * 4 + struct.pack(">II", 1, chunk_offset))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, fps, dur) + struct.pack(">HH", 0x55C4, 0),
+    )
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -7,12 +7,15 @@ The Spark-side machinery — schema, partitioning, UDF signatures, batch shapes
 through the vendored pure-python codec (`functions.png`) and baseline
 JPEGs through `functions.jpeg` (Pillow is used instead when importable).
 Audio decode is REAL for RIFF/WAVE PCM (`functions.wav`, integer
-8/16/24/32-bit + IEEE float) and video container metadata is REAL for
-ISO-BMFF MP4 (`functions.mp4`). Only compressed codecs (MP3/AAC,
-progressive/arithmetic JPEG) and video sample decode raise
-``NotImplementedError`` at the exact point a real codec (Pillow/ffmpeg)
-would plug in; images also accept ``fake_decode=True`` for a
-deterministic pseudo-decode in plumbing tests.
+8/16/24/32-bit + IEEE float); video container metadata AND Motion-JPEG
+frame sampling are REAL for ISO-BMFF MP4 (`functions.mp4` box walker +
+sample-table resolution feeding the vendored JPEG decoder). Compressed
+audio routes through the ffmpeg binary when present
+(`ffmpeg_decode_pcm`); without it — and for inter-frame video codecs
+(H.264/HEVC) and progressive/arithmetic JPEG — ``NotImplementedError``
+marks the exact external-codec plug point. Images also accept
+``fake_decode=True`` for a deterministic pseudo-decode in plumbing
+tests.
 
 Byte-level feature extraction (histogram, entropy, byte stats) is fully real
 — those are the kernels a 100 TB curation pipeline runs before any decode
@@ -340,3 +343,70 @@ def documents_as_blobs(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("blob_id"), F.encode(F.col("text"), "UTF-8").alias("blob")
     )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "blob_id bigint, frame_idx int, width int, height int, channels int, "
+    "mean_pixel double"
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every: int = 1,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """Video FRAME SAMPLING — decode every ``every``-th sample of the
+    first video track → (blob_id, frame_idx, width, height, channels,
+    mean_pixel) per sampled frame.
+
+    This makes the r5 "video frame sampling" plug point REAL for
+    Motion-JPEG: the vendored ISO-BMFF sample-table walker
+    (`functions.mp4.parse_video_sample_table` — stsz/stco/stsc
+    resolution per ISO 14496-12 §8.5-8.7) locates each sample's byte
+    extent, and each sampled frame decodes through the vendored baseline
+    JPEG codec. Inter-frame codecs (H.264/H.265/VP9) raise
+    ``NotImplementedError`` at this exact point — they need ffmpeg, and
+    frame-accurate sampling there must decode from the previous
+    keyframe, which is a library concern, not a plumbing one.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` projection — blobs
+    never shuffle, output is ceil(n_samples/every) small rows per blob,
+    and skipped samples are never even sliced out of the blob (the
+    sample table gives exact extents, so sampling k-of-n does 1/k of the
+    decode work, the point of the operator)."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckpipe_spark.functions.jpeg import decode_jpeg
+        from duckpipe_spark.functions.mp4 import parse_video_sample_table
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(getattr(row, blob_col))
+                bid = getattr(row, id_col)
+                st = parse_video_sample_table(blob)
+                if st["codec"] not in ("jpeg", "mjpa", "mjpb"):
+                    raise NotImplementedError(
+                        f"frame sampling for codec {st['codec']!r} requires an "
+                        "external decoder (ffmpeg) — MJPEG decodes natively"
+                    )
+                for idx in range(0, len(st["samples"]), every):
+                    off, size = st["samples"][idx]
+                    arr = decode_jpeg(blob[off : off + size])
+                    out.append(
+                        (bid, idx, arr.shape[1], arr.shape[0], arr.shape[2],
+                         float(arr.mean()))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "blob_id", "frame_idx", "width", "height", "channels",
+                    "mean_pixel",
+                ],
+            )
+
+    return df.mapInPandas(gen, VIDEO_FRAME_SCHEMA)

@@ -53,8 +53,10 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     keys/counts), doc_span_dedup (SHJ election join + reconstruction
 #     short-circuit), doc_decontam_lsh_join (broadcast_small_side fast
 #     path), parts_triangle_counts (measurement pass, BASELINE §10);
-#   * 16 of the 43-strong round-4 cohort (alphabetical prefix — the rest
-#     age to 2 rounds and lead the r7 window with the remaining 27).
+#   * 1 NEW never-attested query (video_frame_sample — MJPEG
+#     sample-table frame sampling, new in r6);
+#   * 15 of the 43-strong round-4 cohort (alphabetical prefix; the other
+#     28 age to 2 rounds and lead the r7 window).
 # The 50-strong round-5 green cohort rotates out with 1 fresh row each.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
@@ -64,6 +66,7 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # before the gate does (VERDICT r5 item 7). Update each round alongside
 # DRIVER_ORDER.
 CHANGED_THIS_ROUND = [
+    "video_frame_sample",
     "audio_decode_wav",
     "image_decode_jpeg",
     "orders_bloom_blocklist",
@@ -73,7 +76,9 @@ CHANGED_THIS_ROUND = [
 ]
 
 base.DRIVER_ORDER[:] = [
-    # round-6-modified operators first
+    # never-attested first: NEW in r6 (MJPEG frame sampling)
+    "video_frame_sample",
+    # round-6-modified operators
     "audio_decode_wav",
     "image_decode_jpeg",
     "orders_bloom_blocklist",
@@ -109,7 +114,7 @@ base.DRIVER_ORDER[:] = [
     "geo_elevation_pipeline",
     "lang_top_bigrams",
     "sessionize_users",
-    # latest-green r4 cohort, alphabetical prefix (17 of 43)
+    # latest-green r4 cohort, alphabetical prefix (15 of 43)
     "approx_distinct_parts",
     "asof_clicks_purchases",
     "blob_metadata",
@@ -125,7 +130,6 @@ base.DRIVER_ORDER[:] = [
     "embedding_cluster_profile",
     "embedding_int8_quant",
     "embedding_ivf_recall",
-    "embedding_lsh_recall",
 ]
 
 __all__ = ["REGISTRY", "spark_queries", "oracle_queries"]

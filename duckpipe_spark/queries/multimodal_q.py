@@ -269,3 +269,65 @@ def image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
     return decode_images(blobs)  # real path: no PIL, no fake_decode
+
+
+# frame values are exact through the codec: constant 16x16 gray frames at
+# quality 95 (q_dc = 2) round-trip bit-exactly (tests/test_jpeg_codec.py),
+# so mean_pixel is the analytic constant and the whole frame-sampling
+# path — ISO-BMFF stsz/stco/stsc resolution + per-sample JPEG decode —
+# hash-verifies against pure arithmetic
+_VIDEO_FRAMES_ORACLE = """
+SELECT doc_id AS blob_id,
+       CAST(j AS INT) AS frame_idx,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST((doc_id * 31 + j * 17) % 256 AS DOUBLE) AS mean_pixel
+FROM (
+  SELECT doc_id, unnest(range(0, 2 + doc_id % 6)) AS j FROM documents
+)
+WHERE j % 2 = 0
+"""
+
+
+@register(
+    "video_frame_sample",
+    _VIDEO_FRAMES_ORACLE,
+    "MJPEG frame sampling: sample-table walk + vendored JPEG decode of every 2nd frame",
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling of deterministic Motion-JPEG videos: each
+    document becomes an MP4 with 2 + doc_id%6 constant-gray frames
+    (frame j of doc d = (d·31 + j·17) % 256 at 16×16, quality 95 — the
+    exact-round-trip regime), the operator resolves each sampled frame's
+    byte extent from the real sample table and decodes it through the
+    vendored JPEG codec. The r5 'video frame sampling' plug point made
+    real for the one codec whose samples are self-contained JPEGs."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = [
+                    encode_jpeg_gray(
+                        np.full((16, 16), (d * 31 + j * 17) % 256, np.uint8),
+                        quality=95,
+                    )
+                    for j in range(2 + d % 6)
+                ]
+                blobs.append(build_mjpeg_mp4(frames, fps=4))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
+    return sample_video_frames(blobs, every=2)

@@ -370,18 +370,26 @@ def test_sampled_quantiles_bounded_plan(spark):
 
 def test_bloom_probe_is_broadcast_only_one_to_one(spark):
     """orders_bloom_blocklist: the probe side never shuffles for the
-    filter — all filter attaches are broadcast joins; no aggregation
-    collapses probe rows between scan and verdict."""
-    from duckpipe_spark.functions.sketches import BLOOM_K, bloom_build, bloom_probe
+    filter — since r6 the entire word→bits filter folds into ONE
+    single-row broadcast map attached by a cross join (k in-row
+    element_at lookups), replacing the former k chained broadcast hash
+    joins. No shuffle/sort/hash join of the probe side, no aggregation
+    collapsing probe rows between scan and verdict."""
     import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.sketches import bloom_build, bloom_probe
 
     keys = spark.range(0, 1000).select(F.col("id").alias("k"))
     filt = bloom_build(spark.range(0, 100).select(F.col("id").alias("k")), "k")
     a = audit_plan(bloom_probe(filt, keys, "k"))
-    # formatted explain under AQE lists nodes in tree + detail sections,
-    # so the count doubles; >= K pins that every attach is broadcast
-    assert a.broadcast_hash_joins >= BLOOM_K
     assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0
+    # the one-row broadcast arrives as a BroadcastNestedLoopJoin (cross
+    # with a single build row — constant work per probe row) and there
+    # are no per-seed hash joins left
+    assert "BroadcastNestedLoopJoin" in a.text
+    assert a.broadcast_hash_joins == 0
+    # probe cardinality is 1:1 by construction: no aggregate above the probe
+    assert "element_at" in a.text
 
 
 def test_build_vocab_two_phase_topk(spark):
