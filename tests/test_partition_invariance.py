@@ -292,6 +292,38 @@ def op_bloom_probe(spark, scramble):
     return bloom_probe(bloom_build(members, "k"), probes, "k")
 
 
+def op_video_frame_sample(spark, scramble):
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.multimodal import sample_video_frames
+
+    docs = scramble(_docs(spark).select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                build_mjpeg_mp4(
+                    [
+                        encode_jpeg_gray(
+                            np.full((16, 16), (int(d) * 31 + j * 17) % 256, np.uint8),
+                            quality=95,
+                        )
+                        for j in range(2 + int(d) % 6)
+                    ],
+                    fps=4,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    return sample_video_frames(docs.mapInPandas(gen, "blob_id bigint, blob binary"), every=2)
+
+
 _OPS = [
     op_token_stats,
     op_minhash,
@@ -318,6 +350,7 @@ _OPS = [
     op_lsh_join,
     op_sampled_quantiles,
     op_bloom_probe,
+    op_video_frame_sample,
 ]
 
 
