@@ -470,3 +470,45 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
     )
     got = _run_stream(spark, verified, "decontam_t", mode="append")
     assert sorted(map(tuple, got.collect())) == expected
+
+
+def test_streaming_quantile_sketch_equals_batch(spark, event_files):
+    """Fourth sketch-family streaming≡batch twin: the bounded-state
+    (O(k)/group) streaming sampled-quantile sketch, drained over the same
+    rows, is bit-identical to the batch operator — same priorities, same
+    rank cut, same lower-index quantile rule. Cents conversion happens in
+    Spark on BOTH sides so the twins share one rounding expression."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.sketches import sampled_quantiles
+    from duckpipe_spark.streaming.events import read_event_stream
+    from duckpipe_spark.streaming.quantiles import quantile_sketch_stateful
+
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+    stream = read_event_stream(spark, event_files, max_files_per_trigger=1).select(
+        "event_type", "event_id", cents
+    )
+    got = _run_stream(
+        spark,
+        quantile_sketch_stateful(stream, "cents", "event_id", "event_type", k=64),
+        "qsk_t",
+        mode="update",
+    ).toPandas()
+    # update mode re-emits a refreshed row per group each micro-batch;
+    # n_seen is strictly increasing, so the final sketch is the max row
+    final = got.loc[got.groupby("grp")["n_seen"].idxmax()].set_index("grp")
+
+    batch = spark.read.parquet(event_files).select("event_type", "event_id", cents)
+    exp = (
+        sampled_quantiles(batch, "cents", "event_id", ["event_type"], k=64)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert set(final.index) == set(exp.index)
+    for g in exp.index:
+        assert int(final.loc[g, "n_sampled"]) == int(exp.loc[g, "n_sampled"]), g
+        for q in (25, 50, 75, 90, 99):
+            assert int(final.loc[g, f"q{q}"]) == int(exp.loc[g, f"q{q}"]), (g, q)
+    # the streaming side's state really was bounded: n_seen exceeds k for
+    # at least one group (otherwise the test proves nothing about the cut)
+    assert (final["n_seen"] > 64).any()
