@@ -512,3 +512,81 @@ def test_streaming_quantile_sketch_equals_batch(spark, event_files):
     # the streaming side's state really was bounded: n_seen exceeds k for
     # at least one group (otherwise the test proves nothing about the cut)
     assert (final["n_seen"] > 64).any()
+
+
+def test_streaming_quantile_sketch_survives_restart(spark, event_files, tmp_path):
+    """Crash-at-batch-boundary resume: drain the first file with one
+    query, then restart a NEW query on the SAME checkpoint after the rest
+    of the corpus arrives. The resumed sketch must absorb only the new
+    files (state restored, no reprocessing) and finish bit-identical to
+    the batch operator over the whole corpus."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.sketches import sampled_quantiles
+    from duckpipe_spark.streaming.events import read_event_stream
+    from duckpipe_spark.streaming.quantiles import quantile_sketch_stateful
+
+    src_files = sorted(
+        f for f in os.listdir(event_files) if f.endswith(".parquet")
+    )
+    assert len(src_files) >= 3
+    stage = tmp_path / "qsk_restart_stream"
+    stage.mkdir()
+    ckpt = str(tmp_path / "qsk_restart_ckpt")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+
+    def run(name):
+        import pandas as pd
+
+        stream = read_event_stream(spark, str(stage), max_files_per_trigger=1).select(
+            "event_type", "event_id", cents
+        )
+        sk = quantile_sketch_stateful(stream, "cents", "event_id", "event_type", k=64)
+        # foreachBatch, not the memory sink: memory-sink queries refuse
+        # checkpoint recovery, and recovery is the point of this test
+        emitted = []
+        q = (
+            sk.writeStream.foreachBatch(
+                lambda bdf, _id: emitted.append(bdf.toPandas())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return pd.concat(emitted, ignore_index=True)
+
+    # run 1: only the first file exists, then the "crash"
+    shutil.copy(os.path.join(event_files, src_files[0]), stage / src_files[0])
+    os.utime(stage / src_files[0], (1_700_000_000, 1_700_000_000))
+    first = run("qsk_restart_a")
+    assert (first.groupby("grp")["n_seen"].max() > 0).all()
+
+    # the rest of the corpus lands; a fresh query resumes from the checkpoint
+    for i, f in enumerate(src_files[1:], start=1):
+        shutil.copy(os.path.join(event_files, f), stage / f)
+        os.utime(stage / f, (1_700_000_000 + i, 1_700_000_000 + i))
+    second = run("qsk_restart_b")
+    final = second.loc[second.groupby("grp")["n_seen"].idxmax()].set_index("grp")
+
+    batch = spark.read.parquet(event_files).select("event_type", "event_id", cents)
+    exp = (
+        sampled_quantiles(batch, "cents", "event_id", ["event_type"], k=64)
+        .toPandas()
+        .set_index("event_type")
+    )
+    # the resumed run only processed the NEW files, yet its final n_seen
+    # covers the whole corpus: restored state, no reprocessing
+    total_rows = spark.read.parquet(event_files).count()
+    assert int(final["n_seen"].sum()) == total_rows
+    run1_rows = int(first.groupby("grp")["n_seen"].max().sum())
+    assert run1_rows < total_rows  # run 1 really was partial
+    assert set(final.index) == set(exp.index)
+    for g in exp.index:
+        assert int(final.loc[g, "n_sampled"]) == int(exp.loc[g, "n_sampled"]), g
+        for q in (25, 50, 75, 90, 99):
+            assert int(final.loc[g, f"q{q}"]) == int(exp.loc[g, f"q{q}"]), (g, q)
