@@ -335,10 +335,13 @@ def sampled_quantiles(
     """Per-group deterministic sampled quantiles → (group..., n_sampled,
     q<p> for each p). Values must be integer-comparable (use cents, not
     float money). Groups smaller than k are sampled whole (exact
-    quantiles). ``id_col`` must be UNIQUE per row: it seeds the priority
-    AND breaks priority ties, so a duplicated id would make the rank cut
-    partition-order-dependent and break the determinism contract (same
-    requirement as `priority_sample`)."""
+    quantiles). ``id_col`` seeds the priority; the rank order is the
+    TOTAL order (priority, id, value) — r6: value joined the tie-break,
+    so duplicated ids no longer make the rank cut
+    partition-order-dependent (rows identical in (group, id, value) are
+    interchangeable and harmless). A unique id is still the best
+    practice (it keeps the sample uniform); it is no longer a
+    determinism requirement."""
     from pyspark.sql import Window
 
     if k < 1:
@@ -351,8 +354,29 @@ def sampled_quantiles(
         F.col(id_col).alias("__id"),
         F.expr(_qsk_priority_sql(id_col)).alias("__p"),
     )
-    w = Window.partitionBy(*group_cols).orderBy("__p", "__id")
-    samp = pri.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
+    # Two-phase per-group top-k (r6): a single rank window partitioned by
+    # the group columns has parallelism = GROUP CARDINALITY — with 3
+    # groups, 3 tasks sort everything no matter how many executors exist,
+    # and at web scale ONE reducer would sort (and spill) an entire
+    # group. Phase 1 ranks within (group, scan-partition id) — flat rows,
+    # fully parallel local sorts — and keeps each partition's k least
+    # (priority, id, value) per group; the final window then ranks at
+    # most P·k candidate rows per group. Every global top-k row is in its
+    # own partition's top-k, so the cut is exact, and the (p, id, v)
+    # order is total, so the result is bit-identical to the one-window
+    # form. (A collect_list/array_sort/slice phase-1 was measured WORSE —
+    # the fat list rows serialize through the exchange; the flat window
+    # form ties the one-window wall-clock at sf1 while removing the
+    # per-group reducer sort: BASELINE §13.)
+    pid = pri.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*group_cols, "__pid").orderBy("__p", "__id", "__v")
+    part = (
+        pid.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__pid", "__r1")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__p", "__id", "__v")
+    samp = part.withColumn("__r", F.row_number().over(w)).where(F.col("__r") <= k)
     folded = samp.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("__v")).alias("__s")
     )
@@ -373,9 +397,10 @@ def sampled_quantiles_oracle_sql(
     k: int = 512,
     qs: tuple[int, ...] = QSK_QS,
 ) -> str:
-    """DuckDB twin: same priorities, same rank cut, same lower-index
-    quantile rule. Ties in ORDER BY value are harmless — the i-th element
-    VALUE is unique regardless of how equal values are ordered."""
+    """DuckDB twin: same priorities, same (p, id, v) total rank order,
+    same rank cut, same lower-index quantile rule. Ties in the final
+    ORDER BY value are harmless — the i-th element VALUE is unique
+    regardless of how equal values are ordered."""
     g = ", ".join(group_cols)
     pri = _qsk_priority_sql(id_col, pmod=False)
     q_exprs = ",\n       ".join(
@@ -386,7 +411,7 @@ def sampled_quantiles_oracle_sql(
 WITH pri AS (
   SELECT {g}, {value_col} AS v, {id_col} AS id, {pri} AS p FROM {table}
 ), rk AS (
-  SELECT {g}, v, row_number() OVER (PARTITION BY {g} ORDER BY p, id) AS r FROM pri
+  SELECT {g}, v, row_number() OVER (PARTITION BY {g} ORDER BY p, id, v) AS r FROM pri
 ), samp AS (
   SELECT {g}, v FROM rk WHERE r <= {k}
 ), sorted AS (

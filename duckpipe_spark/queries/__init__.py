@@ -47,7 +47,7 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     sessionize_users, geo_elevation_pipeline, lang_top_bigrams);
 #     doc_vocab's top-k selection was also rebuilt this round (two-phase
 #     TakeOrderedAndProject);
-#   * 6 queries whose code changed this round: audio_decode_wav (rate=0
+#   * 7 queries whose code changed this round: audio_decode_wav (rate=0
 #     rejection), image_decode_jpeg (fill bytes + standalone markers),
 #     orders_bloom_blocklist (single-row map-broadcast probe + one-agg
 #     keys/counts), doc_span_dedup (SHJ election join + reconstruction
@@ -55,8 +55,9 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     path), parts_triangle_counts (measurement pass, BASELINE §10);
 #   * 1 NEW never-attested query (video_frame_sample — MJPEG
 #     sample-table frame sampling, new in r6);
-#   * 15 of the 43-strong round-4 cohort (alphabetical prefix; the other
-#     28 age to 2 rounds and lead the r7 window).
+#   * 14 of the 43-strong round-4 cohort (alphabetical prefix; the other
+#     29 age to 2 rounds and lead the r7 window); lineitem_price_quantiles
+#     re-enters as r6-modified (two-phase rank + value tie-break).
 # The 50-strong round-5 green cohort rotates out with 1 fresh row each.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
@@ -67,6 +68,7 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # DRIVER_ORDER.
 CHANGED_THIS_ROUND = [
     "video_frame_sample",
+    "lineitem_price_quantiles",
     "audio_decode_wav",
     "image_decode_jpeg",
     "orders_bloom_blocklist",
@@ -85,6 +87,7 @@ base.DRIVER_ORDER[:] = [
     "parts_triangle_counts",
     "doc_span_dedup",
     "doc_decontam_lsh_join",
+    "lineitem_price_quantiles",
     # latest-green r3: the full 28-strong veteran cohort (oldest rows)
     "doc_boilerplate",
     "doc_decontamination",
@@ -114,7 +117,7 @@ base.DRIVER_ORDER[:] = [
     "geo_elevation_pipeline",
     "lang_top_bigrams",
     "sessionize_users",
-    # latest-green r4 cohort, alphabetical prefix (15 of 43)
+    # latest-green r4 cohort, alphabetical prefix (14 of 43)
     "approx_distinct_parts",
     "asof_clicks_purchases",
     "blob_metadata",
@@ -129,7 +132,6 @@ base.DRIVER_ORDER[:] = [
     "doc_tfidf_topterms",
     "embedding_cluster_profile",
     "embedding_int8_quant",
-    "embedding_ivf_recall",
 ]
 
 __all__ = ["REGISTRY", "spark_queries", "oracle_queries"]

@@ -50,9 +50,9 @@ def _mk_fn(k: int, qs: tuple[int, ...]):
             rows.extend(zip(ps, ids, vs))
         else:
             n_seen = 0
-        # union + re-rank: keep the k least (priority, id) — the exact
-        # rank cut the batch window applies
-        rows.sort(key=lambda t: (t[0], t[1]))
+        # union + re-rank: keep the k least (priority, id, value) — the
+        # exact total rank order the batch window applies
+        rows.sort()
         rows = rows[:k]
         n_seen += n_new
         state.update(
