@@ -240,7 +240,11 @@ def priority_sample(
     The computed ``priority`` column is RETAINED in the output (it is the
     inclusion-probability evidence an estimator downstream needs); the
     name is reserved — same contract as range_join's ``_BIN`` and
-    salted_join's ``_SALT``."""
+    salted_join's ``_SALT``. ``id_col`` must be UNIQUE per row: it seeds
+    the uniform draw AND breaks priority ties, so duplicated ids with
+    different payloads would make the cut partition-order-dependent
+    (sampled_quantiles escapes this by adding its value to the order; a
+    generic row sampler has no single value column to add)."""
     from duckpipe_spark.functions.sketches import HLL_P
 
     if "priority" in df.columns:
