@@ -408,3 +408,23 @@ def test_build_vocab_two_phase_topk(spark):
     import re
 
     assert not re.search(r"Sort .*global=true", a.text), a.text
+
+
+def test_sampled_quantiles_two_phase_rank(spark):
+    """BASELINE §13: the rank cut must run as TWO windows — a per-(group,
+    scan-partition) local rank (parallelism ∝ partitions) feeding a final
+    rank over ≤ P·k rows per group — never one window whose parallelism
+    is the group cardinality."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.sketches import sampled_quantiles
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("l_orderkey * 8 + l_linenumber").alias("rid"),
+    )
+    with no_aqe(spark):
+        a = audit_plan(sampled_quantiles(li, "cents", "rid", ["l_returnflag"], k=64))
+    assert a.text.count("Window") >= 2, a.text
+    assert "SPARK_PARTITION_ID" in a.text.upper() or "spark_partition_id" in a.text, a.text
