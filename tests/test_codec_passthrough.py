@@ -33,7 +33,7 @@ def test_ffmpeg_passthrough_matches_vendored_wav_decode():
     the same PCM16 blob, samples must agree exactly (both scale by 1/32768)."""
     rng = np.random.default_rng(7)
     samples = (rng.integers(-30000, 30000, size=(4000, 2))).astype(np.int16)
-    blob = encode_wav_pcm16(samples.astype(np.float64) / 32768.0, sample_rate=16_000)
+    blob = encode_wav_pcm16(samples, sample_rate=16_000)
     ours, rate_a = decode_wav(blob)
     theirs, rate_b = ffmpeg_decode_pcm(blob)
     assert rate_a == rate_b == 16_000
