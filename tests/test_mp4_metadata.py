@@ -175,3 +175,39 @@ def test_sample_table_rejects_incomplete():
         parse_video_sample_table(build_minimal_mp4(1.0))
     with _pytest.raises(ValueError, match="ftyp"):
         parse_video_sample_table(b"\x00" * 32)
+
+
+def test_fuzz_sample_table_parser_never_crashes():
+    """Same no-hang/no-crash contract for the stbl resolver: arbitrary
+    bytes and single-byte corruptions of a valid MJPEG file must raise
+    ValueError/struct.error or return a well-formed table — never hang
+    or index out of range."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4, parse_video_sample_table
+
+    frames = [encode_jpeg_gray(np.full((8, 8), v, np.uint8)) for v in (1, 2, 3)]
+    valid = build_mjpeg_mp4(frames, fps=2)
+
+    @settings(max_examples=150, deadline=2000)
+    @given(st.binary(min_size=0, max_size=300))
+    def fuzz_raw(data):
+        try:
+            parse_video_sample_table(data)
+        except (ValueError, struct.error):
+            pass
+
+    @settings(max_examples=200, deadline=2000)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 255))
+    def fuzz_flip(pos, b):
+        data = valid[:pos] + bytes([b]) + valid[pos + 1 :]
+        try:
+            st_ = parse_video_sample_table(data)
+            assert all(sz >= 0 and off >= 0 for off, sz in st_["samples"])
+        except (ValueError, struct.error):
+            pass
+
+    fuzz_raw()
+    fuzz_flip()
