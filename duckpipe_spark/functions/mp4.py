@@ -166,6 +166,11 @@ def parse_video_sample_table(data: bytes) -> dict:
                     tracks[-1]["codec"] = data[body + 12 : body + 16]
             elif btype == b"stsz":
                 fixed, n = struct.unpack_from(">II", data, body + 4)
+                if n > len(data):
+                    # every sample lives inside this file, so a count
+                    # beyond the byte length is garbage — reject before
+                    # the fixed-size path materializes an n-entry list
+                    raise ValueError(f"stsz sample count {n} exceeds file size")
                 if fixed:
                     tracks[-1]["sizes"] = [fixed] * n
                 else:

@@ -271,7 +271,13 @@ def bloom_probe(filt: DataFrame, df: DataFrame, col: str) -> DataFrame:
     ``element_at`` on the ≤33-entry map is a bounded scan (the map is
     BLOOM_WORDS-sized by construction, never data-sized). No shuffle of
     the probe side at any size; an empty filter still yields the one
-    (empty-map) build row, and absent words coalesce to 0."""
+    (empty-map) build row, and absent words coalesce to 0.
+
+    ``filt`` must have UNIQUE word rows (what `bloom_build` emits).
+    Merging shard filters means bit_or-regrouping them first; a
+    duplicated word now fails loudly at map construction (Spark's
+    duplicate-map-key error) — the previous k-join form would have
+    silently multiplied probe rows and broken the 1:1 contract."""
     reserved = {"maybe_member", "__bloom_map"}
     clash = reserved & set(df.columns)
     if clash:
