@@ -136,8 +136,13 @@ def main() -> None:
             for n in timings
             if duck.get(n)
         }
+        # ratio_total over the COMMON subset only — a null oracle row must
+        # drop the query from BOTH sides, or the totals compare different
+        # query sets and the aggregate ratio is meaningless
+        common_spark = round(sum(timings[n] for n in timings if duck.get(n)), 3)
+        out["common_spark_total"] = common_spark
         if out["duckdb_total"]:
-            out["ratio_total"] = round(total / out["duckdb_total"], 3)
+            out["ratio_total"] = round(common_spark / out["duckdb_total"], 3)
 
     print(json.dumps(out))
 
@@ -146,29 +151,43 @@ def _duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
     """DuckDB oracle wall-clock for each named query (warm + timed second
     run — the exact protocol the Spark side uses). Queries without oracle
     SQL, or whose oracle errors, record null rather than aborting the
-    bench line."""
+    bench line. Defensive bounds so the whole bench stays inside any
+    driver timeout: each query gets a hard interrupt at PER_QUERY_S, and
+    once the pass has spent TOTAL_BUDGET_S the remaining queries record
+    null (a partial oracle side beats a missing BENCH artifact)."""
+    import threading
+
     import duckdb
 
     from duckpipe_spark.queries import REGISTRY
     from duckpipe_spark.sources.tables import TABLE_NAMES
 
+    PER_QUERY_S = 45.0  # warm + timed run share the window; DuckDB's
+    TOTAL_BUDGET_S = 150.0  # slowest honest query (lsh_topk) is ~2x10 s
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     duck: dict[str, float | None] = {}
+    started = time.perf_counter()
     for name in names:
         q = REGISTRY[name].oracle
-        if q is None:
+        if q is None or time.perf_counter() - started > TOTAL_BUDGET_S:
             duck[name] = None
+            if q is not None:
+                print(f"# duckdb {name} skipped: oracle budget spent", file=sys.stderr)
             continue
+        timer = threading.Timer(PER_QUERY_S, con.interrupt)
+        timer.start()
         try:
             con.execute(q).fetchall()  # warm
             t0 = time.perf_counter()
             con.execute(q).fetchall()
             duck[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # pragma: no cover - diagnostic path
-            print(f"# duckdb {name} failed: {exc}", file=sys.stderr)
+            print(f"# duckdb {name} failed/interrupted: {exc}", file=sys.stderr)
             duck[name] = None
+        finally:
+            timer.cancel()
     return duck
 
 
