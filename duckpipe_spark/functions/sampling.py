@@ -263,3 +263,44 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def shard_and_order(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the dataloader
+    prep step (WebDataset/tfrecord sharding): every row gets
+    ``shard = hash(id) mod n_shards`` and ``pos`` = its 0-based rank
+    within the shard by (hash, id). The hash order IS the training-order
+    shuffle: id-adjacent documents (same crawl, same source) land in
+    different shards at scattered positions, and the assignment is a pure
+    function of the data — re-running on late-arriving or re-partitioned
+    data reproduces it exactly (same property as `with_hash_split`,
+    which this composes with for split-then-shard layouts).
+
+    Scale shape: the hash/shard columns are a shuffle-free projection;
+    the only exchange is the rank window partitioned by shard. Shard
+    count is the parallelism dial — dataloader deployments use hundreds
+    to thousands of shards (one per reader), which is exactly the
+    partitioning a cluster wants; a HANDFUL of shards over a huge corpus
+    would concentrate the sort the way any low-cardinality window does
+    (see sketches.sampled_quantiles for the two-phase escape when the
+    group count is genuinely small).
+
+    ``id_col`` must be unique per row — it seeds the hash and breaks
+    ties, the same contract as `priority_sample`."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("shard_and_order needs n_shards >= 1")
+    h = lehmer_hash_col(F.col(id_col))
+    out = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__h")
+    )

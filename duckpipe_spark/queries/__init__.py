@@ -53,10 +53,11 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     keys/counts), doc_span_dedup (SHJ election join + reconstruction
 #     short-circuit), doc_decontam_lsh_join (broadcast_small_side fast
 #     path), parts_triangle_counts (measurement pass, BASELINE §10);
-#   * 1 NEW never-attested query (video_frame_sample — MJPEG
-#     sample-table frame sampling, new in r6);
-#   * 14 of the 43-strong round-4 cohort (alphabetical prefix; the other
-#     29 age to 2 rounds and lead the r7 window); lineitem_price_quantiles
+#   * 2 NEW never-attested queries (video_frame_sample — MJPEG
+#     sample-table frame sampling — and doc_train_shards — deterministic
+#     dataloader shard/order prep, both new in r6);
+#   * 13 of the 43-strong round-4 cohort (alphabetical prefix; the other
+#     30 age to 2 rounds and lead the r7 window); lineitem_price_quantiles
 #     re-enters as r6-modified (two-phase rank + value tie-break).
 # The 50-strong round-5 green cohort rotates out with 1 fresh row each.
 # Queries whose implementation changed this round. The local oracle
@@ -68,6 +69,7 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # DRIVER_ORDER.
 CHANGED_THIS_ROUND = [
     "video_frame_sample",
+    "doc_train_shards",
     "lineitem_price_quantiles",
     "audio_decode_wav",
     "image_decode_jpeg",
@@ -78,8 +80,10 @@ CHANGED_THIS_ROUND = [
 ]
 
 base.DRIVER_ORDER[:] = [
-    # never-attested first: NEW in r6 (MJPEG frame sampling)
+    # never-attested first: NEW in r6 (MJPEG frame sampling; dataloader
+    # shard/order prep)
     "video_frame_sample",
+    "doc_train_shards",
     # round-6-modified operators
     "audio_decode_wav",
     "image_decode_jpeg",
@@ -117,7 +121,7 @@ base.DRIVER_ORDER[:] = [
     "geo_elevation_pipeline",
     "lang_top_bigrams",
     "sessionize_users",
-    # latest-green r4 cohort, alphabetical prefix (14 of 43)
+    # latest-green r4 cohort, alphabetical prefix (13 of 43)
     "approx_distinct_parts",
     "asof_clicks_purchases",
     "blob_metadata",
@@ -131,7 +135,6 @@ base.DRIVER_ORDER[:] = [
     "doc_temperature_resample",
     "doc_tfidf_topterms",
     "embedding_cluster_profile",
-    "embedding_int8_quant",
 ]
 
 __all__ = ["REGISTRY", "spark_queries", "oracle_queries"]

@@ -243,3 +243,37 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return priority_sample(docs, "n_chars", "doc_id", 100)
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle + shard assignment (dataloader prep)
+# ---------------------------------------------------------------------------
+
+_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+SELECT doc_id,
+       CAST(({_H}) % {_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY ({_H}) % {_SHARDS}
+              ORDER BY ({_H}), doc_id
+            ) - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
+@register(
+    "doc_train_shards",
+    _SHARD_ORACLE,
+    "deterministic global shuffle + shard/position assignment (dataloader prep)",
+)
+def doc_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style training-order prep: every document gets a shard
+    (hash mod N) and a position within it (rank by hash — the shuffle).
+    Membership and order are pure functions of the data, so late-arriving
+    docs and re-runs reproduce the same layout; per-row oracle-verified
+    like the rest of the sampling family."""
+    from duckpipe_spark.functions.sampling import shard_and_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_and_order(docs, "doc_id", _SHARDS).select("doc_id", "shard", "pos")

@@ -324,6 +324,12 @@ def op_video_frame_sample(spark, scramble):
     return sample_video_frames(docs.mapInPandas(gen, "blob_id bigint, blob binary"), every=2)
 
 
+def op_train_shards(spark, scramble):
+    from duckpipe_spark.functions.sampling import shard_and_order
+
+    return shard_and_order(scramble(_docs(spark)).select("doc_id"), "doc_id", 8)
+
+
 _OPS = [
     op_token_stats,
     op_minhash,
@@ -351,6 +357,7 @@ _OPS = [
     op_sampled_quantiles,
     op_bloom_probe,
     op_video_frame_sample,
+    op_train_shards,
 ]
 
 
