@@ -203,7 +203,10 @@ def parse_video_sample_table(data: bytes) -> dict:
     si = 0
     for ei, (first, spc, _sdi) in enumerate(stsc):
         # this stsc entry covers chunks [first, next_first) — the last
-        # entry runs to the end of the chunk list
+        # entry runs to the end of the chunk list. first_chunk is 1-based
+        # per ISO 14496-12 §8.7.4; 0 would alias chunks[-1] below.
+        if first < 1 or not chunks:
+            raise ValueError("invalid stsc first_chunk")
         last = stsc[ei + 1][0] if ei + 1 < len(stsc) else len(chunks) + 1
         for ci in range(first, last):
             if ci > len(chunks) or si >= len(sizes):

@@ -295,6 +295,11 @@ def shard_and_order(
 
     if n_shards < 1:
         raise ValueError("shard_and_order needs n_shards >= 1")
+    clash = {"shard", "pos", "__h"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"shard_and_order reserves column names {sorted(clash)}; rename them first"
+        )
     h = lehmer_hash_col(F.col(id_col))
     out = df.withColumn("__h", h).withColumn(
         "shard", (F.col("__h") % n_shards).cast("int")

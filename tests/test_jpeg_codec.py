@@ -141,3 +141,16 @@ def test_fill_bytes_and_standalone_markers_between_segments():
     # stray RST4 between marker segments
     stray = blob[:2] + b"\xff\xd4" + blob[2:]
     np.testing.assert_array_equal(decode_jpeg(stray), ref)
+
+
+def test_fill_bytes_running_to_eof_raise_value_error():
+    """ADVICE r6: a stream ending in 0xFF fill bytes (e.g. ff d8 ff ff)
+    must raise the documented ValueError('truncated marker segment'),
+    not IndexError from reading the marker byte past the buffer."""
+    import pytest as _pytest
+
+    for blob in (b"\xff\xd8\xff\xff", b"\xff\xd8\xff\xff\xff"):
+        with _pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(blob)
+    with _pytest.raises(ValueError):  # lone trailing 0xFF: also ValueError
+        decode_jpeg(b"\xff\xd8\xff")

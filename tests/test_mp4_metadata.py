@@ -211,3 +211,24 @@ def test_fuzz_sample_table_parser_never_crashes():
 
     fuzz_raw()
     fuzz_flip()
+
+
+def test_sample_table_rejects_zero_first_chunk():
+    """ADVICE r6: stsc first_chunk is 1-based (ISO 14496-12 §8.7.4); a
+    spec-invalid 0 would alias chunks[-1] via Python negative indexing
+    and yield wrong sample extents — must raise instead."""
+    import re
+    import struct
+
+    import pytest as _pytest
+
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4, parse_video_sample_table
+
+    blob = build_mjpeg_mp4([b"\xff\xd8" + b"\x00" * 6 + b"\xff\xd9"] * 3)
+    # locate the stsc box and zero its first entry's first_chunk field
+    ix = blob.index(b"stsc")
+    entry0 = ix + 4 + 4 + 4  # box type + (version|flags) + entry_count
+    assert struct.unpack_from(">I", blob, entry0)[0] >= 1
+    patched = blob[:entry0] + struct.pack(">I", 0) + blob[entry0 + 4 :]
+    with _pytest.raises(ValueError, match=re.escape("invalid stsc first_chunk")):
+        parse_video_sample_table(patched)

@@ -156,3 +156,19 @@ def test_priority_sample_reserved_column_guard(spark):
     with _pytest.raises(ValueError, match="priority"):
         priority_sample(df.withColumn("priority", F.lit(0.0)), "w", "doc_id", 3)
     assert "priority" in priority_sample(df, "w", "doc_id", 3).columns
+
+
+def test_shard_and_order_reserved_column_guard(spark):
+    """ADVICE r6: shard_and_order writes 'shard'/'pos' (+ temp '__h') —
+    same clash contract as priority_sample: collide -> ValueError instead
+    of silently overwriting the caller's column."""
+    import pytest as _pytest
+
+    from duckpipe_spark.functions.sampling import shard_and_order
+
+    df = spark.range(10).selectExpr("id AS doc_id")
+    for col in ("shard", "pos", "__h"):
+        with _pytest.raises(ValueError, match=col):
+            shard_and_order(df.withColumn(col, F.lit(0)), "doc_id", 4)
+    out = shard_and_order(df, "doc_id", 4)
+    assert {"shard", "pos"} <= set(out.columns) and "__h" not in out.columns
