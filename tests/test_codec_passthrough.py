@@ -13,7 +13,11 @@ import importlib.util
 import numpy as np
 import pytest
 
-from duckpipe_spark.functions.multimodal import ffmpeg_available, ffmpeg_decode_pcm
+from duckpipe_spark.functions.multimodal import (
+    ffmpeg_available,
+    ffmpeg_decode_frames,
+    ffmpeg_decode_pcm,
+)
 from duckpipe_spark.functions.png import decode_png, encode_png
 from duckpipe_spark.functions.wav import decode_wav, encode_wav_pcm16
 
@@ -25,6 +29,69 @@ def test_ffmpeg_plug_point_contract_without_binary():
         pytest.skip("ffmpeg present; the passthrough tests below cover it")
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         ffmpeg_decode_pcm(b"\xff\xfb\x90\x00 not really mp3 ")
+
+
+def test_ffmpeg_video_plug_point_contract_without_binary(spark):
+    """VERDICT r6 item 2: a non-MJPEG video codec routes to the ffmpeg
+    passthrough; without the binary the plug point must raise
+    NotImplementedError naming ffmpeg — both at the function and through
+    the Spark operator."""
+    if ffmpeg_available():  # pragma: no cover - binary-present environments
+        pytest.skip("ffmpeg present; the passthrough tests below cover it")
+    import pandas as pd
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.multimodal import sample_video_frames
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        ffmpeg_decode_frames(b"\x00\x00\x00\x18ftypisom not a real mp4")
+
+    # a structurally-valid MP4 whose codec fourcc is not MJPEG: rewrite the
+    # stsd entry of a valid MJPEG fixture to 'avc1' (the flat gray frame
+    # cannot contain the literal bytes 'jpeg' in its entropy stream)
+    frame = encode_jpeg_gray(np.full((16, 16), 128, dtype=np.uint8))
+    assert frame.count(b"jpeg") == 0
+    blob = build_mjpeg_mp4([frame] * 3, width=16, height=16).replace(
+        b"jpeg", b"avc1"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"blob_id": [1], "blob": [bytearray(blob)]}))
+    with pytest.raises(PythonException, match="ffmpeg"):
+        sample_video_frames(df).collect()
+
+
+@pytest.mark.skipif(not ffmpeg_available(), reason="ffmpeg/ffprobe not on PATH")
+def test_ffmpeg_video_passthrough_matches_vendored_mjpeg_path(spark):
+    """MJPEG is the interchange: both the vendored sample-table path and
+    the ffmpeg select-filter path sample the same MP4; frame indices and
+    geometry must agree exactly, mean_pixel within JPEG IDCT tolerance
+    (ffmpeg normalizes to rgb24, so a gray source replicates to 3 channels
+    with an unchanged mean). Also pins that ffmpeg's select filter reports
+    ORIGINAL stream indices under every=2."""
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.multimodal import sample_video_frames
+
+    rng = np.random.default_rng(13)
+    frames = [
+        encode_jpeg_gray(rng.integers(0, 256, size=(16, 16), dtype=np.uint8))
+        for _ in range(5)
+    ]
+    blob = build_mjpeg_mp4(frames, width=16, height=16)
+    df = spark.createDataFrame(pd.DataFrame({"blob_id": [1], "blob": [bytearray(blob)]}))
+    vendored = {
+        r.frame_idx: r for r in sample_video_frames(df, every=2).collect()
+    }
+    external = {t[0]: t for t in ffmpeg_decode_frames(blob, every=2)}
+    assert sorted(vendored) == sorted(external) == [0, 2, 4]
+    for idx, row in vendored.items():
+        fidx, w, h, ch, mp = external[idx]
+        assert (w, h) == (row.width, row.height)
+        assert (row.channels, ch) == (1, 3)  # vendored gray vs rgb24
+        assert mp == pytest.approx(row.mean_pixel, abs=2.0)
 
 
 @pytest.mark.skipif(not ffmpeg_available(), reason="ffmpeg/ffprobe not on PATH")
