@@ -334,6 +334,94 @@ def remove_duplicate_spans(
     )
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    min_points: int = 2,
+    span_window: int = 10,
+    decontam_k: int = 5,
+    bench_bucket_min: int = 90,
+    max_contamination: float = 0.05,
+    mix_weights: dict[str, int] | None = None,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The END-TO-END curation pipeline a training-data run executes, as one
+    lazy composition (VERDICT r6 item 3 — the integration shape that catches
+    cross-operator contract drift no single-operator query can):
+
+      quality gate → exact dedup → duplicate-span removal → benchmark
+      decontamination (train split, contamination cap) → mixture resample
+      to target language weights → deterministic shard/order prep.
+
+    Every stage is one of the already-verified operators, chained on its
+    real contract: span dedup consumes the exact-dedup survivor set (the
+    global first-occurrence election must see the same corpus on both
+    engines), decontamination runs on the CLEANED text, the mixture is
+    drawn from decontaminated survivors, and the shard assignment is a
+    pure function of the surviving ids. Output:
+    (doc_id, lang, clean_fp, shard, pos) where clean_fp = md5(clean_text)
+    pins the span-reconstruction bit-exactly through the whole chain.
+
+    Scale shape: no new shuffle beyond what the member operators pay —
+    the gate is a scan-side filter, exact dedup shuffles 16-byte
+    fingerprints, span dedup shuffles 28-byte hash rows, decontamination
+    broadcasts the benchmark n-gram set, the mixture broadcasts a
+    per-language target row, and the shard window partitions by shard
+    count (the dataloader's own parallelism dial)."""
+    from duckpipe_spark.functions.sampling import mixture_resample, shard_and_order
+    from duckpipe_spark.functions.text import quality_points_col, tokens_col
+
+    if mix_weights is None:
+        mix_weights = {"en": 3, "de": 1, "es": 1, "fr": 1, "zh": 1}
+
+    # 1. quality gate: token floor + integer quality points (exact compare)
+    gated = docs.where(
+        (F.size(tokens_col(F.col(text_col))) >= min_tokens)
+        & (quality_points_col(F.col(text_col)) >= min_points)
+    ).select(id_col, text_col, lang_col)
+
+    # 2. exact dedup: keep the canonical (min) id per normalized fingerprint
+    canon = exact_dedup_groups(gated, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    uniq = gated.join(canon, id_col, "left_semi")
+
+    # 3. duplicate-span removal over the survivor set → cleaned text
+    cleaned = remove_duplicate_spans(
+        uniq, window=span_window, id_col=id_col, text_col=text_col
+    ).select(id_col, "clean_text")
+
+    # 4. decontamination on the CLEANED text: keep train-split docs whose
+    # benchmark n-gram overlap stays under the cap (bench-split docs and
+    # sub-k-token cleaned docs drop out with it, both deterministically)
+    decon = decontamination_stats(
+        cleaned,
+        k=decontam_k,
+        bench_bucket_min=bench_bucket_min,
+        id_col=id_col,
+        text_col="clean_text",
+    )
+    keep = decon.where(F.col("contamination") <= max_contamination).select(id_col)
+    kept = cleaned.join(keep, id_col, "left_semi").join(
+        uniq.select(id_col, lang_col), id_col
+    )
+
+    # 5-6. mixture resample to target language weights, then shard/order
+    sampled = mixture_resample(
+        kept, mix_weights, strata_col=lang_col, id_col=id_col
+    ).select(id_col, lang_col, "clean_text")
+    return shard_and_order(sampled, id_col, n_shards).select(
+        id_col,
+        lang_col,
+        F.md5("clean_text").alias("clean_fp"),
+        "shard",
+        "pos",
+    )
+
+
 def source_rollup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-source curation dashboard in ONE shuffle: document count, exact
     duplicate rate (distinct normalized fingerprints vs docs), token volume,

@@ -78,7 +78,17 @@ def shingle_hash_array(
         for j in range(1, k):
             acc = (acc * WORD_BASE + F.element_at("_wh", (i + j + 1).cast("int"))) % POLY_MOD
         return acc
-    hvs = F.transform(F.sequence(F.lit(0), F.size("_t") - k), _combine)
+    # The index sequence must be CONDITIONALLY empty, not rely on the
+    # size-filter above: sequence(0, size-k) DESCENDS for size < k, and
+    # Spark's InferFiltersFromGenerate can evaluate the shingle expression
+    # as a standalone predicate that optimizer rules reorder ahead of the
+    # size filter — element_at would then index past short docs' arrays
+    # (hit composing over span-dedup clean_text; same guard as
+    # remove_duplicate_spans' span_idx).
+    idx = F.when(
+        F.size("_t") >= k, F.sequence(F.lit(0), F.size("_t") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    hvs = F.transform(idx, _combine)
     return df.select(F.col(id_col).alias("id"), F.array_distinct(hvs).alias("hvs"))
 
 
@@ -140,8 +150,13 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Distinct word k-shingles per document → (id, shingle)."""
     toks = tokens_col(F.col(text_col))
     df = df.withColumn("_t", toks).where(F.size("_t") >= k)
+    # conditionally-empty index sequence — see shingle_hash_array's note on
+    # InferFiltersFromGenerate reordering vs the size filter
+    idx = F.when(
+        F.size("_t") >= k, F.sequence(F.lit(0), F.size("_t") - k)
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
-        F.sequence(F.lit(0), F.size("_t") - k),
+        idx,
         lambda i: F.concat_ws(" ", *[F.element_at("_t", (i + j + 1).cast("int")) for j in range(k)]),
     )
     return (

@@ -39,102 +39,107 @@ from duckpipe_spark.queries import base
 from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 
 # First 50 names are what the driver's correctness gate will actually check.
-# Round-6 rotation (VERDICT r5 item 1 + the standing policy: just-modified
+# Round-7 rotation (VERDICT r6 item 1 + the standing policy: just-modified
 # queries first, then re-attest the queries whose latest green driver row
-# is oldest). Composition, from CORRECTNESS_r01-r05:
-#   * ALL 28 queries whose latest green row is ROUND 3 (3 rounds old —
-#     the doc_* text/sampling family, embedding_*, events_hourly_rollup,
-#     sessionize_users, geo_elevation_pipeline, lang_top_bigrams);
-#     doc_vocab's top-k selection was also rebuilt this round (two-phase
-#     TakeOrderedAndProject);
-#   * 7 queries whose code changed this round: audio_decode_wav (rate=0
-#     rejection), image_decode_jpeg (fill bytes + standalone markers),
-#     orders_bloom_blocklist (single-row map-broadcast probe + one-agg
-#     keys/counts), doc_span_dedup (SHJ election join + reconstruction
-#     short-circuit), doc_decontam_lsh_join (broadcast_small_side fast
-#     path), parts_triangle_counts (measurement pass, BASELINE §10);
-#   * 2 NEW never-attested queries (video_frame_sample — MJPEG
-#     sample-table frame sampling — and doc_train_shards — deterministic
-#     dataloader shard/order prep, both new in r6);
-#   * 13 of the 43-strong round-4 cohort (alphabetical prefix; the other
-#     30 age to 2 rounds and lead the r7 window); lineitem_price_quantiles
-#     re-enters as r6-modified (two-phase rank + value tie-break).
-# The 50-strong round-5 green cohort rotates out with 1 fresh row each.
+# is oldest). Composition, from CORRECTNESS_r01-r06:
+#   * 1 NEW never-attested query: doc_curation_pipeline (end-to-end
+#     curation integration — gate → exact dedup → span dedup → decontam →
+#     mixture → shards — against one multi-CTE oracle, VERDICT r6 item 3);
+#   * 10 queries whose code changed this round: the whole shingle family
+#     (shingle_hash_array/word_shingles grew a conditionally-empty index
+#     guard — sequence(0, size-k) DESCENDS for short docs and
+#     InferFiltersFromGenerate can evaluate the shingle expression ahead
+#     of the size filter; values unchanged, plans touched);
+#   * ALL 30 queries whose latest green row is ROUND 4 (3 rounds old —
+#     the events_* family, embedding recall/quant, PNG decode,
+#     lineitem/parts sketches, geo pivots: the r6 verdict's #1 ask);
+#   * 9 of the 41-strong round-5 cohort (alphabetical prefix) to fill the
+#     window (doc_dup_components_star + doc_lsh_candidates re-enter above
+#     as r7-modified).
+# Two-window schedule for the aging cohorts (VERDICT r6 item 7), so no
+# query's latest green row ever exceeds 3 rounds:
+#   * r8 window: the 32 remaining r5-green queries (everything r5 in the
+#     latest-green table minus the 11 already re-attested here) + 18 of
+#     the 50-strong r6 cohort (alphabetical prefix) + r8's own
+#     new/changed queries squeezed in by trimming the r6 prefix;
+#   * r9 window: the other 32 r6-cohort queries + the r7 cohort starts
+#     aging (this window's 50) — alphabetical prefix as needed.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
 # sf0.01 differential run (tests/test_queries_oracle.py::
 # test_changed_query_matches_oracle_sf001) — the driver gate's exact
 # scale — so scale-sensitive divergence in touched code surfaces locally
-# before the gate does (VERDICT r5 item 7). Update each round alongside
-# DRIVER_ORDER.
+# before the gate does. Update each round alongside DRIVER_ORDER.
 CHANGED_THIS_ROUND = [
-    "video_frame_sample",
-    "doc_train_shards",
-    "lineitem_price_quantiles",
-    "audio_decode_wav",
-    "image_decode_jpeg",
-    "orders_bloom_blocklist",
-    "doc_span_dedup",
+    "doc_curation_pipeline",
+    "doc_minhash_signatures",
+    "doc_lsh_candidates",
+    "doc_simhash",
+    "doc_jaccard_pairs",
+    "doc_dup_components",
+    "doc_dup_components_star",
+    "doc_incremental_dedup",
     "doc_decontam_lsh_join",
-    "doc_vocab",
+    "doc_decontamination",
+    "doc_boilerplate",
 ]
 
 base.DRIVER_ORDER[:] = [
-    # never-attested first: NEW in r6 (MJPEG frame sampling; dataloader
-    # shard/order prep)
-    "video_frame_sample",
-    "doc_train_shards",
-    # round-6-modified operators
-    "audio_decode_wav",
-    "image_decode_jpeg",
-    "orders_bloom_blocklist",
-    "parts_triangle_counts",
-    "doc_span_dedup",
-    "doc_decontam_lsh_join",
-    "lineitem_price_quantiles",
-    # latest-green r3: the full 28-strong veteran cohort (oldest rows)
-    "doc_boilerplate",
-    "doc_decontamination",
-    "doc_dup_components",
-    "doc_encoded",
-    "doc_fingerprint_dedup",
-    "doc_hash_split",
-    "doc_language_guess",
+    # never-attested first: NEW in r7 (end-to-end curation pipeline),
+    # then the r7-modified shingle family
+    "doc_curation_pipeline",
     "doc_minhash_signatures",
-    "doc_mixture_resample",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality_score",
-    "doc_repetition_stats",
+    "doc_lsh_candidates",
     "doc_simhash",
-    "doc_stratified_sample",
-    "doc_token_stats",
-    "doc_vocab",
-    "embedding_cosine_topk",
-    "embedding_ivf_topk",
-    "embedding_kmeans_cells",
-    "embedding_neardup_pairs",
-    "embedding_pq_adc_topk",
-    "embedding_pq_codes",
-    "embedding_semantic_dedup",
-    "events_hourly_rollup",
-    "geo_elevation_pipeline",
-    "lang_top_bigrams",
-    "sessionize_users",
-    # latest-green r4 cohort, alphabetical prefix (13 of 43)
-    "approx_distinct_parts",
-    "asof_clicks_purchases",
-    "blob_metadata",
-    "custkey_status_skeleton",
-    "custkey_yearly_delta_full_outer",
-    "customer_spend_quartiles",
-    "doc_incremental_dedup",
     "doc_jaccard_pairs",
-    "doc_quality_percentile",
-    "doc_source_rollup",
-    "doc_temperature_resample",
-    "doc_tfidf_topterms",
-    "embedding_cluster_profile",
+    "doc_dup_components",
+    "doc_dup_components_star",
+    "doc_incremental_dedup",
+    "doc_decontam_lsh_join",
+    "doc_decontamination",
+    "doc_boilerplate",
+    # latest-green r4: the full 30-strong cohort (oldest rows)
+    "embedding_int8_quant",
+    "embedding_ivf_recall",
+    "embedding_lsh_recall",
+    "embedding_lsh_topk",
+    "events_anomaly_zscore",
+    "events_dau_wau",
+    "events_funnel",
+    "events_gap_fill",
+    "events_json_extract",
+    "events_ohlc_bars",
+    "events_props_rollup",
+    "events_purchase_window_clicks",
+    "events_retention_cohorts",
+    "events_salted_counts",
+    "events_salted_join",
+    "events_session_window",
+    "events_sliding_rollup",
+    "events_transition_matrix",
+    "features_within_radius",
+    "first_order_per_customer",
+    "geo_pivot_pipeline",
+    "image_decode_png",
+    "lang_id_confusion",
+    "lineitem_column_stats",
+    "lineitem_price_histogram",
+    "nation_stats_unpivot",
+    "nearest_feature_distance",
+    "orders_merge_upsert",
+    "parts_cm_frequencies",
+    "parts_hll_distinct",
+    # latest-green r5, alphabetical prefix (9 of 41 — the rest lead r8)
+    "blob_byte_entropy",
+    "brand_min_price",
+    "custkeys_f_and_o_intersect",
+    "customer_cumulative_spend",
+    "customers_without_orders",
+    "doc_priority_sample",
+    "events_moving_avg",
+    "events_value_quantiles",
+    "geo_buffer_clip_pipeline",
 ]
+
 
 __all__ = ["REGISTRY", "spark_queries", "oracle_queries"]

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from duckpipe_spark.functions.dedup import POLY_BASE, POLY_MOD, WORD_BASE
 from duckpipe_spark.functions.sampling import lehmer_hash_sql
+from duckpipe_spark.functions.text import PUNCT_CLASS
 from duckpipe_spark.queries.base import register
 from duckpipe_spark.sources.tables import load_table
 
@@ -267,6 +268,175 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.corpus import remove_duplicate_spans
 
     return remove_duplicate_spans(load_table(spark, sf_dir, "documents"), window=_SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END curation pipeline: quality gate → exact dedup → span dedup →
+# decontamination → mixture resample → shard/order (VERDICT r6 item 3 — the
+# integration query; one multi-CTE oracle mirrors every stage)
+# ---------------------------------------------------------------------------
+
+_PIPE_MIN_TOKENS = 10
+_PIPE_MIN_POINTS = 2
+_PIPE_SPAN_W = 10
+_PIPE_DECON_K = 5
+_PIPE_BENCH_MIN = 90
+_PIPE_MAX_CONTAM = 0.05
+_PIPE_WEIGHTS = {"en": 3, "de": 1, "es": 1, "fr": 1, "zh": 1}
+_PIPE_SHARDS = 4
+
+_PIPE_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(_PIPE_WEIGHTS.items()))
+_PIPE_H = lehmer_hash_sql("doc_id")
+
+
+def _pipe_decon_combine(k: int) -> str:
+    combine = "w[i]"
+    for j in range(1, k):
+        combine = f"({combine} * {WORD_BASE} + w[i+{j}]) % {POLY_MOD}"
+    return combine
+
+
+_PIPELINE_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, text, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n,
+         CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\\s+')) AS avg_len,
+         CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, text, lang FROM q
+  WHERE n >= {_PIPE_MIN_TOKENS}
+    AND ((CASE WHEN n BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+       + (CASE WHEN avg_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
+       + (CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END)) >= {_PIPE_MIN_POINTS}
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM gated
+  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+),
+uniq AS (SELECT g.doc_id, g.text, g.lang FROM gated g JOIN canon USING (doc_id)),
+stoks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM uniq
+),
+sbase AS (
+  SELECT id, t, len(t) AS n, CAST(floor(len(t) / {_PIPE_SPAN_W}) AS INT) AS nwin
+  FROM stoks
+),
+swins AS (SELECT id, unnest(range(0, nwin)) AS i, t FROM sbase),
+shashed AS (
+  SELECT id, i,
+         array_to_string(list_slice(t, i * {_PIPE_SPAN_W} + 1,
+                                    i * {_PIPE_SPAN_W} + {_PIPE_SPAN_W}), ' ') AS span,
+         md5(array_to_string(list_slice(t, i * {_PIPE_SPAN_W} + 1,
+                                        i * {_PIPE_SPAN_W} + {_PIPE_SPAN_W}), ' ')) AS h
+  FROM swins
+),
+sfirstdoc AS (SELECT h, min(id) AS fid FROM shashed GROUP BY h),
+sfirstwin AS (
+  SELECT s.h, f.fid, min(s.i) AS fi
+  FROM shashed s JOIN sfirstdoc f ON s.h = f.h AND s.id = f.fid
+  GROUP BY s.h, f.fid
+),
+skept AS (
+  SELECT s.id, s.i, s.span
+  FROM shashed s JOIN sfirstwin f ON s.h = f.h AND s.id = f.fid AND s.i = f.fi
+),
+sbody AS (
+  SELECT id, string_agg(span, ' ' ORDER BY i) AS body FROM skept GROUP BY id
+),
+stails AS (
+  SELECT id, nwin,
+         CASE WHEN n > nwin * {_PIPE_SPAN_W}
+              THEN array_to_string(list_slice(t, nwin * {_PIPE_SPAN_W} + 1, n), ' ')
+         END AS tail
+  FROM sbase
+),
+cleaned AS (
+  SELECT t.id AS doc_id, concat_ws(' ', b.body, t.tail) AS clean_text
+  FROM stails t LEFT JOIN sbody b USING (id)
+),
+dtoks AS (
+  SELECT doc_id AS id, string_split_regex(trim(clean_text), '\\s+') AS t FROM cleaned
+),
+dwh AS (
+  SELECT id, list_transform(t, x -> list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(x, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, y) -> (acc * {POLY_BASE} + y) % {POLY_MOD}
+  )) AS w, len(t) AS n
+  FROM dtoks WHERE len(t) >= {_PIPE_DECON_K}
+),
+didx AS (SELECT id, w, unnest(range(1, n - {_PIPE_DECON_K - 2})) AS i FROM dwh),
+dhv AS (SELECT DISTINCT id, {_pipe_decon_combine(_PIPE_DECON_K)} AS hv FROM didx),
+dsplit AS (SELECT id, hv, ({lehmer_hash_sql('id')}) % 100 AS b FROM dhv),
+dbench AS (SELECT DISTINCT hv FROM dsplit WHERE b >= {_PIPE_BENCH_MIN}),
+dtrain AS (SELECT id, hv FROM dsplit WHERE b < {_PIPE_BENCH_MIN}),
+dsizes AS (SELECT id, count(*) AS n_ngrams FROM dtrain GROUP BY id),
+dhits AS (
+  SELECT t.id, count(*) AS n_shared FROM dtrain t JOIN dbench USING (hv) GROUP BY t.id
+),
+dkeep AS (
+  SELECT s.id FROM dsizes s LEFT JOIN dhits h USING (id)
+  WHERE CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / s.n_ngrams <= {_PIPE_MAX_CONTAM}
+),
+kept AS (
+  SELECT c.doc_id, u.lang, c.clean_text
+  FROM cleaned c JOIN dkeep k ON c.doc_id = k.id JOIN uniq u USING (doc_id)
+),
+mw(lang, wt) AS (VALUES {_PIPE_MIX_VALUES}),
+mcounts AS (
+  SELECT lang, wt, count(*) AS c FROM kept JOIN mw USING (lang) GROUP BY lang, wt
+),
+mscale AS (SELECT min(CAST(c AS DOUBLE) / wt) AS s FROM mcounts),
+mtargets AS (
+  SELECT lang, CAST(floor(wt * s) AS BIGINT) AS target_n FROM mcounts CROSS JOIN mscale
+),
+mranked AS (
+  SELECT k.doc_id, k.lang, k.clean_text, t.target_n,
+         row_number() OVER (
+           PARTITION BY k.lang ORDER BY ({lehmer_hash_sql('k.doc_id')}) ASC, k.doc_id ASC
+         ) AS rk
+  FROM kept k JOIN mtargets t USING (lang)
+),
+sampled AS (SELECT doc_id, lang, clean_text FROM mranked WHERE rk <= target_n)
+SELECT doc_id, lang, md5(clean_text) AS clean_fp,
+       CAST(({_PIPE_H}) % {_PIPE_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY ({_PIPE_H}) % {_PIPE_SHARDS}
+              ORDER BY ({_PIPE_H}), doc_id
+            ) - 1 AS BIGINT) AS pos
+FROM sampled
+"""
+
+
+@register(
+    "doc_curation_pipeline",
+    _PIPELINE_ORACLE,
+    "end-to-end curation: gate → exact dedup → span dedup → decontam → mixture → shards",
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integration query: every curation stage chained on its real
+    contract (`functions.corpus.curation_pipeline`), verified against ONE
+    multi-CTE oracle. clean_fp = md5(clean_text) pins the span-dedup
+    reconstruction bit-exactly through the full chain; shard/pos pin the
+    dataloader prep on the surviving set."""
+    from duckpipe_spark.functions.corpus import curation_pipeline
+
+    return curation_pipeline(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=_PIPE_MIN_TOKENS,
+        min_points=_PIPE_MIN_POINTS,
+        span_window=_PIPE_SPAN_W,
+        decontam_k=_PIPE_DECON_K,
+        bench_bucket_min=_PIPE_BENCH_MIN,
+        max_contamination=_PIPE_MAX_CONTAM,
+        mix_weights=_PIPE_WEIGHTS,
+        n_shards=_PIPE_SHARDS,
+    )
 
 
 # ---------------------------------------------------------------------------

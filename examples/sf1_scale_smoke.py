@@ -103,7 +103,15 @@ def synthesize(spark) -> None:
         print(f"# synthesized {t} x{COPIES}", file=sys.stderr)
 
 
-def main() -> None:
+def main(reps: int = 3) -> None:
+    """Interleaved warm medians (BASELINE §5 protocol, VERDICT r6 item 6):
+    one warm-up per engine per query, then ``reps`` alternating
+    Spark-sweep/DuckDB-sweep rounds; per-query time is the MEDIAN across
+    rounds, so one background-load spike perturbs at most one round of
+    both engines equally instead of silently biasing a single-shot
+    ratio."""
+    from statistics import median
+
     from duckpipe_spark.queries import REGISTRY
     from duckpipe_spark.session import get_spark
 
@@ -111,40 +119,49 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
     synthesize(spark)
 
-    spark_t: dict[str, float] = {}
-    for name in QUERIES:
-        fn = REGISTRY[name].fn
-        len(fn(spark, DST).collect())  # warm
-        t0 = time.perf_counter()
-        len(fn(spark, DST).collect())
-        spark_t[name] = round(time.perf_counter() - t0, 2)
-        print(f"# spark {name}: {spark_t[name]}s", file=sys.stderr)
-
     import duckdb
 
     con = duckdb.connect()
     for t in _REMAP:
         # Spark writes each table as a directory of part files
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{DST}/{t}.parquet/*.parquet'")
-    duck_t: dict[str, float] = {}
-    for name in QUERIES:
-        q = REGISTRY[name].oracle
-        con.execute(q).fetchall()  # warm
-        t0 = time.perf_counter()
-        con.execute(q).fetchall()
-        duck_t[name] = round(time.perf_counter() - t0, 2)
-        print(f"# duckdb {name}: {duck_t[name]}s", file=sys.stderr)
 
-    ratios = {n: round(spark_t[n] / duck_t[n], 2) if duck_t[n] else None for n in QUERIES}
+    for name in QUERIES:  # warm both engines (JIT, page cache, codegen)
+        len(REGISTRY[name].fn(spark, DST).collect())
+        con.execute(REGISTRY[name].oracle).fetchall()
+
+    spark_runs: dict[str, list[float]] = {n: [] for n in QUERIES}
+    duck_runs: dict[str, list[float]] = {n: [] for n in QUERIES}
+    for rep in range(reps):
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            len(REGISTRY[name].fn(spark, DST).collect())
+            spark_runs[name].append(time.perf_counter() - t0)
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            con.execute(REGISTRY[name].oracle).fetchall()
+            duck_runs[name].append(time.perf_counter() - t0)
+        print(f"# rep {rep + 1}/{reps} done", file=sys.stderr)
+
+    spark_t = {n: round(median(v), 2) for n, v in spark_runs.items()}
+    duck_t = {n: round(median(v), 2) for n, v in duck_runs.items()}
+    ratios = {
+        n: round(spark_t[n] / max(duck_t[n], 0.001), 2) for n in QUERIES
+    }
     print(
         json.dumps(
             {
                 "sf": 1,
+                "reps": reps,
+                "loadavg_1m": round(os.getloadavg()[0], 1),
                 "spark_total": round(sum(spark_t.values()), 2),
                 "duckdb_total": round(sum(duck_t.values()), 2),
                 "spark": spark_t,
                 "duckdb": duck_t,
                 "ratio": ratios,
+                "spark_spread": {
+                    n: round(max(v) - min(v), 2) for n, v in spark_runs.items()
+                },
             }
         )
     )
@@ -155,7 +172,11 @@ if __name__ == "__main__":
         import shutil
 
         shutil.rmtree(DST, ignore_errors=True)
+    reps = 3
+    for a in list(sys.argv[1:]):
+        if a.startswith("--reps="):
+            reps = int(a.split("=")[1])
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     if names:
         QUERIES[:] = names
-    main()
+    main(reps)
