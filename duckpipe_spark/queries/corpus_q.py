@@ -417,6 +417,7 @@ FROM sampled
     "doc_curation_pipeline",
     _PIPELINE_ORACLE,
     "end-to-end curation: gate → exact dedup → span dedup → decontam → mixture → shards",
+    bench=True,  # the integration shape a real training-data run executes
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The integration query: every curation stage chained on its real

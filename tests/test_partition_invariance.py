@@ -330,6 +330,15 @@ def op_train_shards(spark, scramble):
     return shard_and_order(scramble(_docs(spark)).select("doc_id"), "doc_id", 8)
 
 
+def op_curation_pipeline(spark, scramble):
+    # the end-to-end composition: six chained operators, three window
+    # functions, two hash elections — the hardest partition-invariance
+    # surface in the catalog (every stage's determinism must compose)
+    from duckpipe_spark.functions.corpus import curation_pipeline
+
+    return curation_pipeline(scramble(_docs(spark)))
+
+
 _OPS = [
     op_token_stats,
     op_minhash,
@@ -358,6 +367,7 @@ _OPS = [
     op_bloom_probe,
     op_video_frame_sample,
     op_train_shards,
+    op_curation_pipeline,
 ]
 
 
