@@ -1,3 +1,7 @@
+from duckpipe_spark.streaming.corpus import (
+    incremental_dedup_stateful,
+    read_document_stream,
+)
 from duckpipe_spark.streaming.cdc import apply_cdc_batch, apply_cdc_stream, latest_per_key
 from duckpipe_spark.streaming.events import (
     dedup_event_stream,
@@ -22,4 +26,6 @@ __all__ = [
     "apply_cdc_stream",
     "apply_cdc_batch",
     "latest_per_key",
+    "incremental_dedup_stateful",
+    "read_document_stream",
 ]

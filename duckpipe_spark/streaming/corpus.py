@@ -1,0 +1,91 @@
+"""Streaming corpus ingestion: continuous-crawl incremental dedup.
+
+The batch operator (`functions.dedup.incremental_dedup`) answers "which of
+these NEW docs are unseen?" against a static accepted corpus. A real crawl
+pipeline runs that question forever: files land continuously, and a doc is
+accepted exactly when its normalized content fingerprint has never been
+accepted before — first arrival wins, acceptance is never retracted
+(append-mode semantics; a pipeline cannot un-ship a doc it already
+forwarded to training).
+
+Spark-native shape: ``applyInPandasWithState`` keyed by the fingerprint.
+State is ONE long per distinct accepted fingerprint (the accepting id) —
+the same 16-byte-fingerprint key the batch exact-dedup shuffle uses, and
+nothing else: document bodies are dropped before the shuffle, so 100 TB of
+arriving text moves (fp, id) pairs only. On a cluster the state store is
+RocksDB-backed and the fingerprint keyspace shards across executors; the
+per-key state never grows with duplicate count.
+
+Determinism: within one micro-batch the min id wins (so a batch containing
+a duplicate pair resolves identically regardless of partitioning); across
+micro-batches arrival order wins — the contract continuous ingestion
+actually has. When files arrive in id order the accepted set is
+bit-identical to batch ``exact_dedup_groups`` canonical ids (proven in
+tests/test_streaming.py, including across a checkpoint crash-resume).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from duckpipe_spark.functions.text import fingerprint_col
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source document stream (the landing-directory pattern: each
+    crawl dump is one parquet drop)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def _accept_fn(
+    key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    (fp,) = key
+    if state.exists:
+        # fingerprint already accepted in an earlier micro-batch: the new
+        # arrivals are duplicates; emit nothing, state unchanged
+        return
+    best = None
+    for pdf in pdf_iter:
+        for i in pdf["__id"]:
+            i = int(i)
+            if best is None or i < best:
+                best = i
+    if best is not None:
+        state.update((best,))
+        yield pd.DataFrame({"fp": [fp], "doc_id": [best]})
+
+
+def incremental_dedup_stateful(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """First-arrival-wins exact dedup over an unbounded document stream
+    → append-mode (fp, doc_id) rows, one per NEWLY accepted fingerprint.
+
+    State per distinct fingerprint: one long (the accepting id). The only
+    exchange is the groupBy on the fingerprint — identical to the batch
+    exact-dedup shuffle; bodies never shuffle."""
+    src = docs.select(
+        fingerprint_col(F.col(text_col)).alias("fp"), F.col(id_col).alias("__id")
+    )
+    return src.groupBy("fp").applyInPandasWithState(
+        _accept_fn,
+        outputStructType="fp string, doc_id long",
+        stateStructType="first_id long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

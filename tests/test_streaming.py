@@ -590,3 +590,120 @@ def test_streaming_quantile_sketch_survives_restart(spark, event_files, tmp_path
         assert int(final.loc[g, "n_sampled"]) == int(exp.loc[g, "n_sampled"]), g
         for q in (25, 50, 75, 90, 99):
             assert int(final.loc[g, f"q{q}"]) == int(exp.loc[g, f"q{q}"]), (g, q)
+
+
+@pytest.fixture(scope="module")
+def doc_stream_files(tmp_path_factory, spark):
+    """A landing directory of 3 id-ordered document drops with CROSS-drop
+    exact duplicates: the base corpus plus a re-id'd copy of 40% of it
+    (same text → same fingerprint, id shifted past the whole corpus so
+    every duplicate arrives AFTER its original)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    d = tmp_path_factory.mktemp("docstream")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 5 < 2).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    pdf = docs.unionByName(dups).orderBy("doc_id").toPandas()
+    n = len(pdf)
+    stream_dir = d / "stream"
+    stream_dir.mkdir()
+    for i, chunk in enumerate(
+        [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]
+    ):
+        f = str(stream_dir / f"part-{i:03d}.parquet")
+        spark.createDataFrame(chunk).coalesce(1).toPandas().to_parquet(f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(stream_dir)
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, doc_stream_files):
+    """Continuous-crawl ingestion: first-arrival-wins exact dedup with ONE
+    long of state per distinct fingerprint. With id-ordered arrival the
+    accepted set must be bit-identical to batch exact_dedup_groups'
+    canonical ids — duplicates arriving in LATER micro-batches (and inside
+    the same batch) are all rejected."""
+    from duckpipe_spark.functions.dedup import exact_dedup_groups
+    from duckpipe_spark.streaming.corpus import (
+        incremental_dedup_stateful,
+        read_document_stream,
+    )
+
+    batch = spark.read.parquet(doc_stream_files)
+    stream = read_document_stream(spark, doc_stream_files, batch.schema)
+    got = _run_stream(
+        spark, incremental_dedup_stateful(stream), "incdedup_t", mode="append"
+    )
+    expected = exact_dedup_groups(batch).select("fp", F.col("canonical_id").alias("doc_id"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    # the dedup actually did something: fewer accepted than arrived
+    assert got.count() < batch.count()
+
+
+def test_streaming_incremental_dedup_survives_restart(spark, doc_stream_files, tmp_path):
+    """Checkpoint crash-resume for the ingestion dedup: drain drop 0, kill
+    the query, land the remaining drops, resume a NEW query on the SAME
+    checkpoint. The fingerprint state must be restored (no fingerprint
+    accepted twice across the runs) and the union of accepted rows must
+    still equal the batch canonical set."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from duckpipe_spark.functions.dedup import exact_dedup_groups
+    from duckpipe_spark.streaming.corpus import (
+        incremental_dedup_stateful,
+        read_document_stream,
+    )
+
+    src_files = sorted(f for f in os.listdir(doc_stream_files) if f.endswith(".parquet"))
+    assert len(src_files) == 3
+    stage = tmp_path / "incdedup_restart_stream"
+    stage.mkdir()
+    ckpt = str(tmp_path / "incdedup_restart_ckpt")
+    schema = spark.read.parquet(doc_stream_files).schema
+
+    def run():
+        stream = read_document_stream(spark, str(stage), schema)
+        emitted = []
+        q = (
+            incremental_dedup_stateful(stream)
+            .writeStream.foreachBatch(lambda bdf, _id: emitted.append(bdf.toPandas()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return pd.concat(emitted, ignore_index=True) if emitted else pd.DataFrame(
+            columns=["fp", "doc_id"]
+        )
+
+    shutil.copy(os.path.join(doc_stream_files, src_files[0]), stage / src_files[0])
+    os.utime(stage / src_files[0], (1_700_000_000, 1_700_000_000))
+    first = run()
+    assert len(first) > 0
+
+    for i, f in enumerate(src_files[1:], start=1):
+        shutil.copy(os.path.join(doc_stream_files, f), stage / f)
+        os.utime(stage / f, (1_700_000_000 + i, 1_700_000_000 + i))
+    second = run()
+
+    both = pd.concat([first, second], ignore_index=True)
+    # restored state: no fingerprint accepted twice across the crash
+    assert both["fp"].is_unique
+    # run 2 really only processed the new drops
+    assert len(second) < len(both)
+    expected = (
+        exact_dedup_groups(spark.read.parquet(doc_stream_files))
+        .select("fp", F.col("canonical_id").alias("doc_id"))
+        .toPandas()
+    )
+    got = both.sort_values(["fp"]).reset_index(drop=True)
+    exp = expected.sort_values(["fp"]).reset_index(drop=True)
+    assert got["fp"].tolist() == exp["fp"].tolist()
+    assert got["doc_id"].astype("int64").tolist() == exp["doc_id"].astype("int64").tolist()
