@@ -234,15 +234,21 @@ def ffmpeg_decode_frames(
 
     ffprobe reads the stream geometry, ffmpeg's ``select`` filter keeps
     frames where ``n % every == 0`` (so frame_idx is the ORIGINAL stream
-    index, matching the sample-table path) and emits raw rgb24 on a pipe;
-    no temp files, no shell. Frame-accurate sampling of inter-frame
-    streams decodes forward from the previous keyframe internally — the
-    library concern the vendored path deliberately does not reimplement.
+    index, matching the sample-table path) and emits raw rgb24 on a pipe.
+    The INPUT goes through a temp file, not stdin: MP4 demuxing needs a
+    seekable source when the ``moov`` atom trails the ``mdat`` (the
+    layout non-faststart encoders — including `build_mjpeg_mp4` — emit),
+    and a pipe would fail those containers with "moov atom not found".
+    Frame-accurate sampling of inter-frame streams decodes forward from
+    the previous keyframe internally — the library concern the vendored
+    path deliberately does not reimplement.
 
     Raises ``NotImplementedError`` when the binaries are absent (this
     container) and ``ValueError`` when ffmpeg rejects the stream."""
     import json as _json
+    import os as _os
     import subprocess
+    import tempfile
 
     if every < 1:
         raise ValueError("every must be >= 1")
@@ -251,29 +257,35 @@ def ffmpeg_decode_frames(
             "inter-frame video decode requires the ffmpeg/ffprobe binaries — "
             "not available in this environment"
         )
+    fd, path = tempfile.mkstemp(suffix=".bin")
     try:
-        probe = subprocess.run(
-            [
-                "ffprobe", "-v", "error", "-select_streams", "v:0",
-                "-show_entries", "stream=width,height",
-                "-of", "json", "pipe:0",
-            ],
-            input=blob, capture_output=True, check=True,
-        )
-        meta = _json.loads(probe.stdout)["streams"][0]
-        width, height = int(meta["width"]), int(meta["height"])
-        # -vsync vfr: emit exactly the select-ed frames (deprecated alias
-        # of -fps_mode vfr, kept for ffmpeg<5.1 compatibility)
-        raw = subprocess.run(
-            [
-                "ffmpeg", "-v", "error", "-i", "pipe:0",
-                "-vf", f"select=not(mod(n\\,{every}))", "-vsync", "vfr",
-                "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
-            ],
-            input=blob, capture_output=True, check=True,
-        )
-    except (subprocess.CalledProcessError, KeyError, IndexError) as exc:
-        raise ValueError(f"ffmpeg could not decode blob: {exc}") from exc
+        with _os.fdopen(fd, "wb") as fh:
+            fh.write(blob)
+        try:
+            probe = subprocess.run(
+                [
+                    "ffprobe", "-v", "error", "-select_streams", "v:0",
+                    "-show_entries", "stream=width,height",
+                    "-of", "json", path,
+                ],
+                capture_output=True, check=True,
+            )
+            meta = _json.loads(probe.stdout)["streams"][0]
+            width, height = int(meta["width"]), int(meta["height"])
+            # -vsync vfr: emit exactly the select-ed frames (deprecated
+            # alias of -fps_mode vfr, kept for ffmpeg<5.1 compatibility)
+            raw = subprocess.run(
+                [
+                    "ffmpeg", "-v", "error", "-i", path,
+                    "-vf", f"select=not(mod(n\\,{every}))", "-vsync", "vfr",
+                    "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+                ],
+                capture_output=True, check=True,
+            )
+        except (subprocess.CalledProcessError, KeyError, IndexError) as exc:
+            raise ValueError(f"ffmpeg could not decode blob: {exc}") from exc
+    finally:
+        _os.unlink(path)
     if width <= 0 or height <= 0:
         raise ValueError("ffprobe reported non-positive frame dimensions")
     frame_bytes = width * height * 3
