@@ -272,16 +272,28 @@ def ffmpeg_decode_frames(
             )
             meta = _json.loads(probe.stdout)["streams"][0]
             width, height = int(meta["width"]), int(meta["height"])
-            # -vsync vfr: emit exactly the select-ed frames (deprecated
-            # alias of -fps_mode vfr, kept for ffmpeg<5.1 compatibility)
-            raw = subprocess.run(
-                [
-                    "ffmpeg", "-v", "error", "-i", path,
-                    "-vf", f"select=not(mod(n\\,{every}))", "-vsync", "vfr",
-                    "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
-                ],
-                capture_output=True, check=True,
-            )
+
+            # vfr output mode: emit exactly the select-ed frames. The flag
+            # spelling changed across ffmpeg majors (-fps_mode since 5.1;
+            # -vsync before, removed in newer majors) — try modern first,
+            # fall back once on an unrecognized-option failure.
+            def _decode(vfr_flag: str):
+                return subprocess.run(
+                    [
+                        "ffmpeg", "-v", "error", "-i", path,
+                        "-vf", f"select=not(mod(n\\,{every}))",
+                        vfr_flag, "vfr",
+                        "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+                    ],
+                    capture_output=True, check=True,
+                )
+
+            try:
+                raw = _decode("-fps_mode")
+            except subprocess.CalledProcessError as exc:
+                if b"fps_mode" not in (exc.stderr or b""):
+                    raise
+                raw = _decode("-vsync")
         except (subprocess.CalledProcessError, KeyError, IndexError) as exc:
             raise ValueError(f"ffmpeg could not decode blob: {exc}") from exc
     finally:
