@@ -56,7 +56,8 @@ def char_poly_hash(col: Column) -> Column:
 
 
 def shingle_hash_array(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Distinct shingle *hashes* per document as one array column
     → (id, hvs: array<bigint>), without ever materializing shingle strings:
@@ -66,9 +67,31 @@ def shingle_hash_array(
     work and skips the concat/re-split — shingle strings only exist in the
     Jaccard path, which joins on them.
 
-    Keeping the hash set as an ARRAY (not exploded rows) lets MinHash and
-    SimHash fold it with higher-order functions in the same codegen stage as
-    the scan — a pure projection, no explode, no shuffle."""
+    Keeping the hash set as an ARRAY (not exploded rows) keeps both impls a
+    pure projection over the scan — no explode, no shuffle.
+
+    ``impl="arrow"`` (default) runs the ``_iter_doc_hvs`` numpy kernel via
+    ``mapInPandas`` — the same bit-identical twin MinHash/SimHash default
+    to. The JVM HOF expression re-folds every word's characters through an
+    ``aggregate()`` per element_at reference, which measured ~100× slower
+    per doc (decontamination at sf0.1: 88 s hof vs <2 s arrow on one scan
+    partition); the memoized word-hash cache + vectorized window fold is
+    the right CPU shape for shingle-heavy text. ``impl="hof"`` keeps the
+    all-JVM expression as the cross-checkable twin (and the fallback for
+    non-bigint ids, which the Arrow schema pins)."""
+    if impl == "arrow":
+        id_type = df.schema[id_col].dataType.simpleString()
+        if id_type in ("bigint", "int", "smallint", "tinyint"):
+            def _map(pdf_iter):
+                import pandas as pd
+
+                for ids, arrs in _iter_doc_hvs(pdf_iter, k):
+                    yield pd.DataFrame({"id": ids, "hvs": arrs})
+
+            return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+                _map, "id bigint, hvs array<bigint>"
+            )
+        # non-integral ids can't ride the pinned Arrow schema — JVM twin
     toks = tokens_col(F.col(text_col))
     df = df.withColumn("_t", toks).where(F.size("_t") >= k)
     wh = F.transform(F.col("_t"), lambda w: char_poly_hash(w))
@@ -137,11 +160,12 @@ def _iter_doc_hvs(pdf_iter, k: int):
 
 
 def shingle_hashes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exploded form of `shingle_hash_array` → (id, hv) rows, for operators
     that join on the hash (inverted-index paths)."""
-    return shingle_hash_array(df, text_col, id_col, k).select(
+    return shingle_hash_array(df, text_col, id_col, k, impl=impl).select(
         "id", F.explode("hvs").alias("hv")
     )
 
@@ -245,7 +269,7 @@ def minhash_signatures(
     N_HASHES affine permutations as one (N_HASHES × n) numpy matmul-shaped
     op; ``hof`` is `array_min(transform(hvs, …))` per permutation."""
     if impl == "hof":
-        arr = shingle_hash_array(df, text_col, id_col, k)
+        arr = shingle_hash_array(df, text_col, id_col, k, impl="hof")
 
         def _perm(a: int, b: int):
             # single-arg lambda factory (a 2-arg callable would be read by
@@ -422,7 +446,7 @@ def simhash(
             _map, "id bigint, simhash bigint"
         )
 
-    arr = shingle_hash_array(df, text_col, id_col, k)
+    arr = shingle_hash_array(df, text_col, id_col, k, impl="hof")
 
     def _packed_fold(s: int) -> Column:
         def _step(acc: Column, h: Column) -> Column:

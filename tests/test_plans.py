@@ -2,6 +2,8 @@
 (pushdown, pruning, broadcast strategy, codegen, bounded shuffles) so a
 regression fails CI instead of a cluster run."""
 
+import re
+
 import pytest
 
 from duckpipe_spark.plans.audit import audit_plan, no_aqe
@@ -175,7 +177,12 @@ def test_pack_sequences_single_shuffle(spark):
 def test_corpus_hygiene_joins_are_broadcast_only(spark):
     """Decontamination and boilerplate must never sort-merge: the n-gram
     hit sets (benchmark / heavy-hitter) are the broadcast sides, and the
-    only exchanges are the three aggregations (set distinct + two counts)."""
+    only exchanges are the three aggregations (set distinct + two counts).
+    The shingle source is the Arrow numpy kernel (r7 — the JVM HOF fold
+    measured ~100× slower per doc): MapInPandas nodes are the kernel and
+    nothing else, one per consumer of the shingle relation (3 — the
+    benchmark set, the per-doc sizes, the hit counts), and no
+    row-at-a-time ArrowEvalPython anywhere."""
     for name in ("doc_decontamination", "doc_boilerplate"):
         with no_aqe(spark):
             a = audit_plan(_q(name)(spark, SF_SMOKE))
@@ -183,7 +190,9 @@ def test_corpus_hygiene_joins_are_broadcast_only(spark):
         assert a.shuffle_hash_joins == 0, name
         assert a.broadcast_hash_joins >= 3, name
         assert a.exchanges <= 3, (name, a.text)
-        assert a.python_stages == 0, name
+        assert "ArrowEvalPython" not in a.text, name
+        kernels = len(re.findall(r"\n\(\d+\) MapInPandas", a.text))
+        assert kernels <= 3, (name, kernels)
 
 
 def test_encode_docs_is_broadcast_projection(spark):
