@@ -31,6 +31,10 @@ try:
 except ImportError:
     pass
 try:
+    from duckpipe_spark.queries import bpe_q  # noqa: F401
+except ImportError:
+    pass
+try:
     from duckpipe_spark.queries import graph_q  # noqa: F401
 except ImportError:
     pass
@@ -42,9 +46,11 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # Round-7 rotation (VERDICT r6 item 1 + the standing policy: just-modified
 # queries first, then re-attest the queries whose latest green driver row
 # is oldest). Composition, from CORRECTNESS_r01-r06:
-#   * 1 NEW never-attested query: doc_curation_pipeline (end-to-end
+#   * 3 NEW never-attested queries: doc_curation_pipeline (end-to-end
 #     curation integration — gate → exact dedup → span dedup → decontam →
-#     mixture → shards — against one multi-CTE oracle, VERDICT r6 item 3);
+#     mixture → shards — against one multi-CTE oracle, VERDICT r6 item 3)
+#     and doc_bpe_merges / doc_bpe_token_counts (distributed BPE merge
+#     learning + encode, unrolled-round oracle);
 #   * 10 queries whose code changed this round: the whole shingle family
 #     (shingle_hash_array/word_shingles grew a conditionally-empty index
 #     guard — sequence(0, size-k) DESCENDS for short docs and
@@ -53,7 +59,7 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #   * ALL 30 queries whose latest green row is ROUND 4 (3 rounds old —
 #     the events_* family, embedding recall/quant, PNG decode,
 #     lineitem/parts sketches, geo pivots: the r6 verdict's #1 ask);
-#   * 9 of the 41-strong round-5 cohort (alphabetical prefix) to fill the
+#   * 7 of the 41-strong round-5 cohort (alphabetical prefix) to fill the
 #     window (doc_dup_components_star + doc_lsh_candidates re-enter above
 #     as r7-modified).
 # Two-window schedule for the aging cohorts (VERDICT r6 item 7), so no
@@ -72,6 +78,8 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # before the gate does. Update each round alongside DRIVER_ORDER.
 CHANGED_THIS_ROUND = [
     "doc_curation_pipeline",
+    "doc_bpe_merges",
+    "doc_bpe_token_counts",
     "doc_minhash_signatures",
     "doc_lsh_candidates",
     "doc_simhash",
@@ -85,9 +93,11 @@ CHANGED_THIS_ROUND = [
 ]
 
 base.DRIVER_ORDER[:] = [
-    # never-attested first: NEW in r7 (end-to-end curation pipeline),
-    # then the r7-modified shingle family
+    # never-attested first: NEW in r7 (end-to-end curation pipeline,
+    # BPE merge learning + encode), then the r7-modified shingle family
     "doc_curation_pipeline",
+    "doc_bpe_merges",
+    "doc_bpe_token_counts",
     "doc_minhash_signatures",
     "doc_lsh_candidates",
     "doc_simhash",
@@ -129,7 +139,7 @@ base.DRIVER_ORDER[:] = [
     "orders_merge_upsert",
     "parts_cm_frequencies",
     "parts_hll_distinct",
-    # latest-green r5, alphabetical prefix (9 of 41 — the rest lead r8)
+    # latest-green r5, alphabetical prefix (7 of 41 — the rest lead r8)
     "blob_byte_entropy",
     "brand_min_price",
     "custkeys_f_and_o_intersect",
@@ -137,8 +147,6 @@ base.DRIVER_ORDER[:] = [
     "customers_without_orders",
     "doc_priority_sample",
     "events_moving_avg",
-    "events_value_quantiles",
-    "geo_buffer_clip_pipeline",
 ]
 
 

@@ -1,0 +1,106 @@
+"""BPE tokenizer-training queries with exact DuckDB oracles.
+
+Like ``embedding_kmeans_cells``, these hash-check an ITERATIVE algorithm
+exactly: the oracle unrolls every merge round into CTEs (pair counts →
+deterministic argmax → separator-wrapped ``replace`` rewrite) so DuckDB
+re-derives the same merge table — and, for the encode query, the same
+per-document token counts — from first principles. Both engines rely on
+identical left-to-right non-overlapping ``replace`` semantics over the
+disjoint symbol-wrap representation (see functions/bpe.py's module doc
+for why each symbol gets its own separator pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckpipe_spark.functions.bpe import bpe_token_counts, learn_bpe_merges
+from duckpipe_spark.queries.base import register
+from duckpipe_spark.sources.tables import load_table
+
+N_MERGES = 8
+
+_S = "chr(31)"
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """Shared CTE chain: word freqs → v0 … v{n} vocab states and
+    top1 … top{n} argmax pairs."""
+    parts = [
+        f"""w AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wf
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+  WHERE w <> '' AND NOT contains(w, {_S})
+  GROUP BY w
+)""",
+        f"""v0 AS (
+  SELECT {_S} || array_to_string(string_split(w, ''), {_S}||{_S}) || {_S} AS s, wf FROM w
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS (
+  SELECT p['l'] AS lhs, p['r'] AS rhs, CAST(sum(wf) AS BIGINT) AS pf
+  FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i -> {{'l': syms[i], 'r': syms[i+1]}})) AS p, wf
+    FROM (SELECT list_filter(string_split(s, {_S}), x -> x <> '') AS syms, wf FROM v{r-1})
+  )
+  GROUP BY 1, 2
+)""")
+        parts.append(
+            f"top{r} AS (SELECT lhs, rhs, pf FROM p{r} ORDER BY pf DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        parts.append(f"""v{r} AS (
+  SELECT replace(s, {_S}||lhs||{_S}||{_S}||rhs||{_S}, {_S}||lhs||rhs||{_S}) AS s, wf
+  FROM v{r-1}, top{r}
+)""")
+    return ",\n".join(parts)
+
+
+def _merges_oracle(n_merges: int) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, pf AS pair_freq FROM top{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_ctes(n_merges)}\n{rows}"
+
+
+def _encode_oracle(n_merges: int) -> str:
+    # the N argmax pairs ride in as cross-joined one-row columns (DuckDB
+    # rejects subqueries inside lambdas); the replace chain applies them
+    # in merge order to each token's wrapped representation
+    tops = ", ".join(
+        f"(SELECT lhs AS l{r}, rhs AS r{r} FROM top{r})" for r in range(1, n_merges + 1)
+    )
+    chain = f"{_S} || array_to_string(string_split(tk, ''), {_S}||{_S}) || {_S}"
+    for r in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, {_S}||l{r}||{_S}||{_S}||r{r}||{_S}, {_S}||l{r}||r{r}||{_S})"
+        )
+    return f"""WITH {_bpe_ctes(n_merges)}
+SELECT doc_id,
+  CAST(coalesce(list_sum(list_transform(t, tk ->
+    CASE WHEN contains(tk, {_S}) THEN length(tk)
+         ELSE len(list_filter(string_split({chain}, {_S}), x -> x <> '')) END
+  )), 0) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), {tops}
+"""
+
+
+@register(
+    "doc_bpe_merges",
+    _merges_oracle(N_MERGES),
+    "distributed BPE merge learning (word-frequency formulation, exact argmax rounds)",
+)
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return learn_bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=N_MERGES)
+
+
+@register(
+    "doc_bpe_token_counts",
+    _encode_oracle(N_MERGES),
+    "per-doc token counts under the learned BPE merges (pure-projection encode)",
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=N_MERGES)
+    return bpe_token_counts(docs, merges)

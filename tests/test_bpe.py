@@ -1,0 +1,143 @@
+"""BPE merge learning + encoding: semantics vs a pure-Python reference
+implementation, edge cases, and the encode plan shape."""
+
+import random
+import re
+
+import pytest
+
+from duckpipe_spark.functions.bpe import (
+    SEP,
+    bpe_token_counts,
+    learn_bpe_merges,
+)
+from duckpipe_spark.plans.audit import audit_plan, no_aqe
+
+WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def ref_bpe(texts, n_merges):
+    """Reference BPE trainer: word-frequency dict, leftmost-first
+    non-overlapping merge of every occurrence, ties (freq desc, lhs asc,
+    rhs asc). Returns (merges, encode_fn)."""
+    wf: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in WS.split(t.strip(" ")):
+            if w and SEP not in w:
+                key = tuple(w)
+                wf[key] = wf.get(key, 0) + 1
+    vocab = dict(wf)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (lhs, rhs), pf = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lhs, rhs, pf))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+
+    def encode_count(text):
+        n = 0
+        for w in WS.split(text.strip(" ")):
+            if SEP in w:
+                n += len(w)
+                continue
+            syms = list(w)
+            for _, lhs, rhs, _ in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n += len(syms)
+        return n
+
+    return merges, encode_count
+
+
+def test_merges_known_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lowest low"), (3, "aaa")],
+        "doc_id bigint, text string",
+    )
+    got = [tuple(r) for r in learn_bpe_merges(docs, n_merges=5).orderBy("merge_rank").collect()]
+    # hand-derived: l-o wins the 6-6 tie with o-w lexicographically; the
+    # "aaa" word exercises leftmost-first non-overlap ([aa, a], count 1)
+    assert got == [
+        (1, "l", "o", 6),
+        (2, "lo", "w", 6),
+        (3, "a", "a", 2),
+        (4, "low", "e", 2),
+        (5, "aa", "a", 1),
+    ]
+    counts = {r.doc_id: r.n_bpe_tokens for r in bpe_token_counts(docs, learn_bpe_merges(docs, n_merges=5)).collect()}
+    assert counts == {1: 3, 2: 6, 3: 1}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_reference_bpe(spark, seed):
+    rng = random.Random(seed)
+    alphabet = "abcde"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(0, 12))
+        )
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    want_merges, want_count = ref_bpe(texts, 6)
+    m = learn_bpe_merges(docs, n_merges=6)
+    got_merges = [tuple(r) for r in m.orderBy("merge_rank").collect()]
+    assert got_merges == want_merges
+    got_counts = {r.doc_id: r.n_bpe_tokens for r in bpe_token_counts(docs, m).collect()}
+    assert got_counts == {i: want_count(t) for i, t in enumerate(texts)}
+
+
+def test_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                      # empty text → 0 tokens
+            (2, "x"),                     # single char, no pairs from it
+            (3, f"a{SEP}b ab ab"),        # SEP token excluded from training,
+                                          # falls back to char count at encode
+        ],
+        "doc_id bigint, text string",
+    )
+    m = learn_bpe_merges(docs, n_merges=3)
+    rows = [tuple(r) for r in m.orderBy("merge_rank").collect()]
+    # only "ab" (freq 2) and "x" (no pairs) train: one merge then exhaustion
+    assert rows == [(1, "a", "b", 2)]
+    counts = {r.doc_id: r.n_bpe_tokens for r in bpe_token_counts(docs, m).collect()}
+    assert counts == {1: 0, 2: 1, 3: 3 + 1 + 1}
+
+
+def test_encode_is_pure_projection(spark):
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    with no_aqe(spark):
+        a = audit_plan(bpe_token_counts(docs, [("a", "b")]))
+    assert a.exchanges == 0, a.text
+    assert a.python_stages == 0
+    assert a.sort_merge_joins + a.shuffle_hash_joins + a.broadcast_hash_joins == 0

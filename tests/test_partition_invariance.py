@@ -339,8 +339,19 @@ def op_curation_pipeline(spark, scramble):
     return curation_pipeline(scramble(_docs(spark)))
 
 
+def op_bpe(spark, scramble):
+    # iterative argmax rounds: each round's pair counts are exact integer
+    # sums and the (freq desc, lhs, rhs) tie-break is total, so the merge
+    # table — and every encode count derived from it — is partition-pure
+    from duckpipe_spark.functions.bpe import bpe_token_counts, learn_bpe_merges
+
+    docs = scramble(_docs(spark))
+    return bpe_token_counts(docs, learn_bpe_merges(docs, n_merges=4))
+
+
 _OPS = [
     op_token_stats,
+    op_bpe,
     op_minhash,
     op_simhash,
     op_exact_dedup,
