@@ -90,6 +90,7 @@ FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
     "doc_bpe_merges",
     _merges_oracle(N_MERGES),
     "distributed BPE merge learning (word-frequency formulation, exact argmax rounds)",
+    bench=True,  # flagship tokenizer-training op: sf0.1 1.19x vs DuckDB (BASELINE §17)
 )
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=N_MERGES)
