@@ -250,3 +250,92 @@ def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     for p in PII_PATTERNS.values():
         scrubbed = F.regexp_replace(scrubbed, p, "<PII>")
     return df.select(F.col(id_col), *counts, scrubbed.alias("text_scrubbed"))
+
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_BULLETS = ("-", "*", "•")
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Appendix A) as one
+    shuffle-free projection → per-doc metrics, one boolean per rule, and
+    the overall ``gopher_pass`` conjunction:
+
+    * word count in [50, 100k]; mean word length in [3, 10] chars;
+    * symbol-to-word ratio (``#`` or ``...``/``…`` occurrences) ≤ 0.1;
+    * ≤ 90% of lines start with a bullet (``-``, ``*``, ``•``);
+    * ≤ 30% of lines end with an ellipsis;
+    * ≥ 80% of words contain at least one alphabetic character;
+    * ≥ 2 stopwords from the shared STOPWORDS list.
+
+    (The repetition half of Gopher's filter — duplicate n-gram and
+    top-token mass rules — lives in ``repetition_stats``.)
+
+    Every metric is an exact integer count; the ratios are single IEEE
+    divisions of those integers, so both engines hash-match (same
+    determinism argument as ``with_token_stats``). Lines split on ``\\n``
+    after trimming each line's ``\\r`` is NOT needed (testdata is \\n-only;
+    a real crawl normalizes first). Scale shape: a projection over the
+    scan — no shuffle, no Python, whole-stage codegen throughout."""
+    t = F.col(text_col)
+    words = tokens_col(t)
+    n_words = F.size(words)
+    # chars across words (whitespace excluded), for mean word length
+    n_word_chars = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+    mean_wl = n_word_chars.cast("double") / n_words
+    n_hash = F.size(F.filter(F.split(t, ""), lambda c: c == "#"))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), F.lit(0)))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    bullet = lambda x: F.trim(x).substr(1, 1).isin(*GOPHER_BULLETS)  # noqa: E731
+    n_bullet = F.size(F.filter(lines, bullet))
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = stopword_count(words)
+    # guard: a doc with no nonempty lines must yield 0.0, not NaN/inf —
+    # double div-by-zero semantics differ across engines and poison the hash
+    bullet_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        n_bullet.cast("double") / n_lines
+    )
+    ell_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        n_ell_end.cast("double") / n_lines
+    )
+    alpha_frac = n_alpha_words.cast("double") / n_words
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_wl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+    r_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    r_bullet = (n_lines == 0) | (bullet_frac <= GOPHER_MAX_BULLET_LINE_FRAC)
+    r_ell = (n_lines == 0) | (ell_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        r_words.alias("rule_word_count"),
+        r_wl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_bullet.alias("rule_bullet_lines"),
+        r_ell.alias("rule_ellipsis_lines"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_wl & r_sym & r_bullet & r_ell & r_alpha & r_stop).alias("gopher_pass"),
+    )

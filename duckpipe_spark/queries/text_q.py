@@ -382,3 +382,53 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         guessed.groupBy("true_lang", F.col("lang_guess").alias("guessed_lang"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+from duckpipe_spark.functions.text import gopher_quality_flags  # noqa: E402
+
+_GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS w,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(w) AS mean_word_len,
+    CAST(len(list_filter(string_split(text, ''), c -> c = '#'))
+         + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(w) AS symbol_ratio,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(lines, x -> left(trim(x), 1) IN ('-', '*', '•'))) AS DOUBLE) / len(lines) END AS bullet_line_frac,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(lines) END AS ellipsis_line_frac,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_word_frac,
+    CAST(len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS BIGINT) AS n_stopwords,
+    len(lines) AS n_lines
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+  ellipsis_line_frac, alpha_word_frac, n_stopwords,
+  (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+  (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+  (n_lines = 0 OR bullet_line_frac <= 0.9) AS rule_bullet_lines,
+  (n_lines = 0 OR ellipsis_line_frac <= 0.3) AS rule_ellipsis_lines,
+  (alpha_word_frac >= 0.8) AS rule_alpha_words,
+  (n_stopwords >= 2) AS rule_stopwords,
+  ((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (symbol_ratio <= 0.1) AND (n_lines = 0 OR bullet_line_frac <= 0.9)
+   AND (n_lines = 0 OR ellipsis_line_frac <= 0.3) AND (alpha_word_frac >= 0.8)
+   AND (n_stopwords >= 2)) AS gopher_pass
+FROM m
+"""
+
+
+@register(
+    "doc_gopher_quality",
+    _GOPHER_ORACLE,
+    "Gopher quality-rule battery (Rae et al. 2021) as one shuffle-free projection",
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))

@@ -141,3 +141,38 @@ def test_encode_is_pure_projection(spark):
     assert a.exchanges == 0, a.text
     assert a.python_stages == 0
     assert a.sort_merge_joins + a.shuffle_hash_joins + a.broadcast_hash_joins == 0
+
+
+def test_gopher_quality_flags_edges(spark):
+    from duckpipe_spark.functions.text import gopher_quality_flags
+
+    long_good = " ".join(["the quick brown fox jumps over lazy dogs in town"] * 6)
+    docs = spark.createDataFrame(
+        [
+            (1, long_good),                               # 60 words, passes
+            (2, "- a\n- b\n- c\nplain"),                  # 3/4 bullet lines
+            (3, "end...\nnope\nalso…\n"),                 # 2/3 ellipsis ends
+            (4, "## ## ##"),                              # symbol-heavy
+            (5, ""),                                      # empty: no lines
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_quality_flags(docs).collect()}
+    assert got[1]["rule_word_count"] and got[1]["gopher_pass"]
+    assert abs(got[2]["bullet_line_frac"] - 0.75) < 1e-12
+    assert got[2]["rule_bullet_lines"]  # 0.75 <= 0.9
+    assert abs(got[3]["ellipsis_line_frac"] - 2 / 3) < 1e-12
+    assert not got[3]["rule_ellipsis_lines"]
+    assert got[4]["symbol_ratio"] > 0.1 and not got[4]["rule_symbol_ratio"]
+    assert got[5]["bullet_line_frac"] == 0.0 and got[5]["ellipsis_line_frac"] == 0.0
+    assert not got[5]["gopher_pass"]  # word-count floor fails
+
+
+def test_gopher_is_pure_projection(spark):
+    from duckpipe_spark.functions.text import gopher_quality_flags
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with no_aqe(spark):
+        a = audit_plan(gopher_quality_flags(docs))
+    assert a.exchanges == 0
+    assert a.python_stages == 0
