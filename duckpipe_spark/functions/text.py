@@ -339,3 +339,50 @@ def gopher_quality_flags(
         r_stop.alias("rule_stopwords"),
         (r_words & r_wl & r_sym & r_bullet & r_ell & r_alpha & r_stop).alias("gopher_pass"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping context-window chunks →
+    (id_col, chunk_idx, start_token, n_chunk_tokens, chunk_text): chunk i
+    covers tokens [i·stride, i·stride + max_tokens); the final chunk may be
+    short; token-less docs yield no chunks. ``stride < max_tokens`` gives
+    the standard training overlap of ``max_tokens - stride`` tokens.
+
+    A pure projection + explode — chunks are emitted in the scan partition
+    that read the document, no shuffle, no Python. chunk_idx is a function
+    of the DATA (token offsets), so the output is partition-invariant and
+    composes with ``shard_and_order`` / ``pack_sequences`` downstream."""
+    if stride < 1:
+        raise ValueError("chunk_documents needs stride >= 1")
+    if max_tokens < stride:
+        raise ValueError("chunk_documents needs max_tokens >= stride (non-negative overlap)")
+    toks = tokens_col(F.col(text_col))
+    df = df.withColumn("_t", F.filter(toks, lambda w: w != ""))
+    n = F.size("_t")
+    starts = F.when(n >= 1, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("bigint").alias("chunk_idx"),
+                s.cast("bigint").alias("start_token"),
+                F.slice("_t", (s + 1).cast("int"), max_tokens).alias("ctoks"),
+            ),
+        )
+    )
+    out = df.select(F.col(id_col), chunk.alias("c"))
+    return out.select(
+        id_col,
+        "c.chunk_idx",
+        "c.start_token",
+        F.size("c.ctoks").cast("bigint").alias("n_chunk_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )

@@ -432,3 +432,33 @@ FROM m
 )
 def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+from duckpipe_spark.functions.text import chunk_documents  # noqa: E402
+
+_CHUNK_MAX, _CHUNK_STRIDE = 64, 48
+
+_CHUNK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+  CAST(s AS BIGINT) AS start_token,
+  CAST(len(list_slice(t, s + 1, s + {_CHUNK_MAX})) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(list_slice(t, s + 1, s + {_CHUNK_MAX}), ' ') AS chunk_text
+FROM (SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS s FROM base)
+"""
+
+
+@register(
+    "doc_chunks",
+    _CHUNK_ORACLE,
+    "overlapping context-window chunking (pure projection + explode)",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=_CHUNK_MAX, stride=_CHUNK_STRIDE
+    )

@@ -176,3 +176,41 @@ def test_gopher_is_pure_projection(spark):
         a = audit_plan(gopher_quality_flags(docs))
     assert a.exchanges == 0
     assert a.python_stages == 0
+
+
+def test_chunk_documents_semantics(spark):
+    from duckpipe_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(str(i) for i in range(10))),  # 10 tokens
+            (2, "a b"),                                # single short chunk
+            (3, ""),                                   # no chunks
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.start_token, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, max_tokens=4, stride=3).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 4, "0 1 2 3"),
+        (1, 1, 3, 4, "3 4 5 6"),
+        (1, 2, 6, 4, "6 7 8 9"),
+        (1, 3, 9, 1, "9"),
+        (2, 0, 0, 2, "a b"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=2, stride=3)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, stride=0)
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from duckpipe_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with no_aqe(spark):
+        a = audit_plan(chunk_documents(docs))
+    assert a.exchanges == 0
+    assert a.python_stages == 0
