@@ -133,16 +133,21 @@ def learn_bpe_merges(
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
-def bpe_symbol_count_col(token: Column, merges: list[tuple[str, str]]) -> Column:
-    """Symbol count of one token after applying ``merges`` in order.
-    Tokens containing SEP (unrepresentable) fall back to character count."""
+def bpe_symbols_of_token_col(token: Column, merges: list[tuple[str, str]]) -> Column:
+    """Symbol array of one token after applying ``merges`` in order.
+    Tokens containing SEP (unrepresentable) fall back to their character
+    list (those characters map to OOV at id time)."""
     s = wrapped_symbols_col(token)
     for lhs, rhs in merges:
         pat, rep = _merge_pattern(lhs, rhs)
         s = F.replace(s, F.lit(pat), F.lit(rep))
-    clean = F.size(symbols_col(s))
-    n_chars = F.size(F.filter(F.split(token, ""), lambda c: c != ""))
-    return F.when(token.contains(SEP), n_chars).otherwise(clean)
+    chars = F.filter(F.split(token, ""), lambda c: c != "")
+    return F.when(token.contains(SEP), chars).otherwise(symbols_col(s))
+
+
+def bpe_symbol_count_col(token: Column, merges: list[tuple[str, str]]) -> Column:
+    """Symbol count of one token after applying ``merges`` in order."""
+    return F.size(bpe_symbols_of_token_col(token, merges))
 
 
 def bpe_token_counts(
@@ -167,3 +172,77 @@ def bpe_token_counts(
         lambda acc, t: acc + bpe_symbol_count_col(t, merges).cast("bigint"),
     )
     return docs.select(F.col(id_col), total.alias("n_bpe_tokens"))
+
+
+def _collect_merges(merges: DataFrame | list[tuple[str, str]]) -> list[tuple[str, str]]:
+    if isinstance(merges, DataFrame):
+        return [(r.lhs, r.rhs) for r in merges.orderBy("merge_rank").collect()]
+    return list(merges)
+
+
+def bpe_vocab_ids(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+) -> dict[str, int]:
+    """The subword vocabulary a merge table induces: alphabet characters
+    (distinct chars of the clean training words, binary-sorted) get ids
+    1..A, merge products get A + merge_rank, id 0 is OOV. When two merge
+    rounds produce the SAME surface string (e.g. (a, bc) then (ab, c)),
+    the FIRST id wins — mirrored in the oracle by a MIN(id) group.
+    Driver-bounded by construction: |charset| + n_merges entries."""
+    merges = _collect_merges(merges)
+    toks = tokens_col(F.col(text_col))
+    chars = (
+        docs.select(F.explode(toks).alias("w"))
+        .where((F.col("w") != "") & ~F.col("w").contains(SEP))
+        .select(F.explode(F.filter(F.split("w", ""), lambda c: c != "")).alias("c"))
+        .distinct()
+        .orderBy("c")
+        .collect()
+    )
+    vocab = {r.c: i + 1 for i, r in enumerate(chars)}
+    a = len(vocab)
+    for rank, (lhs, rhs) in enumerate(merges, start=1):
+        vocab.setdefault(lhs + rhs, a + rank)
+    return vocab
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: dict[str, int] | None = None,
+) -> DataFrame:
+    """Encode documents to BPE token-id sequences → (id_col, pos,
+    token_id): the id streams a training pipeline feeds to
+    ``chunk_documents``/``pack_sequences``/``shard_and_order``. pos is the
+    0-based symbol position across the whole document; OOV symbols (chars
+    unseen in training — only possible inside SEP-bearing tokens) map
+    to 0, the same convention as ``encode_docs``.
+
+    Scale shape: the merge chain and the vocabulary are driver-bounded
+    (n_merges rows; |charset|+n_merges map entries) and ride into the
+    expression as literals — a broadcast in all but name — so encoding is
+    a flatten + posexplode PROJECTION: no join, no shuffle, no Python."""
+    merges = _collect_merges(merges)
+    if vocab is None:
+        vocab = bpe_vocab_ids(docs, merges, text_col)
+    toks = tokens_col(F.col(text_col))
+    all_syms = F.flatten(
+        F.transform(toks, lambda t: bpe_symbols_of_token_col(t, merges))
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(all_syms).alias("pos", "sym")
+    )
+    id_map = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in kv]
+    )
+    return exploded.select(
+        id_col,
+        F.col("pos").cast("bigint").alias("pos"),
+        F.coalesce(F.element_at(id_map, F.col("sym")), F.lit(0))
+        .cast("bigint")
+        .alias("token_id"),
+    )

@@ -105,3 +105,62 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=N_MERGES)
     return bpe_token_counts(docs, merges)
+
+
+from duckpipe_spark.functions.bpe import bpe_encode_ids  # noqa: E402
+
+
+def _encode_ids_oracle(n_merges: int) -> str:
+    # vocabulary: alphabet chars (binary-sorted) get 1..A, merge products
+    # A + rank; MIN(id) resolves two rounds producing the same surface
+    # string (first id wins — mirrors bpe_vocab_ids's setdefault)
+    vocab_rows = "\nUNION ALL\n".join(
+        f"SELECT lhs || rhs AS sym, (SELECT a FROM asize) + {r} AS id FROM top{r}"
+        for r in range(1, n_merges + 1)
+    )
+    tops = ", ".join(
+        f"(SELECT lhs AS l{r}, rhs AS r{r} FROM top{r})" for r in range(1, n_merges + 1)
+    )
+    chain = f"{_S} || array_to_string(string_split(tk, ''), {_S}||{_S}) || {_S}"
+    for r in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, {_S}||l{r}||{_S}||{_S}||r{r}||{_S}, {_S}||l{r}||r{r}||{_S})"
+        )
+    return f"""WITH {_bpe_ctes(n_merges)},
+alpha AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT) AS id
+  FROM (SELECT DISTINCT unnest(string_split(w, '')) AS c FROM w)
+),
+asize AS (SELECT count(*) AS a FROM alpha),
+vocab AS (
+  SELECT sym, MIN(id) AS id FROM (
+    SELECT c AS sym, id FROM alpha
+    UNION ALL
+{vocab_rows}
+  ) GROUP BY sym
+),
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform(t, tk -> CASE WHEN contains(tk, {_S})
+        THEN string_split(tk, '')
+        ELSE list_filter(string_split({chain}, {_S}), x -> x <> '') END)) AS syms
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), {tops}
+)
+SELECT e.doc_id, e.pos, CAST(coalesce(v.id, 0) AS BIGINT) AS token_id
+FROM (
+  SELECT doc_id, CAST(unnest(range(len(syms))) AS BIGINT) AS pos, unnest(syms) AS sym
+  FROM enc
+) e
+LEFT JOIN vocab v ON e.sym = v.sym
+"""
+
+
+@register(
+    "doc_bpe_encoded",
+    _encode_ids_oracle(N_MERGES),
+    "BPE id-sequence encoding (train -> vocab ids -> per-position tokens, shuffle-free)",
+)
+def doc_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=N_MERGES)
+    return bpe_encode_ids(docs, merges)

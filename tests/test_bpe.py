@@ -214,3 +214,42 @@ def test_chunk_documents_is_shuffle_free(spark):
         a = audit_plan(chunk_documents(docs))
     assert a.exchanges == 0
     assert a.python_stages == 0
+
+
+def test_bpe_encode_ids_vocab_and_oov(spark):
+    from duckpipe_spark.functions.bpe import bpe_encode_ids, bpe_vocab_ids
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab b"), (2, f"a{SEP}c")], "doc_id bigint, text string"
+    )
+    # training sees only clean words {ab, b}: alphabet {a:1, b:2};
+    # merge 1 = (a,b) -> "ab" gets id 3
+    merges = [("a", "b")]
+    vocab = bpe_vocab_ids(docs, merges)
+    assert vocab == {"a": 1, "b": 2, "ab": 3}
+    rows = sorted(
+        (r.doc_id, r.pos, r.token_id) for r in bpe_encode_ids(docs, merges, vocab=vocab).collect()
+    )
+    # doc1: [ab, ab, b] -> [3, 3, 2]; doc2's SEP token falls back to its
+    # chars [a, SEP, c]: a=1, SEP and c unseen -> OOV 0
+    assert rows == [(1, 0, 3), (1, 1, 3), (1, 2, 2), (2, 0, 1), (2, 1, 0), (2, 2, 0)]
+
+
+def test_bpe_vocab_merge_collision_first_id_wins(spark):
+    from duckpipe_spark.functions.bpe import bpe_vocab_ids
+
+    docs = spark.createDataFrame([(1, "abc abc")], "doc_id bigint, text string")
+    # two merge rounds producing the same surface string "abc"
+    vocab = bpe_vocab_ids(docs, [("a", "bc"), ("ab", "c")])
+    assert vocab["abc"] == 3 + 1  # alphabet {a,b,c} then FIRST merge's id
+
+
+def test_bpe_encode_ids_is_shuffle_free(spark):
+    from duckpipe_spark.functions.bpe import bpe_encode_ids
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    with no_aqe(spark):
+        a = audit_plan(bpe_encode_ids(docs, [("a", "b")], vocab={"a": 1, "b": 2, "ab": 3}))
+    assert a.exchanges == 0, a.text
+    assert a.python_stages == 0
+    assert a.sort_merge_joins + a.shuffle_hash_joins + a.broadcast_hash_joins == 0
