@@ -155,23 +155,26 @@ def bpe_token_counts(
     merges: DataFrame | list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document BPE token count under a learned merge table →
-    (id_col, n_bpe_tokens). A pure projection: a higher-order fold over
-    the token array applies the replace chain per token and sums symbol
-    counts — no explode, no shuffle. ``merges`` may be the
+    (id_col, *keep_cols, n_bpe_tokens). A pure projection: a higher-order
+    fold over the token array applies the replace chain per token and sums
+    symbol counts — no explode, no shuffle. ``merges`` may be the
     ``learn_bpe_merges`` output (collected here — it is n_merges rows,
-    driver-bounded by construction) or an already-collected list."""
-    if isinstance(merges, DataFrame):
-        rows = merges.orderBy("merge_rank").collect()
-        merges = [(r.lhs, r.rhs) for r in rows]
+    driver-bounded by construction) or an already-collected list;
+    ``keep_cols`` ride along for downstream stream keys (e.g. the
+    language column sequence packing partitions on)."""
+    merges = _collect_merges(merges)
     toks = tokens_col(F.col(text_col))
     total = F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
         lambda acc, t: acc + bpe_symbol_count_col(t, merges).cast("bigint"),
     )
-    return docs.select(F.col(id_col), total.alias("n_bpe_tokens"))
+    return docs.select(
+        F.col(id_col), *[F.col(c) for c in (keep_cols or [])], total.alias("n_bpe_tokens")
+    )
 
 
 def _collect_merges(merges: DataFrame | list[tuple[str, str]]) -> list[tuple[str, str]]:

@@ -164,3 +164,54 @@ def doc_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=N_MERGES)
     return bpe_encode_ids(docs, merges)
+
+
+from duckpipe_spark.functions.sampling import pack_sequences  # noqa: E402
+
+_PACK_BUDGET = 512
+
+
+def _bpe_pack_oracle(n_merges: int) -> str:
+    tops = ", ".join(
+        f"(SELECT lhs AS l{r}, rhs AS r{r} FROM top{r})" for r in range(1, n_merges + 1)
+    )
+    chain = f"{_S} || array_to_string(string_split(tk, ''), {_S}||{_S}) || {_S}"
+    for r in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, {_S}||l{r}||{_S}||{_S}||r{r}||{_S}, {_S}||l{r}||r{r}||{_S})"
+        )
+    return f"""WITH {_bpe_ctes(n_merges)},
+counted AS (
+  SELECT doc_id, lang,
+    CAST(coalesce(list_sum(list_transform(t, tk ->
+      CASE WHEN contains(tk, {_S}) THEN length(tk)
+           ELSE len(list_filter(string_split({chain}, {_S}), x -> x <> '')) END
+    )), 0) AS BIGINT) AS n_bpe_tokens
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents), {tops}
+)
+SELECT doc_id, lang, n_bpe_tokens,
+  CAST(floor(
+    coalesce(sum(n_bpe_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM counted
+"""
+
+
+@register(
+    "doc_bpe_pack",
+    _bpe_pack_oracle(N_MERGES),
+    "tokenizer-aware sequence packing: BPE counts feed per-language concat-and-chunk",
+)
+def doc_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integration shape: learned-tokenizer token counts drive the packing
+    a pre-training run actually performs — merges trained on the corpus,
+    counts as a shuffle-free fold, one window shuffle on the language
+    stream key (the same scale story as doc_pack_sequences)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=N_MERGES)
+    counted = bpe_token_counts(docs, merges, keep_cols=["lang"])
+    return pack_sequences(counted, "n_bpe_tokens", _PACK_BUDGET, "lang").select(
+        "doc_id", "lang", "n_bpe_tokens", "pack_id"
+    )
