@@ -466,3 +466,78 @@ def source_rollup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.sum("n_tokens").alias("total_tokens"),
         (F.sum("qp").cast("double") / (n_docs * 3)).alias("avg_quality"),
     )
+
+
+def mask_contaminated_spans(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 10,
+    bench_bucket_min: int = 90,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination as an ACTION, not just a report (the
+    GPT-3-appendix recipe: remove a window around every benchmark n-gram
+    collision): for each TRAIN document (same deterministic Lehmer split
+    as ``decontamination_stats``), any non-overlapping ``window``-word
+    span containing the START of a k-gram that also occurs in a benchmark
+    document is dropped, and the cleaned text is rebuilt from the
+    surviving spans — the sub-window tail is span index ``nwin`` and obeys
+    the same rule. → (doc_id, n_spans, n_masked, clean_text) for every
+    train doc (n_spans counts full spans + a nonempty tail).
+
+    Scale shape mirrors ``remove_duplicate_spans`` + the stats operator:
+    positional k-gram hashes are an Arrow projection of the scan, the
+    benchmark set is distinct-over-the-small-slice and BROADCAST, the
+    per-doc masked-span lists are a sparse aggregate (collisions are the
+    minority), and document bodies never leave their scan partitions —
+    unmasked docs short-circuit to a whitespace-normalized token join."""
+    from duckpipe_spark.functions.dedup import positional_shingle_hashes
+    from duckpipe_spark.functions.sampling import lehmer_hash_col
+
+    w = int(window)
+    ph = positional_shingle_hashes(docs, text_col, id_col, k).withColumn(
+        "_b", lehmer_hash_col(F.col("id")) % 100
+    )
+    bench = ph.where(F.col("_b") >= bench_bucket_min).select("hv").distinct()
+    hits = (
+        ph.where(F.col("_b") < bench_bucket_min)
+        .join(F.broadcast(bench), "hv")
+        .select("id", F.floor(F.col("pos") / w).cast("int").alias("si"))
+        .distinct()
+    )
+    masked = hits.groupBy("id").agg(F.collect_set("si").alias("_masked"))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        docs.where(lehmer_hash_col(F.col(id_col)) % 100 < bench_bucket_min)
+        .select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .withColumn("_nwin", F.floor(F.size("_t") / w).cast("int"))
+    )
+    joined = base.join(masked, "id", "left")
+    span_idx = F.when(
+        F.col("_nwin") > 0, F.sequence(F.lit(0), F.col("_nwin") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    keep_idx = F.filter(span_idx, lambda i: ~F.array_contains("_masked", i))
+    body = F.nullif(
+        F.array_join(
+            F.transform(keep_idx, lambda i: F.concat_ws(" ", F.slice("_t", i * w + 1, w))),
+            " ",
+        ),
+        F.lit(""),
+    )
+    tail_len = F.size("_t") - F.col("_nwin") * w
+    tail = F.when(
+        (tail_len > 0) & ~F.array_contains(F.coalesce("_masked", F.array().cast("array<int>")), F.col("_nwin")),
+        F.concat_ws(" ", F.slice("_t", F.col("_nwin") * w + 1, tail_len)),
+    )
+    clean = F.when(
+        F.col("_masked").isNull(), F.array_join("_t", " ")
+    ).otherwise(F.concat_ws(" ", body, tail))
+    n_spans = F.col("_nwin") + F.when(tail_len > 0, F.lit(1)).otherwise(F.lit(0))
+    n_masked = F.coalesce(F.size("_masked"), F.lit(0))
+    return joined.select(
+        F.col("id").alias(id_col),
+        n_spans.cast("bigint").alias("n_spans"),
+        n_masked.cast("bigint").alias("n_masked"),
+        clean.alias("clean_text"),
+    )

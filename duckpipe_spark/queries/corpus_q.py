@@ -481,3 +481,84 @@ def doc_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.corpus import source_rollup
 
     return source_rollup(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# contamination MASKING — span-level removal of benchmark n-gram collisions
+# ---------------------------------------------------------------------------
+
+_MASK_W = 10
+
+
+def _mask_oracle(k: int, w: int, bucket_min: int) -> str:
+    combine = "wl[i]"
+    for j in range(1, k):
+        combine = f"({combine} * {WORD_BASE} + wl[i+{j}]) % {POLY_MOD}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+wh AS (
+  SELECT id, list_transform(t, x -> list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(x, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, y) -> (acc * {POLY_BASE} + y) % {POLY_MOD}
+  )) AS wl, len(t) AS n
+  FROM toks WHERE len(t) >= {k}
+),
+ph AS (
+  SELECT id, i, {combine} AS hv
+  FROM (SELECT id, wl, unnest(range(1, n - {k - 2})) AS i FROM wh)
+),
+split AS (SELECT id, i, hv, ({lehmer_hash_sql('id')}) % 100 AS b FROM ph),
+bench AS (SELECT DISTINCT hv FROM split WHERE b >= {bucket_min}),
+hits AS (
+  SELECT DISTINCT s.id, CAST((s.i - 1) // {w} AS INT) AS si
+  FROM split s JOIN bench USING (hv) WHERE s.b < {bucket_min}
+),
+maskedn AS (SELECT id, count(*) AS n_masked FROM hits GROUP BY id),
+base AS (
+  SELECT id, t, len(t) AS n, CAST(floor(len(t) / {w}) AS INT) AS nwin
+  FROM toks WHERE ({lehmer_hash_sql('id')}) % 100 < {bucket_min}
+),
+wins AS (SELECT id, unnest(range(0, nwin)) AS i, t FROM base),
+kept AS (
+  SELECT wn.id, wn.i,
+         array_to_string(list_slice(wn.t, wn.i * {w} + 1, wn.i * {w} + {w}), ' ') AS span
+  FROM wins wn LEFT JOIN hits h ON wn.id = h.id AND wn.i = h.si
+  WHERE h.id IS NULL
+),
+body AS (SELECT id, string_agg(span, ' ' ORDER BY i) AS body FROM kept GROUP BY id),
+tails AS (
+  SELECT b.id, b.nwin, b.n,
+         CASE WHEN b.n > b.nwin * {w}
+                   AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.id = b.id AND h.si = b.nwin)
+              THEN array_to_string(list_slice(b.t, b.nwin * {w} + 1, b.n), ' ')
+         END AS tail
+  FROM base b
+)
+SELECT b.id AS doc_id,
+  CAST(b.nwin + CASE WHEN b.n > b.nwin * {w} THEN 1 ELSE 0 END AS BIGINT) AS n_spans,
+  CAST(COALESCE(m.n_masked, 0) AS BIGINT) AS n_masked,
+  CASE WHEN m.id IS NULL THEN array_to_string(b.t, ' ')
+       ELSE concat_ws(' ', bd.body, tl.tail) END AS clean_text
+FROM base b
+LEFT JOIN maskedn m USING (id)
+LEFT JOIN body bd USING (id)
+LEFT JOIN tails tl USING (id)
+"""
+
+
+@register(
+    "doc_mask_contaminated",
+    _mask_oracle(_DECON_K, _MASK_W, _BENCH_BUCKET_MIN),
+    "benchmark-contamination span masking (decontamination as an action)",
+)
+def doc_mask_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.corpus import mask_contaminated_spans
+
+    return mask_contaminated_spans(
+        load_table(spark, sf_dir, "documents"),
+        k=_DECON_K,
+        window=_MASK_W,
+        bench_bucket_min=_BENCH_BUCKET_MIN,
+    )

@@ -232,3 +232,61 @@ def test_curate_counts_run_as_one_action(spark, corpus_docs, monkeypatch):
     )
     assert report.n_input == 34 and report.n_after_neardup == 30
     assert calls["collect"] == 1, f"expected one funnel action, saw {calls}"
+
+
+class TestMaskContaminatedSpans:
+    def test_planted_contamination_masks_the_containing_span(self, spark):
+        import pyspark.sql.functions as F
+
+        from duckpipe_spark.functions.corpus import mask_contaminated_spans
+        from duckpipe_spark.functions.sampling import lehmer_hash_col
+
+        # find a benchmark-bucket id and two train-bucket ids under the
+        # same deterministic split the operator uses
+        ids = spark.range(1, 200).select(
+            "id", (lehmer_hash_col(F.col("id")) % 100).alias("b")
+        ).collect()
+        bench_id = next(r.id for r in ids if r.b >= 90)
+        train_ids = [r.id for r in ids if r.b < 90][:2]
+
+        secret = "alpha bravo charlie delta echo"  # the leaked 5-gram
+        filler = " ".join(f"w{i}" for i in range(10))          # span 0
+        contaminated = filler + " " + secret + " " + " ".join(f"x{i}" for i in range(5))
+        docs = spark.createDataFrame(
+            [
+                (bench_id, f"benchmark question: {secret} indeed"),
+                (train_ids[0], contaminated),   # secret starts at pos 10 → span 1
+                (train_ids[1], filler),         # clean control
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r.asDict() for r in mask_contaminated_spans(docs).collect()}
+        assert bench_id not in got  # bench docs are not emitted
+        bad = got[train_ids[0]]
+        # 20 tokens = spans 0,1; the secret's k-grams start in span 1
+        assert bad["n_spans"] == 2 and bad["n_masked"] == 1
+        assert bad["clean_text"] == filler  # span 1 dropped, span 0 kept
+        ok = got[train_ids[1]]
+        assert ok["n_masked"] == 0 and ok["clean_text"] == filler
+
+    def test_all_masked_doc_yields_empty_text(self, spark):
+        import pyspark.sql.functions as F
+
+        from duckpipe_spark.functions.corpus import mask_contaminated_spans
+        from duckpipe_spark.functions.sampling import lehmer_hash_col
+
+        ids = spark.range(1, 200).select(
+            "id", (lehmer_hash_col(F.col("id")) % 100).alias("b")
+        ).collect()
+        bench_id = next(r.id for r in ids if r.b >= 90)
+        train_id = next(r.id for r in ids if r.b < 90)
+        secret = "alpha bravo charlie delta echo"
+        docs = spark.createDataFrame(
+            [(bench_id, secret), (train_id, secret)],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r.asDict() for r in mask_contaminated_spans(docs).collect()}
+        bad = got[train_id]
+        # 5 tokens → no full span, tail is span 0 and it is contaminated
+        assert bad["n_spans"] == 1 and bad["n_masked"] == 1
+        assert bad["clean_text"] == ""
