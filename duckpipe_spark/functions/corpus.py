@@ -541,3 +541,63 @@ def mask_contaminated_spans(
         n_masked.cast("bigint").alias("n_masked"),
         clean.alias("clean_text"),
     )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate removal as an ACTION (the C4/RefinedWeb line rule):
+    any line whose trimmed text occurs in ≥ ``min_docs`` DISTINCT
+    documents (headers, footers, cookie banners, license blurbs) is
+    stripped from every document, and the text is rebuilt from the
+    surviving lines. Empty/whitespace-only lines are dropped from the
+    rebuild (normalization, matching the line-split rule of
+    ``gopher_quality_flags``). → (doc_id, n_lines, n_stripped,
+    clean_text) for every document.
+
+    Scale shape: lines are a projection + explode of the scan; the
+    document-frequency aggregate shuffles (line-hash, id)-distinct rows
+    — not line text — and the boilerplate SET (df ≥ min_docs) is the
+    heavy-hitter tail, tiny relative to the corpus and BROADCAST for the
+    strip join back. Docs with no boilerplate lines short-circuit to the
+    normalized line join; line content itself never takes a wide
+    shuffle."""
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    base = docs.select(F.col(id_col).alias("id"), lines_arr.alias("_l"))
+    exploded = base.select("id", F.explode(F.array_distinct("_l")).alias("line")).select(
+        "id", F.md5("line").alias("lh")
+    )
+    boiler = (
+        exploded.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("lh")
+    )
+    # per-doc boilerplate line-hash list (sparse: only docs that contain
+    # at least one boilerplate line appear)
+    doc_boiler = (
+        exploded.join(F.broadcast(boiler), "lh")
+        .groupBy("id")
+        .agg(F.collect_set("lh").alias("_bl"))
+    )
+    joined = base.join(doc_boiler, "id", "left")
+    kept = F.filter(F.col("_l"), lambda x: ~F.array_contains("_bl", F.md5(x)))
+    n_lines = F.size("_l")
+    clean = F.when(
+        F.col("_bl").isNull(), F.array_join("_l", "\n")
+    ).otherwise(F.array_join(kept, "\n"))
+    n_stripped = F.when(F.col("_bl").isNull(), F.lit(0)).otherwise(
+        n_lines - F.size(kept)
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        n_lines.cast("bigint").alias("n_lines"),
+        n_stripped.cast("bigint").alias("n_stripped"),
+        clean.alias("clean_text"),
+    )

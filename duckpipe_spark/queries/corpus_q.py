@@ -562,3 +562,62 @@ def doc_mask_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_MASK_W,
         bench_bucket_min=_BENCH_BUCKET_MIN,
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate line stripping — the ACTION counterpart of doc_boilerplate
+# ---------------------------------------------------------------------------
+
+_STRIP_MIN_DOCS = 3
+
+_STRIP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS l
+  FROM documents
+),
+exploded AS (
+  SELECT DISTINCT id, md5(line) AS lh
+  FROM (SELECT id, unnest(l) AS line FROM base)
+),
+boiler AS (
+  SELECT lh FROM exploded GROUP BY lh HAVING count(*) >= {_STRIP_MIN_DOCS}
+),
+doc_boiler AS (
+  SELECT e.id, count(*) AS nb FROM exploded e JOIN boiler USING (lh) GROUP BY e.id
+),
+poslines AS (
+  SELECT id, i, l[i] AS line
+  FROM (SELECT id, l, unnest(range(1, len(l) + 1)) AS i FROM base)
+),
+kept AS (
+  SELECT p.id, p.i, p.line
+  FROM poslines p LEFT JOIN boiler b ON md5(p.line) = b.lh
+  WHERE b.lh IS NULL
+),
+body AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY i) AS body, count(*) AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT b.id AS doc_id,
+  CAST(len(b.l) AS BIGINT) AS n_lines,
+  CAST(CASE WHEN d.id IS NOT NULL THEN len(b.l) - COALESCE(bd.n_kept, 0) ELSE 0 END AS BIGINT) AS n_stripped,
+  CASE WHEN d.id IS NOT NULL THEN COALESCE(bd.body, '')
+       ELSE array_to_string(b.l, chr(10)) END AS clean_text
+FROM base b
+LEFT JOIN doc_boiler d USING (id)
+LEFT JOIN body bd USING (id)
+"""
+
+
+@register(
+    "doc_strip_boilerplate",
+    _STRIP_ORACLE,
+    "C4-style boilerplate line stripping (the action counterpart of doc_boilerplate)",
+)
+def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckpipe_spark.functions.corpus import strip_boilerplate_lines
+
+    return strip_boilerplate_lines(
+        load_table(spark, sf_dir, "documents"), min_docs=_STRIP_MIN_DOCS
+    )

@@ -290,3 +290,49 @@ class TestMaskContaminatedSpans:
         # 5 tokens → no full span, tail is span 0 and it is contaminated
         assert bad["n_spans"] == 1 and bad["n_masked"] == 1
         assert bad["clean_text"] == ""
+
+
+class TestStripBoilerplateLines:
+    def test_planted_boilerplate_stripped_everywhere(self, spark):
+        from duckpipe_spark.functions.corpus import strip_boilerplate_lines
+
+        footer = "(c) example corp - all rights reserved"
+        docs = spark.createDataFrame(
+            [
+                (1, f"real content one\n{footer}\nmore text"),
+                (2, f"other article\n  {footer}  "),     # trim-normalized match
+                (3, f"third doc\n{footer}\n"),
+                (4, "unique doc\nwith its own footer"),
+                (5, "\n\n"),                             # only empty lines
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r.asDict() for r in strip_boilerplate_lines(docs, min_docs=3).collect()}
+        assert got[1] == {
+            "doc_id": 1, "n_lines": 3, "n_stripped": 1,
+            "clean_text": "real content one\nmore text",
+        }
+        assert got[2]["n_stripped"] == 1 and got[2]["clean_text"] == "other article"
+        assert got[3]["n_stripped"] == 1 and got[3]["clean_text"] == "third doc"
+        assert got[4]["n_stripped"] == 0 and got[4]["clean_text"] == "unique doc\nwith its own footer"
+        assert got[5] == {"doc_id": 5, "n_lines": 0, "n_stripped": 0, "clean_text": ""}
+
+    def test_duplicate_lines_within_one_doc_count_once_for_df(self, spark):
+        from duckpipe_spark.functions.corpus import strip_boilerplate_lines
+
+        # the same line 3x inside ONE doc is df=1, not boilerplate
+        docs = spark.createDataFrame(
+            [(1, "x\nx\nx"), (2, "y")], "doc_id bigint, text string"
+        )
+        got = {r.doc_id: r.asDict() for r in strip_boilerplate_lines(docs, min_docs=2).collect()}
+        assert got[1]["n_stripped"] == 0 and got[1]["clean_text"] == "x\nx\nx"
+
+    def test_fully_boilerplate_doc_becomes_empty(self, spark):
+        from duckpipe_spark.functions.corpus import strip_boilerplate_lines
+
+        docs = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "same\nown")], "doc_id bigint, text string"
+        )
+        got = {r.doc_id: r.asDict() for r in strip_boilerplate_lines(docs, min_docs=3).collect()}
+        assert got[1]["clean_text"] == "" and got[1]["n_stripped"] == 1
+        assert got[3]["clean_text"] == "own"

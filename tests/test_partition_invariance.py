@@ -339,6 +339,15 @@ def op_curation_pipeline(spark, scramble):
     return curation_pipeline(scramble(_docs(spark)))
 
 
+def op_mask_contaminated(spark, scramble):
+    # masked-span sets are collect_set consumed order-insensitively
+    # (array_contains + size); the bench set and hits are pure functions
+    # of the data
+    from duckpipe_spark.functions.corpus import mask_contaminated_spans
+
+    return mask_contaminated_spans(scramble(_docs(spark)))
+
+
 def op_bpe(spark, scramble):
     # iterative argmax rounds: each round's pair counts are exact integer
     # sums and the (freq desc, lhs, rhs) tie-break is total, so the merge
@@ -352,6 +361,7 @@ def op_bpe(spark, scramble):
 _OPS = [
     op_token_stats,
     op_bpe,
+    op_mask_contaminated,
     op_minhash,
     op_simhash,
     op_exact_dedup,
