@@ -69,11 +69,11 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     as r7-modified).
 # Two-window schedule for the aging cohorts (VERDICT r6 item 7), so no
 # query's latest green row ever exceeds 3 rounds:
-#   * r8 window: the 32 remaining r5-green queries (everything r5 in the
-#     latest-green table minus the 11 already re-attested here) + 18 of
-#     the 50-strong r6 cohort (alphabetical prefix) + r8's own
-#     new/changed queries squeezed in by trimming the r6 prefix;
-#   * r9 window: the other 32 r6-cohort queries + the r7 cohort starts
+#   * r8 window: the 40 remaining r5-green queries (r7's new-operator
+#     influx left only blob_byte_entropy + the two re-entering-as-changed
+#     from the r5 fill) + up to 10 of the 50-strong r6 cohort
+#     (alphabetical prefix), trimmed for r8's own new/changed queries;
+#   * r9 window: the remaining r6-cohort queries + the r7 cohort starts
 #     aging (this window's 50) — alphabetical prefix as needed.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
