@@ -496,12 +496,22 @@ def mask_contaminated_spans(
     from duckpipe_spark.functions.sampling import lehmer_hash_col
 
     w = int(window)
-    ph = positional_shingle_hashes(docs, text_col, id_col, k).withColumn(
-        "_b", lehmer_hash_col(F.col("id")) % 100
+    # split BEFORE the shingle kernel: the bucket is a function of the id
+    # alone, so filtering docs first (a) pushes the predicate into the
+    # scan and (b) runs the Arrow kernel once over each slice instead of
+    # twice over the whole corpus (the bench-set job and the hits job
+    # each consumed a full-corpus kernel; measured 3.6→0.8 s warm at sf1,
+    # 2.56×→0.57× of DuckDB)
+    bucket = lehmer_hash_col(F.col(id_col)) % 100
+    bench_docs = docs.where(bucket >= bench_bucket_min)
+    train_docs = docs.where(bucket < bench_bucket_min)
+    bench = (
+        positional_shingle_hashes(bench_docs, text_col, id_col, k)
+        .select("hv")
+        .distinct()
     )
-    bench = ph.where(F.col("_b") >= bench_bucket_min).select("hv").distinct()
     hits = (
-        ph.where(F.col("_b") < bench_bucket_min)
+        positional_shingle_hashes(train_docs, text_col, id_col, k)
         .join(F.broadcast(bench), "hv")
         .select("id", F.floor(F.col("pos") / w).cast("int").alias("si"))
         .distinct()
@@ -509,7 +519,7 @@ def mask_contaminated_spans(
     masked = hits.groupBy("id").agg(F.collect_set("si").alias("_masked"))
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = (
-        docs.where(lehmer_hash_col(F.col(id_col)) % 100 < bench_bucket_min)
+        train_docs
         .select(F.col(id_col).alias("id"), toks.alias("_t"))
         .withColumn("_nwin", F.floor(F.size("_t") / w).cast("int"))
     )
