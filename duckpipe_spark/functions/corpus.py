@@ -64,26 +64,36 @@ def decontamination_stats(
     from duckpipe_spark.functions.dedup import shingle_hashes
     from duckpipe_spark.functions.sampling import lehmer_hash_col
 
-    hv = shingle_hashes(docs, text_col, id_col, k)
-    bucket = lehmer_hash_col(F.col("id")) % 100
-    hv = hv.withColumn("_b", bucket)
-    bench_hv = hv.where(F.col("_b") >= bench_bucket_min).select("hv").distinct()
-    train = hv.where(F.col("_b") < bench_bucket_min).select("id", "hv")
-    sizes = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        train.join(F.broadcast(bench_hv), "hv")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # split BEFORE the shingle kernel (r7, same fix as
+    # mask_contaminated_spans): the bucket is a function of the id alone,
+    # so the Arrow kernel runs once over the small bench slice and once
+    # over the train slice instead of three full-corpus passes (the bench
+    # set, the sizes agg, and the hits join each replayed it), and the
+    # split predicate pushes into the scan. The size and membership
+    # counts then fold into ONE aggregate off a left join against the
+    # broadcast set — one kernel pass and one shuffle on the train side.
+    bucket = lehmer_hash_col(F.col(id_col)) % 100
+    bench_hv = (
+        shingle_hashes(docs.where(bucket >= bench_bucket_min), text_col, id_col, k)
+        .select("hv")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    n_shared = F.coalesce("n_shared", F.lit(0)).cast("bigint")
-    return (
-        sizes.join(hits, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
-            n_shared.alias("n_shared"),
-            (n_shared.cast("double") / F.col("n_ngrams")).alias("contamination"),
+    train = shingle_hashes(docs.where(bucket < bench_bucket_min), text_col, id_col, k)
+    out = (
+        train.join(F.broadcast(bench_hv), "hv", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_shared"),
         )
+    )
+    n_shared = F.col("n_shared").cast("bigint")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        n_shared.alias("n_shared"),
+        (n_shared.cast("double") / F.col("n_ngrams")).alias("contamination"),
     )
 
 
@@ -116,22 +126,26 @@ def boilerplate_stats(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_docs)
         .select("hv")
+        .withColumn("_hit", F.lit(1))
     )
-    sizes = hv.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        hv.join(F.broadcast(boiler), "hv")
+    # one kernel pass + one shuffle for both counts (r7): the df relation
+    # needs its own pass, but the per-doc size and hit counts fold into a
+    # single aggregate off a left join against the broadcast set (was:
+    # separate sizes + hits passes — three kernel replays total, now two)
+    out = (
+        hv.join(F.broadcast(boiler), "hv", "left")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
-    )
-    n_boiler = F.coalesce("n_boiler", F.lit(0)).cast("bigint")
-    return (
-        sizes.join(hits, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
-            n_boiler.alias("n_boiler"),
-            (n_boiler.cast("double") / F.col("n_ngrams")).alias("boiler_frac"),
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_boiler"),
         )
+    )
+    n_boiler = F.col("n_boiler").cast("bigint")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        n_boiler.alias("n_boiler"),
+        (n_boiler.cast("double") / F.col("n_ngrams")).alias("boiler_frac"),
     )
 
 

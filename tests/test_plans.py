@@ -179,20 +179,24 @@ def test_corpus_hygiene_joins_are_broadcast_only(spark):
     hit sets (benchmark / heavy-hitter) are the broadcast sides, and the
     only exchanges are the three aggregations (set distinct + two counts).
     The shingle source is the Arrow numpy kernel (r7 — the JVM HOF fold
-    measured ~100× slower per doc): MapInPandas nodes are the kernel and
-    nothing else, one per consumer of the shingle relation (3 — the
-    benchmark set, the per-doc sizes, the hit counts), and no
+    measured ~100× slower per doc), and both counts fold into ONE
+    aggregate off a left join against the broadcast set, so the plan is:
+    ≤2 kernel passes (the set side and the per-doc side — decontamination
+    splits the corpus by bucket BEFORE the kernel so neither pass reads
+    the whole table twice), exactly one broadcast join, and no
     row-at-a-time ArrowEvalPython anywhere."""
     for name in ("doc_decontamination", "doc_boilerplate"):
         with no_aqe(spark):
             a = audit_plan(_q(name)(spark, SF_SMOKE))
         assert a.sort_merge_joins == 0, name
         assert a.shuffle_hash_joins == 0, name
-        assert a.broadcast_hash_joins >= 3, name
+        # count unique join NODES via detail headers (the raw counter sees
+        # each node twice: once in the tree, once in the detail section)
+        assert len(re.findall(r"\n\(\d+\) BroadcastHashJoin", a.text)) == 1, name
         assert a.exchanges <= 3, (name, a.text)
         assert "ArrowEvalPython" not in a.text, name
         kernels = len(re.findall(r"\n\(\d+\) MapInPandas", a.text))
-        assert kernels <= 3, (name, kernels)
+        assert kernels <= 2, (name, kernels)
 
 
 def test_encode_docs_is_broadcast_projection(spark):
