@@ -707,3 +707,41 @@ def test_streaming_incremental_dedup_survives_restart(spark, doc_stream_files, t
     exp = expected.sort_values(["fp"]).reset_index(drop=True)
     assert got["fp"].tolist() == exp["fp"].tolist()
     assert got["doc_id"].astype("int64").tolist() == exp["doc_id"].astype("int64").tolist()
+
+
+def test_gopher_and_chunking_stream_as_projections(spark, tmp_path):
+    """The r7 text projections (Gopher rule battery, context-window
+    chunking, BPE encode with a pre-trained merge list) are stateless, so
+    they run unchanged on a readStream and the drained append-mode sink
+    equals the batch result — the property that lets a continuous-crawl
+    pipeline score/chunk/encode documents on arrival."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.bpe import bpe_token_counts
+    from duckpipe_spark.functions.text import chunk_documents, gopher_quality_flags
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import canonicalize
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = tmp_path / "docs"
+    d.mkdir()
+    pdf = docs.toPandas()
+    n = len(pdf)
+    for i, chunk in enumerate([pdf[: n // 2], pdf[n // 2 :]]):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.parquet(str(d / f"b{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    merges = [("a", "b")]  # pre-trained merge list (training itself is batch)
+    cases = [
+        ("gopher_s", gopher_quality_flags),
+        ("chunks_s", chunk_documents),
+        ("bpe_s", lambda df: bpe_token_counts(df, merges)),
+    ]
+    for name, op in cases:
+        got = _run_stream(spark, op(stream), name, mode="append")
+        want = op(docs)
+        assert canonicalize(got.toPandas()) == canonicalize(want.toPandas()), name
