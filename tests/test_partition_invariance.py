@@ -348,6 +348,31 @@ def op_mask_contaminated(spark, scramble):
     return mask_contaminated_spans(scramble(_docs(spark)))
 
 
+def op_strip_boilerplate(spark, scramble):
+    from duckpipe_spark.functions.corpus import strip_boilerplate_lines
+
+    return strip_boilerplate_lines(scramble(_docs(spark)), min_docs=2)
+
+
+def op_gopher(spark, scramble):
+    from duckpipe_spark.functions.text import gopher_quality_flags
+
+    return gopher_quality_flags(scramble(_docs(spark)))
+
+
+def op_chunks(spark, scramble):
+    from duckpipe_spark.functions.text import chunk_documents
+
+    return chunk_documents(scramble(_docs(spark)))
+
+
+def op_bpe_encode_ids(spark, scramble):
+    from duckpipe_spark.functions.bpe import bpe_encode_ids, learn_bpe_merges
+
+    docs = scramble(_docs(spark))
+    return bpe_encode_ids(docs, learn_bpe_merges(docs, n_merges=3))
+
+
 def op_bpe(spark, scramble):
     # iterative argmax rounds: each round's pair counts are exact integer
     # sums and the (freq desc, lhs, rhs) tie-break is total, so the merge
@@ -361,7 +386,11 @@ def op_bpe(spark, scramble):
 _OPS = [
     op_token_stats,
     op_bpe,
+    op_bpe_encode_ids,
     op_mask_contaminated,
+    op_strip_boilerplate,
+    op_gopher,
+    op_chunks,
     op_minhash,
     op_simhash,
     op_exact_dedup,
