@@ -386,3 +386,39 @@ def chunk_documents(
         F.size("c.ctoks").cast("bigint").alias("n_chunk_tokens"),
         F.array_join("c.ctoks", " ").alias("chunk_text"),
     )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document vectors (the hashing trick, Weinberger et
+    al. 2009) → exploded (id_col, j, v): bucket j = word_hash % dim, sign
+    = ±1 from the next hash bit, v = signed token-count sum over the
+    document (tokens counted with multiplicity). All-integer and
+    deterministic, so the "embedding" is exactly reproducible across
+    engines/partitionings — the cheap vectorizer that lets the similarity
+    stack (cosine top-k, LSH, IVF) run on corpora that ship no embedding
+    column. Groups with sign-cancelled sums are emitted as v = 0 (bucket
+    presence is data-determined, not value-determined).
+
+    Scale shape: explode is a projection; one map-side-combinable
+    aggregate on (id, j) — output ≤ |docs|·dim rows, usually far sparser.
+    """
+    from duckpipe_spark.functions.dedup import char_poly_hash
+
+    if dim < 1:
+        raise ValueError("feature_hash_embed needs dim >= 1")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("w")
+    ).where(F.col("w") != "")
+    wh = char_poly_hash(F.col("w"))
+    j = (wh % dim).cast("int")
+    sign = (F.lit(1) - F.lit(2) * ((wh / dim).cast("bigint") % 2)).cast("bigint")
+    return (
+        toks.select(F.col(id_col), j.alias("j"), sign.alias("s"))
+        .groupBy(id_col, "j")
+        .agg(F.sum("s").cast("bigint").alias("v"))
+    )

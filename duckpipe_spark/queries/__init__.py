@@ -46,7 +46,7 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # Round-7 rotation (VERDICT r6 item 1 + the standing policy: just-modified
 # queries first, then re-attest the queries whose latest green driver row
 # is oldest). Composition, from CORRECTNESS_r01-r06:
-#   * 9 NEW never-attested queries: doc_curation_pipeline (end-to-end
+#   * 10 NEW never-attested queries: doc_curation_pipeline (end-to-end
 #     curation integration — gate → exact dedup → span dedup → decontam →
 #     mixture → shards — against one multi-CTE oracle, VERDICT r6 item 3)
 #     and doc_bpe_merges / doc_bpe_token_counts (distributed BPE merge
@@ -55,7 +55,8 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     doc_bpe_pack (tokenizer-aware packing) and doc_mask_contaminated
 #     (benchmark-contamination span masking) and doc_strip_boilerplate
 #     (C4-style line stripping; driver data exercises the no-strip path,
-#     planted-boilerplate pytest carries the strip semantics);
+#     planted-boilerplate pytest carries the strip semantics) and
+#     doc_feature_hash_embed (hashing-trick vectors);
 #   * 10 queries whose code changed this round: the whole shingle family
 #     (shingle_hash_array/word_shingles grew a conditionally-empty index
 #     guard — sequence(0, size-k) DESCENDS for short docs and
@@ -64,9 +65,9 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #   * ALL 30 queries whose latest green row is ROUND 4 (3 rounds old —
 #     the events_* family, embedding recall/quant, PNG decode,
 #     lineitem/parts sketches, geo pivots: the r6 verdict's #1 ask);
-#   * 1 of the 41-strong round-5 cohort (alphabetical prefix) to fill the
-#     window (doc_dup_components_star + doc_lsh_candidates re-enter above
-#     as r7-modified).
+#   * 0 r5-cohort fill slots remain (the new-operator influx consumed
+#     them; doc_dup_components_star + doc_lsh_candidates re-enter above as
+#     r7-modified — the whole 41-strong r5 cohort leads the r8 window).
 # Two-window schedule for the aging cohorts (VERDICT r6 item 7), so no
 # query's latest green row ever exceeds 3 rounds:
 #   * r8 window: the 40 remaining r5-green queries (r7's new-operator
@@ -91,6 +92,7 @@ CHANGED_THIS_ROUND = [
     "doc_bpe_pack",
     "doc_mask_contaminated",
     "doc_strip_boilerplate",
+    "doc_feature_hash_embed",
     "doc_minhash_signatures",
     "doc_lsh_candidates",
     "doc_simhash",
@@ -115,6 +117,7 @@ base.DRIVER_ORDER[:] = [
     "doc_bpe_pack",
     "doc_mask_contaminated",
     "doc_strip_boilerplate",
+    "doc_feature_hash_embed",
     "doc_minhash_signatures",
     "doc_lsh_candidates",
     "doc_simhash",
@@ -156,8 +159,6 @@ base.DRIVER_ORDER[:] = [
     "orders_merge_upsert",
     "parts_cm_frequencies",
     "parts_hll_distinct",
-    # latest-green r5, alphabetical prefix (1 of 41 — the rest lead r8)
-    "blob_byte_entropy",
 ]
 
 

@@ -462,3 +462,36 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         load_table(spark, sf_dir, "documents"), max_tokens=_CHUNK_MAX, stride=_CHUNK_STRIDE
     )
+
+
+from duckpipe_spark.functions.dedup import POLY_BASE, POLY_MOD  # noqa: E402
+from duckpipe_spark.functions.text import feature_hash_embed  # noqa: E402
+
+_EMBED_DIM = 64
+
+_FEATURE_HASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+),
+h AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD}
+  ) AS wh
+  FROM toks WHERE w <> ''
+)
+SELECT doc_id,
+  CAST(wh % {_EMBED_DIM} AS INT) AS j,
+  CAST(sum(1 - 2 * ((wh // {_EMBED_DIM}) % 2)) AS BIGINT) AS v
+FROM h
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "doc_feature_hash_embed",
+    _FEATURE_HASH_ORACLE,
+    "feature-hashing document vectors (hashing trick; all-integer, exploded)",
+)
+def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return feature_hash_embed(load_table(spark, sf_dir, "documents"), dim=_EMBED_DIM)

@@ -253,3 +253,30 @@ def test_bpe_encode_ids_is_shuffle_free(spark):
     assert a.exchanges == 0, a.text
     assert a.python_stages == 0
     assert a.sort_merge_joins + a.shuffle_hash_joins + a.broadcast_hash_joins == 0
+
+
+def test_feature_hash_embed_semantics(spark):
+    from duckpipe_spark.functions.bpe import SEP  # noqa: F401
+    from duckpipe_spark.functions.dedup import POLY_BASE, POLY_MOD
+    from duckpipe_spark.functions.text import feature_hash_embed
+
+    def whash(w):
+        h = 0
+        for ch in w:
+            h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+        return h
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "")], "doc_id bigint, text string"
+    )
+    dim = 8
+    got = {(r.doc_id, r.j): r.v for r in feature_hash_embed(docs, dim=dim).collect()}
+    hc, hd = whash("cat"), whash("dog")
+    want = {}
+    for w, cnt in [("cat", 2), ("dog", 1)]:
+        h = whash(w)
+        key = (1, h % dim)
+        want[key] = want.get(key, 0) + (1 - 2 * ((h // dim) % 2)) * cnt
+    assert got == want  # doc 2 (empty) emits nothing
+    with pytest.raises(ValueError):
+        feature_hash_embed(docs, dim=0)
