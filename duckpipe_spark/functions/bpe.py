@@ -51,6 +51,9 @@ from duckpipe_spark.functions.text import tokens_col
 SEP = "\x1f"
 
 MERGE_SCHEMA = "merge_rank bigint, lhs string, rhs string, pair_freq bigint"
+BATCH_MERGE_SCHEMA = (
+    "merge_rank bigint, round bigint, lhs string, rhs string, pair_freq bigint"
+)
 
 
 def wrapped_symbols_col(word: Column) -> Column:
@@ -69,6 +72,43 @@ def _merge_pattern(lhs: str, rhs: str) -> tuple[str, str]:
     return (SEP + lhs + SEP + SEP + rhs + SEP, SEP + lhs + rhs + SEP)
 
 
+def _clean_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, wf) word-frequency table of the trainable words: non-empty,
+    SEP-free. One map-side-combinable aggregate; output is
+    vocabulary-bounded (Heaps' law), not corpus-sized."""
+    return (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .where((F.col("w") != "") & ~F.col("w").contains(SEP))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+
+
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies of a (s, wf[, ...]) vocabulary
+    state → (lhs, rhs, pf). Output is bounded by distinct symbol pairs."""
+    syms = symbols_col(F.col("s"))
+    n = F.size(syms)
+    # conditionally-empty index sequence — same InferFiltersFromGenerate
+    # guard as dedup.shingle_hash_array
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = cur.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(syms, (i + 1).cast("int")).alias("lhs"),
+                    F.element_at(syms, (i + 2).cast("int")).alias("rhs"),
+                ),
+            )
+        ).alias("p"),
+        "wf",
+    )
+    return pairs.groupBy("p.lhs", "p.rhs").agg(F.sum("wf").alias("pf"))
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 8,
@@ -85,38 +125,14 @@ def learn_bpe_merges(
     (word, freq) base is cached once; ``localCheckpoint`` every 4 rounds
     cuts the replace-chain lineage."""
     spark = docs.sparkSession
-    words = (
-        docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
-        .where((F.col("w") != "") & ~F.col("w").contains(SEP))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wf"))
-    )
-    base = words.select(wrapped_symbols_col(F.col("w")).alias("s"), "wf").cache()
+    base = _clean_words(docs, text_col).select(
+        wrapped_symbols_col(F.col("w")).alias("s"), "wf"
+    ).cache()
     cur = base
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        syms = symbols_col(F.col("s"))
-        n = F.size(syms)
-        # conditionally-empty index sequence — same InferFiltersFromGenerate
-        # guard as dedup.shingle_hash_array
-        idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
-            F.array().cast("array<int>")
-        )
-        pairs = cur.select(
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        F.element_at(syms, (i + 1).cast("int")).alias("lhs"),
-                        F.element_at(syms, (i + 2).cast("int")).alias("rhs"),
-                    ),
-                )
-            ).alias("p"),
-            "wf",
-        )
         top = (
-            pairs.groupBy("p.lhs", "p.rhs")
-            .agg(F.sum("wf").alias("pf"))
+            _pair_counts(cur)
             .orderBy(F.col("pf").desc(), F.col("lhs").asc(), F.col("rhs").asc())
             .limit(1)
             .collect()
@@ -131,6 +147,152 @@ def learn_bpe_merges(
             cur = cur.localCheckpoint()
     base.unpersist()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def _select_noninteracting(
+    cands: list[tuple[str, str, int]], k: int
+) -> list[tuple[str, str, int]]:
+    """The batched-round acceptance rule, shared verbatim with the SQL
+    oracle (queries/bpe_q.py): candidate j (in (pf DESC, lhs, rhs) rank
+    order) is *compatible* iff NO higher-ranked candidate — accepted or
+    not — shares a symbol with it; the round takes the first ``k``
+    compatible candidates. Checking against all higher-ranked candidates
+    (rather than only accepted ones) keeps the rule non-recursive, so one
+    window + one anti-self-join expresses it exactly in SQL."""
+    ok_rows: list[tuple[str, str, int]] = []
+    for j, (lhs, rhs, pf) in enumerate(cands):
+        if not any(
+            hl in (lhs, rhs) or hr in (lhs, rhs) for hl, hr, _ in cands[:j]
+        ):
+            ok_rows.append((lhs, rhs, pf))
+    return ok_rows[:k]
+
+
+def learn_bpe_merges_batched(
+    docs: DataFrame,
+    n_merges: int = 16,
+    k_per_round: int = 4,
+    cand_m: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE merge learning with TOP-K BATCHED rounds → DataFrame
+    (merge_rank, round, lhs, rhs, pair_freq): per round, accept up to
+    ``k_per_round`` pairwise NON-INTERACTING pairs (no shared symbol) from
+    the ``cand_m`` highest-frequency candidates, and apply them together.
+    Non-interacting merges have disjoint pattern matches, so their
+    replaces commute and one vocabulary rewrite per ROUND replaces one per
+    MERGE — the driver round-trips drop from ``n_merges`` to
+    ``~n_merges / k_per_round``, which is what makes a realistic 32k-merge
+    vocabulary trainable (the sequential trainer's per-round job floor is
+    the binding cost at scale, BASELINE §18).
+
+    The frequency of a pair that shares no symbol with an applied merge
+    is invariant under that merge, so every accepted pair's pair_freq is
+    exactly what the sequential trainer would have recorded had it picked
+    that pair next; with ``k_per_round=1, cand_m=1`` the trainer IS the
+    sequential one (pytest pins this on 3 corpus seeds). For k>1 the
+    curriculum can diverge from strict-sequential (a merge's PRODUCT can
+    out-rank a lower candidate next round) — the standard parallel-BPE
+    trade, deterministic here by the (pf DESC, lhs, rhs) rank and the
+    all-higher-ranked interaction rule (``_select_noninteracting``)."""
+    if cand_m is None:
+        cand_m = 2 * k_per_round
+    spark = docs.sparkSession
+    base = _clean_words(docs, text_col).select(
+        wrapped_symbols_col(F.col("w")).alias("s"), "wf"
+    ).cache()
+    cur = base
+    out: list[tuple[int, int, str, str, int]] = []
+    rnd = 0
+    while len(out) < n_merges:
+        rnd += 1
+        cands = [
+            (r.lhs, r.rhs, int(r.pf))
+            for r in _pair_counts(cur)
+            .orderBy(F.col("pf").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(cand_m)
+            .collect()
+        ]
+        if not cands:
+            break
+        sel = _select_noninteracting(cands, min(k_per_round, n_merges - len(out)))
+        for lhs, rhs, pf in sel:
+            out.append((len(out) + 1, rnd, lhs, rhs, pf))
+            pat, rep = _merge_pattern(lhs, rhs)
+            cur = cur.withColumn("s", F.replace("s", F.lit(pat), F.lit(rep)))
+        if rnd % 4 == 0 and len(out) < n_merges:
+            cur = cur.localCheckpoint()
+    base.unpersist()
+    return spark.createDataFrame(out, BATCH_MERGE_SCHEMA)
+
+
+def bpe_word_symbols_table(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    fold_every: int = 64,
+) -> DataFrame:
+    """(w, s): every distinct trainable word of ``docs`` → its wrapped
+    symbol string after the full merge chain. This is the word-level
+    encode cache every production BPE encoder keeps (fastBPE/HF do the
+    same driver-side): VOCABULARY-bounded, so a 32k-merge chain runs over
+    ~10M rows once instead of per corpus token.
+
+    The chain is applied in ``fold_every``-sized chunks with a
+    ``localCheckpoint`` between chunks, bounding the Catalyst expression
+    depth at ``fold_every`` replaces regardless of merge count — the fix
+    for the O(n_merges)-deep single-expression tree that capped the old
+    encode at toy vocabularies (VERDICT r7 item 2)."""
+    merges = _collect_merges(merges)
+    cur = _clean_words(docs, text_col).select(
+        "w", wrapped_symbols_col(F.col("w")).alias("s")
+    )
+    for start in range(0, len(merges), fold_every):
+        for lhs, rhs in merges[start : start + fold_every]:
+            pat, rep = _merge_pattern(lhs, rhs)
+            cur = cur.withColumn("s", F.replace("s", F.lit(pat), F.lit(rep)))
+        if start + fold_every < len(merges):
+            cur = cur.localCheckpoint()
+    return cur
+
+
+def bpe_word_ids_table(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    vocab: dict[str, int] | None = None,
+) -> DataFrame:
+    """(w, ids, n_syms): every distinct trainable word of ``docs`` → its
+    BPE token-id array under ``merges`` + ``vocab``. Built from
+    ``bpe_word_symbols_table`` by one posexplode + broadcast vocab join +
+    regroup — all over the vocabulary-bounded word table, never the
+    corpus — so neither the merge chain nor the vocabulary ever enters a
+    per-corpus-token expression."""
+    merges = _collect_merges(merges)
+    if vocab is None:
+        vocab = bpe_vocab_ids(docs, merges, text_col)
+    spark = docs.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(s, i) for s, i in vocab.items()], "sym string, id bigint"
+    )
+    wt = bpe_word_symbols_table(docs, merges, text_col)
+    exploded = wt.select("w", F.posexplode(symbols_col(F.col("s"))).alias("p", "sym"))
+    return (
+        exploded.join(F.broadcast(vocab_df), "sym", "left")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("p", F.coalesce("id", F.lit(0)).alias("id"))
+                    )
+                ),
+                lambda s: s["id"],
+            ).alias("ids")
+        )
+        .withColumn("n_syms", F.size("ids").cast("bigint"))
+    )
 
 
 def bpe_symbols_of_token_col(token: Column, merges: list[tuple[str, str]]) -> Column:
@@ -156,24 +318,58 @@ def bpe_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: list[str] | None = None,
+    impl: str = "join",
 ) -> DataFrame:
     """Per-document BPE token count under a learned merge table →
-    (id_col, *keep_cols, n_bpe_tokens). A pure projection: a higher-order
-    fold over the token array applies the replace chain per token and sums
-    symbol counts — no explode, no shuffle. ``merges`` may be the
+    (id_col, *keep_cols, n_bpe_tokens). ``merges`` may be the
     ``learn_bpe_merges`` output (collected here — it is n_merges rows,
     driver-bounded by construction) or an already-collected list;
     ``keep_cols`` ride along for downstream stream keys (e.g. the
-    language column sequence packing partitions on)."""
+    language column sequence packing partitions on).
+
+    Two bit-identical impls:
+
+    * ``impl="join"`` (default, the scale path): the merge chain runs
+      ONCE over the vocabulary-bounded word table
+      (``bpe_word_symbols_table``); the corpus side is explode → broadcast
+      word-join → per-doc sum. Cost is flat in merge count — a 32k-merge
+      tokenizer costs the same corpus pass as an 8-merge one.
+    * ``impl="chain"``: a higher-order fold applies the replace chain per
+      corpus token — shuffle-free, but the expression tree is
+      O(n_merges) deep and re-evaluated per token; viable only for toy
+      merge counts (kept for the zero-shuffle property tests)."""
     merges = _collect_merges(merges)
-    toks = tokens_col(F.col(text_col))
-    total = F.aggregate(
-        toks,
-        F.lit(0).cast("bigint"),
-        lambda acc, t: acc + bpe_symbol_count_col(t, merges).cast("bigint"),
+    keep = list(keep_cols or [])
+    if impl == "chain":
+        toks = tokens_col(F.col(text_col))
+        total = F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + bpe_symbol_count_col(t, merges).cast("bigint"),
+        )
+        return docs.select(
+            F.col(id_col), *[F.col(c) for c in keep], total.alias("n_bpe_tokens")
+        )
+    if impl != "join":
+        raise ValueError(f"impl must be 'join' or 'chain', got {impl!r}")
+    wt = bpe_word_symbols_table(docs, merges, text_col).select(
+        "w", F.size(symbols_col(F.col("s"))).cast("bigint").alias("_n")
     )
-    return docs.select(
-        F.col(id_col), *[F.col(c) for c in (keep_cols or [])], total.alias("n_bpe_tokens")
+    t = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.explode_outer(tokens_col(F.col(text_col))).alias("w"),
+    )
+    # misses: '' tokens (0 symbols) and SEP-bearing tokens (char fallback,
+    # same contract as bpe_symbols_of_token_col); null w = null text row
+    char_n = F.size(F.filter(F.split("w", ""), lambda c: c != "")).cast("bigint")
+    n = F.when(F.col("w").isNull(), F.lit(0)).otherwise(
+        F.coalesce(F.col("_n"), char_n)
+    )
+    return (
+        t.join(F.broadcast(wt), "w", "left")
+        .groupBy(id_col, *keep)
+        .agg(F.sum(n).cast("bigint").alias("n_bpe_tokens"))
     )
 
 
@@ -217,6 +413,7 @@ def bpe_encode_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab: dict[str, int] | None = None,
+    impl: str = "join",
 ) -> DataFrame:
     """Encode documents to BPE token-id sequences → (id_col, pos,
     token_id): the id streams a training pipeline feeds to
@@ -225,27 +422,76 @@ def bpe_encode_ids(
     unseen in training — only possible inside SEP-bearing tokens) map
     to 0, the same convention as ``encode_docs``.
 
-    Scale shape: the merge chain and the vocabulary are driver-bounded
-    (n_merges rows; |charset|+n_merges map entries) and ride into the
-    expression as literals — a broadcast in all but name — so encoding is
-    a flatten + posexplode PROJECTION: no join, no shuffle, no Python."""
+    Two bit-identical impls (pytest pins equality):
+
+    * ``impl="join"`` (default, the VOCABULARY-SCALABLE path): the merge
+      chain runs once over the word table (``bpe_word_ids_table``, word →
+      id array, vocabulary-bounded); the corpus side is posexplode →
+      broadcast word-join → one window on the doc key for global symbol
+      positions → posexplode of the id arrays. Zero Python, flat in merge
+      count (BASELINE §18 measures a 1,000-merge encode at chain-8 cost).
+    * ``impl="chain"``: merge chain + vocab map ride into one projection
+      as literals — zero-shuffle, but O(n_merges) expression depth per
+      token caps it at toy vocabularies (VERDICT r7 item 2)."""
     merges = _collect_merges(merges)
     if vocab is None:
         vocab = bpe_vocab_ids(docs, merges, text_col)
-    toks = tokens_col(F.col(text_col))
-    all_syms = F.flatten(
-        F.transform(toks, lambda t: bpe_symbols_of_token_col(t, merges))
+    if impl == "chain":
+        toks = tokens_col(F.col(text_col))
+        all_syms = F.flatten(
+            F.transform(toks, lambda t: bpe_symbols_of_token_col(t, merges))
+        )
+        exploded = docs.select(
+            F.col(id_col), F.posexplode(all_syms).alias("pos", "sym")
+        )
+        id_map = F.create_map(
+            *[F.lit(x) for kv in vocab.items() for x in kv]
+        )
+        return exploded.select(
+            id_col,
+            F.col("pos").cast("bigint").alias("pos"),
+            F.coalesce(F.element_at(id_map, F.col("sym")), F.lit(0))
+            .cast("bigint")
+            .alias("token_id"),
+        )
+    if impl != "join":
+        raise ValueError(f"impl must be 'join' or 'chain', got {impl!r}")
+    from pyspark.sql import Window
+
+    wt = bpe_word_ids_table(docs, merges, text_col, vocab).select("w", "ids")
+    t = docs.select(
+        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("wpos", "w")
     )
-    exploded = docs.select(
-        F.col(id_col), F.posexplode(all_syms).alias("pos", "sym")
+    # join misses ('' and SEP-bearing tokens) fall back to per-char ids —
+    # single-char vocab entries are exactly the alphabet, so this matches
+    # the chain impl's char path bit-for-bit
+    char_map = {s: i for s, i in vocab.items() if len(s) == 1}
+    if char_map:
+        cmap = F.create_map(*[F.lit(x) for kv in char_map.items() for x in kv])
+        char_ids = F.transform(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            lambda c: F.coalesce(F.element_at(cmap, c), F.lit(0)).cast("bigint"),
+        )
+    else:  # degenerate corpus: no trainable words at all
+        char_ids = F.transform(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            lambda c: F.lit(0).cast("bigint"),
+        )
+    step = t.join(F.broadcast(wt), "w", "left").select(
+        id_col, "wpos", F.coalesce(F.col("ids"), char_ids).alias("_ids")
     )
-    id_map = F.create_map(
-        *[F.lit(x) for kv in vocab.items() for x in kv]
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("wpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return exploded.select(
+    step = step.withColumn(
+        "_off", F.coalesce(F.sum(F.size("_ids")).over(win), F.lit(0))
+    )
+    return step.select(
+        id_col, F.col("_off"), F.posexplode("_ids").alias("i", "tid")
+    ).select(
         id_col,
-        F.col("pos").cast("bigint").alias("pos"),
-        F.coalesce(F.element_at(id_map, F.col("sym")), F.lit(0))
-        .cast("bigint")
-        .alias("token_id"),
+        (F.col("_off") + F.col("i")).cast("bigint").alias("pos"),
+        F.col("tid").cast("bigint").alias("token_id"),
     )

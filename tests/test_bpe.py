@@ -135,12 +135,25 @@ def test_edge_cases(spark):
 
 
 def test_encode_is_pure_projection(spark):
+    # the chain impl is the zero-shuffle twin (toy merge counts only)
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
     with no_aqe(spark):
-        a = audit_plan(bpe_token_counts(docs, [("a", "b")]))
+        a = audit_plan(bpe_token_counts(docs, [("a", "b")], impl="chain"))
     assert a.exchanges == 0, a.text
     assert a.python_stages == 0
     assert a.sort_merge_joins + a.shuffle_hash_joins + a.broadcast_hash_joins == 0
+
+
+def test_join_impl_is_broadcast_no_python(spark):
+    # the join impl (vocab-scale path) must broadcast the word table and
+    # keep every step JVM-side: no Python stages, no sort-merge join of
+    # the corpus against the vocabulary
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    with no_aqe(spark):
+        a = audit_plan(bpe_token_counts(docs, [("a", "b")], impl="join"))
+    assert a.python_stages == 0
+    assert a.sort_merge_joins == 0, a.text
+    assert a.broadcast_hash_joins >= 1, a.text
 
 
 def test_gopher_quality_flags_edges(spark):
@@ -245,14 +258,38 @@ def test_bpe_vocab_merge_collision_first_id_wins(spark):
 
 
 def test_bpe_encode_ids_is_shuffle_free(spark):
+    # the chain impl keeps the zero-shuffle projection shape (toy vocabs);
+    # the join impl trades one doc-key window shuffle for merge-count
+    # flatness — its plan shape is pinned separately below
     from duckpipe_spark.functions.bpe import bpe_encode_ids
 
     docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
     with no_aqe(spark):
-        a = audit_plan(bpe_encode_ids(docs, [("a", "b")], vocab={"a": 1, "b": 2, "ab": 3}))
+        a = audit_plan(
+            bpe_encode_ids(
+                docs, [("a", "b")], vocab={"a": 1, "b": 2, "ab": 3}, impl="chain"
+            )
+        )
     assert a.exchanges == 0, a.text
     assert a.python_stages == 0
     assert a.sort_merge_joins + a.shuffle_hash_joins + a.broadcast_hash_joins == 0
+
+
+def test_bpe_encode_ids_join_impl_plan(spark):
+    # join impl: word table rides in as a broadcast; corpus side never
+    # sort-merge-joins and never enters Python
+    from duckpipe_spark.functions.bpe import bpe_encode_ids
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    with no_aqe(spark):
+        a = audit_plan(
+            bpe_encode_ids(
+                docs, [("a", "b")], vocab={"a": 1, "b": 2, "ab": 3}, impl="join"
+            )
+        )
+    assert a.python_stages == 0
+    assert a.sort_merge_joins == 0, a.text
+    assert a.broadcast_hash_joins >= 1, a.text
 
 
 def test_feature_hash_embed_semantics(spark):
@@ -280,3 +317,132 @@ def test_feature_hash_embed_semantics(spark):
     assert got == want  # doc 2 (empty) emits nothing
     with pytest.raises(ValueError):
         feature_hash_embed(docs, dim=0)
+
+
+# --- round-8: vocabulary-scalable encode + batched merge rounds -------------
+
+
+def _seeded_docs(spark, seed, n_docs=30):
+    rng = random.Random(seed)
+    alphabet = "abcdef"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(0, 10))
+        )
+        for _ in range(n_docs)
+    ]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_join_impl_matches_chain(spark, seed):
+    """impl='join' (word-table broadcast join) and impl='chain' (per-token
+    replace chain) are bit-identical — counts AND id sequences — including
+    the '' / SEP-token fallback paths."""
+    from duckpipe_spark.functions.bpe import bpe_encode_ids
+
+    docs = _seeded_docs(spark, seed).union(
+        spark.createDataFrame(
+            [(1000, ""), (1001, f"a{SEP}b ab"), (1002, "   ")],
+            "doc_id bigint, text string",
+        )
+    )
+    m = learn_bpe_merges(docs, n_merges=6)
+    ml = [(r.lhs, r.rhs) for r in m.orderBy("merge_rank").collect()]
+    c_chain = sorted(map(tuple, bpe_token_counts(docs, ml, impl="chain").collect()))
+    c_join = sorted(map(tuple, bpe_token_counts(docs, ml, impl="join").collect()))
+    assert c_chain == c_join
+    e_chain = sorted(map(tuple, bpe_encode_ids(docs, ml, impl="chain").collect()))
+    e_join = sorted(map(tuple, bpe_encode_ids(docs, ml, impl="join").collect()))
+    assert e_chain == e_join
+
+
+def test_word_table_chunked_fold_matches_single_chunk(spark):
+    """fold_every chunking (+localCheckpoint lineage cuts) is a pure
+    execution detail: tiny chunks and one big chunk give the same table."""
+    from duckpipe_spark.functions.bpe import bpe_word_symbols_table
+
+    docs = _seeded_docs(spark, 7)
+    ml = [
+        (r.lhs, r.rhs)
+        for r in learn_bpe_merges(docs, n_merges=10).orderBy("merge_rank").collect()
+    ]
+    small = sorted(map(tuple, bpe_word_symbols_table(docs, ml, fold_every=3).collect()))
+    big = sorted(map(tuple, bpe_word_symbols_table(docs, ml, fold_every=1000).collect()))
+    assert small == big and len(small) > 0
+
+
+def test_select_noninteracting_rule():
+    from duckpipe_spark.functions.bpe import _select_noninteracting
+
+    cands = [
+        ("a", "b", 10),  # rank 1: always compatible
+        ("b", "c", 9),   # shares 'b' with rank 1 -> rejected
+        ("d", "e", 8),   # compatible
+        ("x", "a", 7),   # shares 'a' with rank 1 -> rejected
+        ("f", "g", 6),   # compatible (third ok row)
+        ("h", "i", 5),   # compatible but beyond k=3
+    ]
+    assert _select_noninteracting(cands, 3) == [
+        ("a", "b", 10),
+        ("d", "e", 8),
+        ("f", "g", 6),
+    ]
+    assert _select_noninteracting(cands, 2) == [("a", "b", 10), ("d", "e", 8)]
+    assert _select_noninteracting([], 3) == []
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_batched_k1_equals_sequential(spark, seed):
+    """k_per_round=1, cand_m=1 degenerates the batched trainer to the
+    sequential one exactly (ranks, pairs AND pair frequencies)."""
+    from duckpipe_spark.functions.bpe import learn_bpe_merges_batched
+
+    docs = _seeded_docs(spark, seed)
+    seq = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_freq)
+        for r in learn_bpe_merges(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    bat = [
+        (r.merge_rank, r.lhs, r.rhs, r.pair_freq)
+        for r in learn_bpe_merges_batched(docs, n_merges=6, k_per_round=1, cand_m=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert bat == seq
+    # and with k=1 every round carries exactly one merge
+    rounds = [
+        r.round
+        for r in learn_bpe_merges_batched(docs, n_merges=6, k_per_round=1, cand_m=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert rounds == list(range(1, len(rounds) + 1))
+
+
+def test_batched_amortizes_rounds_and_encodes_consistently(spark):
+    """k>1 accepts multiple non-interacting merges per round (rounds/merge
+    < 1) and the result is a valid merge table: both encode impls agree
+    under it, and accepted pairs within a round share no symbol."""
+    from duckpipe_spark.functions.bpe import learn_bpe_merges_batched
+
+    docs = _seeded_docs(spark, 11, n_docs=60)
+    b = learn_bpe_merges_batched(docs, n_merges=10, k_per_round=4, cand_m=8)
+    rows = [(r.merge_rank, r.round, r.lhs, r.rhs) for r in b.orderBy("merge_rank").collect()]
+    assert len(rows) == 10
+    n_rounds = max(r[1] for r in rows)
+    assert n_rounds < 10, f"no amortization: {n_rounds} rounds for 10 merges"
+    by_round: dict[int, list[tuple[str, str]]] = {}
+    for _, rnd, lhs, rhs in rows:
+        by_round.setdefault(rnd, []).append((lhs, rhs))
+    for rnd, pairs in by_round.items():
+        for i, (l1, r1) in enumerate(pairs):
+            for l2, r2 in pairs[i + 1 :]:
+                assert not ({l1, r1} & {l2, r2}), f"round {rnd} interacting: {pairs}"
+    ml = [(lhs, rhs) for _, _, lhs, rhs in rows]
+    c1 = sorted(map(tuple, bpe_token_counts(docs, ml, impl="chain").collect()))
+    c2 = sorted(map(tuple, bpe_token_counts(docs, ml, impl="join").collect()))
+    assert c1 == c2
