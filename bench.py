@@ -188,7 +188,22 @@ def main(reps: int = 1) -> None:
         if out["duckdb_total"]:
             out["ratio_total"] = round(common_spark / out["duckdb_total"], 3)
 
-    print(json.dumps(out))
+    # The driver captures ONE stdout JSON line of bounded length; r7's line
+    # (3 per-query maps x 32 queries) outgrew the capture and the artifact
+    # degraded to "parsed": null (VERDICT r7 item 4). Print a compact line —
+    # headline totals + the required per-query SPARK timings — and park the
+    # full payload (duckdb + ratio per-query maps) in a sidecar file.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:  # pragma: no cover - read-only checkout still benches
+        detail_path = None
+    compact = {k: v for k, v in out.items() if k not in ("duckdb", "ratio")}
+    compact["n_queries"] = len(timings)
+    if detail_path:
+        compact["detail"] = os.path.basename(detail_path)
+    print(json.dumps(compact))
 
 
 def _duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
@@ -242,5 +257,10 @@ if __name__ == "__main__":
         reps = 1
         if "--interleave" in sys.argv:
             ix = sys.argv.index("--interleave")
-            reps = int(sys.argv[ix + 1]) if ix + 1 < len(sys.argv) else 3
+            # a following flag/query-name token must not crash the bench —
+            # default to 3 reps unless the next token is a plain integer
+            try:
+                reps = int(sys.argv[ix + 1])
+            except (IndexError, ValueError):
+                reps = 3
         main(reps=reps)

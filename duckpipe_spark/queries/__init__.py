@@ -43,39 +43,33 @@ from duckpipe_spark.queries import base
 from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 
 # First 50 names are what the driver's correctness gate will actually check.
-# Round-7 rotation (VERDICT r6 item 1 + the standing policy: just-modified
-# queries first, then re-attest the queries whose latest green driver row
-# is oldest). Composition, from CORRECTNESS_r01-r06:
-#   * 10 NEW never-attested queries: doc_curation_pipeline (end-to-end
-#     curation integration — gate → exact dedup → span dedup → decontam →
-#     mixture → shards — against one multi-CTE oracle, VERDICT r6 item 3)
-#     and doc_bpe_merges / doc_bpe_token_counts (distributed BPE merge
-#     learning + encode, unrolled-round oracle) and doc_gopher_quality
-#     (Gopher rule battery) doc_chunks (context-window chunking), doc_bpe_encoded (id sequences)
-#     doc_bpe_pack (tokenizer-aware packing) and doc_mask_contaminated
-#     (benchmark-contamination span masking) and doc_strip_boilerplate
-#     (C4-style line stripping; driver data exercises the no-strip path,
-#     planted-boilerplate pytest carries the strip semantics) and
-#     doc_feature_hash_embed (hashing-trick vectors);
-#   * 10 queries whose code changed this round: the whole shingle family
-#     (shingle_hash_array/word_shingles grew a conditionally-empty index
-#     guard — sequence(0, size-k) DESCENDS for short docs and
-#     InferFiltersFromGenerate can evaluate the shingle expression ahead
-#     of the size filter; values unchanged, plans touched);
-#   * ALL 30 queries whose latest green row is ROUND 4 (3 rounds old —
-#     the events_* family, embedding recall/quant, PNG decode,
-#     lineitem/parts sketches, geo pivots: the r6 verdict's #1 ask);
-#   * 0 r5-cohort fill slots remain (the new-operator influx consumed
-#     them; doc_dup_components_star + doc_lsh_candidates re-enter above as
-#     r7-modified — the whole 41-strong r5 cohort leads the r8 window).
-# Two-window schedule for the aging cohorts (VERDICT r6 item 7), so no
-# query's latest green row ever exceeds 3 rounds:
-#   * r8 window: the 40 remaining r5-green queries (r7's new-operator
-#     influx left only blob_byte_entropy + the two re-entering-as-changed
-#     from the r5 fill) + up to 10 of the 50-strong r6 cohort
-#     (alphabetical prefix), trimmed for r8's own new/changed queries;
-#   * r9 window: the remaining r6-cohort queries + the r7 cohort starts
-#     aging (this window's 50) — alphabetical prefix as needed.
+# Round-8 rotation (VERDICT r7 item 1 + the standing policy: never-attested
+# and just-modified queries first, then re-attest the queries whose latest
+# green driver row is oldest). Composition, from CORRECTNESS_r01-r07:
+#   * 2 NEW never-attested queries: doc_bpe_merges_batched (top-K
+#     non-interacting merge batching, VERDICT r7 item 3 — fully unrolled
+#     SQL oracle) and doc_curation_semdedup (the curation pipeline with
+#     the SemDeDup stage enabled, VERDICT r7 item 7 — the multi-CTE
+#     oracle grows a recursive near-dup-closure splice);
+#   * 6 queries whose code/oracle changed this round: the BPE family
+#     (doc_bpe_merges / doc_bpe_token_counts / doc_bpe_encoded /
+#     doc_bpe_pack — impl='join' vocabulary-scalable encode + MATERIALIZED
+#     per-round CTEs + pairless-round sentinel, VERDICT r7 items 2/3 and
+#     ADVICE r7), doc_mask_contaminated (a colliding k-gram now masks BOTH
+#     the span holding its start and the one holding its end — ADVICE r7's
+#     boundary-leak fix; values change, oracle changed in lockstep), and
+#     doc_curation_pipeline (optional SemDeDup/stage_handles params;
+#     behavior unchanged when off — re-attested defensively);
+#   * the full 41-strong ROUND-5 cohort (oldest rows, 3 rounds old — the
+#     r7 verdict's #1 ask and the registry's own two-window schedule);
+#   * 1 r6-cohort fill slot (alphabetical prefix: approx_distinct_parts).
+# Two-window schedule going forward, so no query's latest green row ever
+# exceeds 3 rounds:
+#   * r9 window: the remaining 41 r6-cohort queries (latest green r6) +
+#     the r7 cohort starts aging — alphabetical prefix of the 50-strong
+#     r7 cohort fills the window after r9's own new/changed queries;
+#   * r10 window: the rest of the r7 cohort + the r8 cohort (this
+#     window's 50) as needed.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
 # sf0.01 differential run (tests/test_queries_oracle.py::
@@ -83,82 +77,70 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # scale — so scale-sensitive divergence in touched code surfaces locally
 # before the gate does. Update each round alongside DRIVER_ORDER.
 CHANGED_THIS_ROUND = [
-    "doc_curation_pipeline",
+    "doc_bpe_merges_batched",
+    "doc_curation_semdedup",
     "doc_bpe_merges",
     "doc_bpe_token_counts",
-    "doc_gopher_quality",
-    "doc_chunks",
     "doc_bpe_encoded",
     "doc_bpe_pack",
     "doc_mask_contaminated",
-    "doc_strip_boilerplate",
-    "doc_feature_hash_embed",
-    "doc_minhash_signatures",
-    "doc_lsh_candidates",
-    "doc_simhash",
-    "doc_jaccard_pairs",
-    "doc_dup_components",
-    "doc_dup_components_star",
-    "doc_incremental_dedup",
-    "doc_decontam_lsh_join",
-    "doc_decontamination",
-    "doc_boilerplate",
+    "doc_curation_pipeline",
 ]
 
 base.DRIVER_ORDER[:] = [
-    # never-attested first: NEW in r7 (end-to-end curation pipeline,
-    # BPE merge learning + encode), then the r7-modified shingle family
-    "doc_curation_pipeline",
+    # never-attested first: NEW in r8, then the r8-changed BPE/mask/pipeline
+    "doc_bpe_merges_batched",
+    "doc_curation_semdedup",
     "doc_bpe_merges",
     "doc_bpe_token_counts",
-    "doc_gopher_quality",
-    "doc_chunks",
     "doc_bpe_encoded",
     "doc_bpe_pack",
     "doc_mask_contaminated",
-    "doc_strip_boilerplate",
-    "doc_feature_hash_embed",
-    "doc_minhash_signatures",
-    "doc_lsh_candidates",
-    "doc_simhash",
-    "doc_jaccard_pairs",
-    "doc_dup_components",
-    "doc_dup_components_star",
-    "doc_incremental_dedup",
-    "doc_decontam_lsh_join",
-    "doc_decontamination",
-    "doc_boilerplate",
-    # latest-green r4: the full 30-strong cohort (oldest rows)
-    "embedding_int8_quant",
-    "embedding_ivf_recall",
-    "embedding_lsh_recall",
-    "embedding_lsh_topk",
-    "events_anomaly_zscore",
-    "events_dau_wau",
-    "events_funnel",
-    "events_gap_fill",
-    "events_json_extract",
-    "events_ohlc_bars",
-    "events_props_rollup",
-    "events_purchase_window_clicks",
-    "events_retention_cohorts",
-    "events_salted_counts",
-    "events_salted_join",
-    "events_session_window",
-    "events_sliding_rollup",
-    "events_transition_matrix",
-    "features_within_radius",
-    "first_order_per_customer",
-    "geo_pivot_pipeline",
-    "image_decode_png",
-    "lang_id_confusion",
-    "lineitem_column_stats",
-    "lineitem_price_histogram",
-    "nation_stats_unpivot",
-    "nearest_feature_distance",
-    "orders_merge_upsert",
-    "parts_cm_frequencies",
-    "parts_hll_distinct",
+    "doc_curation_pipeline",
+    # latest-green r5: the full 41-strong cohort (oldest rows)
+    "blob_byte_entropy",
+    "brand_min_price",
+    "custkeys_f_and_o_intersect",
+    "customer_cumulative_spend",
+    "customers_without_orders",
+    "doc_priority_sample",
+    "events_moving_avg",
+    "events_value_quantiles",
+    "geo_buffer_clip_pipeline",
+    "geo_nearest_distance_pipeline",
+    "lineitem_multi_distinct",
+    "order_gaps_lag",
+    "orders_cube",
+    "orders_except",
+    "orders_rollup",
+    "parts_pagerank",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_part_suppliers",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "segment_year_pivot",
+    "suppliers_with_big_lineitems",
+    "top3_orders_per_customer",
+    "video_metadata_mp4",
+    # r6-cohort fill (alphabetical prefix)
+    "approx_distinct_parts",
 ]
 
 

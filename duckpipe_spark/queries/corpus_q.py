@@ -441,6 +441,89 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curation pipeline + SemDeDup stage (VERDICT r7 item 7): a real curation
+# run also drops embedding near-duplicates — same chain, with the
+# LSH-bucketed cosine closure over the exact-dedup survivors' embeddings
+# spliced in between exact dedup and span removal. The oracle is the same
+# multi-CTE SQL with the recursive-closure CTEs inserted (string surgery on
+# _PIPELINE_ORACLE, pinned by the asserts below so a reword of the base
+# oracle can't silently produce a half-spliced one).
+# ---------------------------------------------------------------------------
+
+_SEM_THRESH = 0.3  # the neardup family's pinned threshold (similarity_q)
+
+
+def _semdedup_pipeline_oracle() -> str:
+    from duckpipe_spark.queries.similarity_q import _BUCKET_SQL, _cos_sql
+
+    sem_ctes = f""",
+sdb AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, {_BUCKET_SQL} AS bucket
+  FROM embeddings e JOIN uniq u ON e.vec_id = u.doc_id
+),
+sdpairs AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM sdb a JOIN sdb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_SEM_THRESH}
+),
+sdedges AS MATERIALIZED (SELECT u, v FROM sdpairs UNION SELECT v AS u, u AS v FROM sdpairs),
+sdreach(u, v) AS (
+  SELECT u, v FROM sdedges
+  UNION
+  SELECT r.u, e.v FROM sdreach r JOIN sdedges e ON r.v = e.u
+),
+sdcomp AS (SELECT u AS id, least(u, min(v)) AS component FROM sdreach GROUP BY u),
+sduniq AS (
+  SELECT u.doc_id, u.text, u.lang FROM uniq u
+  LEFT JOIN sdcomp c ON u.doc_id = c.id
+  WHERE c.component IS NULL OR c.component = u.doc_id
+)"""
+    uniq_cte = "uniq AS (SELECT g.doc_id, g.text, g.lang FROM gated g JOIN canon USING (doc_id))"
+    uniq_mat = uniq_cte.replace("uniq AS (", "uniq AS MATERIALIZED (", 1)
+    assert _PIPELINE_ORACLE.count(uniq_cte) == 1
+    assert _PIPELINE_ORACLE.count("AS t FROM uniq") == 1  # stoks source
+    assert _PIPELINE_ORACLE.count("WITH q AS") == 1
+    # MATERIALIZED is load-bearing: uniq is referenced 3x here (sdb, sduniq,
+    # the lang join) and DuckDB inlines multiply-referenced CTEs — the
+    # un-materialized splice re-evaluated the whole gate+dedup subtree per
+    # reference (measured 215 s vs ~2 s at sf0.01)
+    return (
+        _PIPELINE_ORACLE.replace("WITH q AS", "WITH RECURSIVE q AS", 1)
+        .replace(uniq_cte, uniq_mat + sem_ctes, 1)
+        .replace("AS t FROM uniq", "AS t FROM sduniq", 1)
+    )
+
+
+@register(
+    "doc_curation_semdedup",
+    _semdedup_pipeline_oracle(),
+    "curation pipeline with SemDeDup: embedding near-dup clusters keep min-id rep",
+)
+def doc_curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`doc_curation_pipeline` with the optional SemDeDup stage enabled:
+    exact-dedup survivors whose embeddings sit in the same LSH bucket and
+    clear cosine>=0.3 form clusters (transitive closure); only each
+    cluster's min-id representative continues to span dedup and beyond."""
+    from duckpipe_spark.functions.corpus import curation_pipeline
+    from duckpipe_spark.functions.similarity import N_PLANES
+
+    return curation_pipeline(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=_PIPE_MIN_TOKENS,
+        min_points=_PIPE_MIN_POINTS,
+        span_window=_PIPE_SPAN_W,
+        decontam_k=_PIPE_DECON_K,
+        bench_bucket_min=_PIPE_BENCH_MIN,
+        max_contamination=_PIPE_MAX_CONTAM,
+        mix_weights=_PIPE_WEIGHTS,
+        n_shards=_PIPE_SHARDS,
+        embeddings=load_table(spark, sf_dir, "embeddings"),
+        semdedup_threshold=_SEM_THRESH,
+        semdedup_planes=N_PLANES,  # static oracle encodes the 8-plane matrix
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-source curation rollup
 # ---------------------------------------------------------------------------
 
@@ -512,8 +595,13 @@ ph AS (
 split AS (SELECT id, i, hv, ({lehmer_hash_sql('id')}) % 100 AS b FROM ph),
 bench AS (SELECT DISTINCT hv FROM split WHERE b >= {bucket_min}),
 hits AS (
-  SELECT DISTINCT s.id, CAST((s.i - 1) // {w} AS INT) AS si
-  FROM split s JOIN bench USING (hv) WHERE s.b < {bucket_min}
+  -- both the span holding the k-gram's start AND the one holding its end
+  SELECT DISTINCT id, si FROM (
+    SELECT s.id,
+           unnest([CAST((s.i - 1) // {w} AS INT),
+                   CAST((s.i - 1 + {k - 1}) // {w} AS INT)]) AS si
+    FROM split s JOIN bench USING (hv) WHERE s.b < {bucket_min}
+  )
 ),
 maskedn AS (SELECT id, count(*) AS n_masked FROM hits GROUP BY id),
 base AS (

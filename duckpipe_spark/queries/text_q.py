@@ -429,6 +429,7 @@ FROM m
     "doc_gopher_quality",
     _GOPHER_ORACLE,
     "Gopher quality-rule battery (Rae et al. 2021) as one shuffle-free projection",
+    bench=True,  # r8: every r7 family ratio-tracked round-over-round (VERDICT r7 item 8)
 )
 def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
@@ -457,6 +458,7 @@ FROM (SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS s FROM base
     "doc_chunks",
     _CHUNK_ORACLE,
     "overlapping context-window chunking (pure projection + explode)",
+    bench=True,  # r8: every r7 family ratio-tracked round-over-round (VERDICT r7 item 8)
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
@@ -492,6 +494,7 @@ GROUP BY 1, 2
     "doc_feature_hash_embed",
     _FEATURE_HASH_ORACLE,
     "feature-hashing document vectors (hashing trick; all-integer, exploded)",
+    bench=True,  # r8: every r7 family ratio-tracked round-over-round (VERDICT r7 item 8)
 )
 def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash_embed(load_table(spark, sf_dir, "documents"), dim=_EMBED_DIM)

@@ -92,6 +92,23 @@ def synthesize(spark) -> None:
             c = df
             for k, dom in keys.items():
                 c = c.withColumn(k, (F.col(k) + i * domain_span[dom]).cast("bigint"))
+            if t == "documents":
+                # plant shared footer lines in 20% of docs: the sf0.1 corpus
+                # carries no cross-doc repeated lines, so the sf1
+                # doc_strip_boilerplate row used to measure a 5-stage no-op
+                # (VERDICT r7 item 6). Two footers in 1-in-5 docs make the
+                # strip path (boiler set build + broadcast strip join) do
+                # real work while staying tiny vs the corpus.
+                footer = F.lit(
+                    "\n(c) example corp - all rights reserved"
+                    "\nunsubscribe: http://example.invalid/u"
+                )
+                c = c.withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), footer)
+                    ).otherwise(F.col("text")),
+                )
             if t == "events":
                 # a 10x event corpus covers 10x the TIME, not 10x the density:
                 # shift each copy past the 30-day source span so window joins

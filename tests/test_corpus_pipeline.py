@@ -269,6 +269,33 @@ class TestMaskContaminatedSpans:
         ok = got[train_ids[1]]
         assert ok["n_masked"] == 0 and ok["clean_text"] == filler
 
+    def test_boundary_crossing_kgram_masks_both_spans(self, spark):
+        import pyspark.sql.functions as F
+
+        from duckpipe_spark.functions.corpus import mask_contaminated_spans
+        from duckpipe_spark.functions.sampling import lehmer_hash_col
+
+        ids = spark.range(1, 200).select(
+            "id", (lehmer_hash_col(F.col("id")) % 100).alias("b")
+        ).collect()
+        bench_id = next(r.id for r in ids if r.b >= 90)
+        train_id = next(r.id for r in ids if r.b < 90)
+        secret = "alpha bravo charlie delta echo"
+        # secret occupies pos 8..12: starts in span 0, ends in span 1 —
+        # BOTH spans must drop (start-only masking would leak
+        # "charlie delta echo" into the surviving span 1)
+        pre = " ".join(f"w{i}" for i in range(8))
+        post = " ".join(f"x{i}" for i in range(17))  # total 30 tokens, 3 spans
+        docs = spark.createDataFrame(
+            [(bench_id, f"benchmark: {secret} indeed"), (train_id, f"{pre} {secret} {post}")],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r.asDict() for r in mask_contaminated_spans(docs).collect()}
+        bad = got[train_id]
+        assert bad["n_spans"] == 3 and bad["n_masked"] == 2
+        # only span 2 (pure x-filler) survives
+        assert bad["clean_text"] == " ".join(f"x{i}" for i in range(7, 17))
+
     def test_all_masked_doc_yields_empty_text(self, spark):
         import pyspark.sql.functions as F
 
