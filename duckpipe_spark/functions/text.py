@@ -422,3 +422,88 @@ def feature_hash_embed(
         .groupBy(id_col, "j")
         .agg(F.sum("s").cast("bigint").alias("v"))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones) over the corpus for a
+    small set of keyword queries → (query_id, rank, doc_id, score) — the
+    retrieval shape a training-data pipeline runs for hard-negative mining
+    and seed-document expansion. idf is the non-log Robertson variant
+    (N - df + 0.5)/(df + 0.5): rational in corpus integers, so both engines
+    compute identical doubles without trusting ln() ulps.
+
+    Determinism: every float is derived from exact integer aggregates
+    through ONE mirrored expression tree; the per-(query, doc) score sums
+    its ≤|terms| contributions as an ORDERED left fold over term-sorted
+    contributions (the dot-product pattern), then rounds to 6 dp before
+    ranking; ties break on doc_id.
+
+    Scale shape: tf/dl are map-side-combinable aggregates of the token
+    explode; df aggregates ONLY query terms (left-semi against the
+    broadcast term set prunes the shuffle to matched rows); corpus-size
+    stats ride a 1-row crossJoin (never collected); the rank window
+    partitions by query_id — top-k per query is a TakeOrdered-sized
+    result, and candidate rows entering the window are only docs
+    containing ≥1 query term."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    k1_plus_1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms], "query_id int, term string"
+    )
+    tf = (
+        toks.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(one_minus_b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1_plus_1)) / denom
+    matched = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", id_col, "term", contrib.alias("c"))
+    )
+    score = F.round(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "c"))), lambda s: s["c"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        matched.groupBy("query_id", id_col)
+        .agg(score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col), "score")
+    )

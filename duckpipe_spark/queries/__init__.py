@@ -62,7 +62,9 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     behavior unchanged when off — re-attested defensively);
 #   * the full 41-strong ROUND-5 cohort (oldest rows, 3 rounds old — the
 #     r7 verdict's #1 ask and the registry's own two-window schedule);
-#   * 1 r6-cohort fill slot (alphabetical prefix: approx_distinct_parts).
+#   * 1 NEW query added mid-round: doc_bm25_topk (BM25 ranked retrieval,
+#     hard-negative mining shape) takes the final slot — new queries
+#     outrank the r6 fill (approx_distinct_parts leads the r9 window).
 # Two-window schedule going forward, so no query's latest green row ever
 # exceeds 3 rounds:
 #   * r9 window: the remaining 41 r6-cohort queries (latest green r6) +
@@ -78,6 +80,7 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # before the gate does. Update each round alongside DRIVER_ORDER.
 CHANGED_THIS_ROUND = [
     "doc_bpe_merges_batched",
+    "doc_bm25_topk",
     "doc_curation_semdedup",
     "doc_bpe_merges",
     "doc_bpe_token_counts",
@@ -139,8 +142,8 @@ base.DRIVER_ORDER[:] = [
     "suppliers_with_big_lineitems",
     "top3_orders_per_customer",
     "video_metadata_mp4",
-    # r6-cohort fill (alphabetical prefix)
-    "approx_distinct_parts",
+    # new mid-round: BM25 ranked retrieval
+    "doc_bm25_topk",
 ]
 
 

@@ -498,3 +498,84 @@ GROUP BY 1, 2
 )
 def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash_embed(load_table(spark, sf_dir, "documents"), dim=_EMBED_DIM)
+
+
+from duckpipe_spark.functions.text import bm25_topk  # noqa: E402
+
+_BM25_K = 10
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERIES = [
+    (0, ["spark", "join"]),
+    (1, ["hash", "table", "scan"]),
+    (2, ["stream", "window"]),
+    (3, ["vector", "group", "fast"]),
+]
+
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+# float determinism: the non-log Robertson idf keeps every factor rational
+# in exact integer aggregates; the Spark side mirrors this expression tree
+# token for token, and the per-(query, doc) sum is an ordered left fold
+# over term-sorted contributions (the dot-product pattern) rounded to 6 dp
+# before ranking
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+qt(query_id, term) AS (VALUES {_BM25_QT_VALUES}),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl
+  FROM dl
+),
+contrib AS (
+  SELECT q.query_id, t.doc_id, t.term,
+         ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * {_BM25_K1 + 1.0!r})
+           / (t.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * l.dl
+                / (CAST(s.total_dl AS DOUBLE) / s.n_docs))) AS c
+  FROM tf t
+  JOIN qt q USING (term)
+  JOIN dfq d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT query_id, CAST(rk AS INT) AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rk
+  FROM (
+    SELECT query_id, doc_id,
+           round(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+             (acc, x) -> acc + x
+           ), 6) AS score
+    FROM contrib GROUP BY query_id, doc_id
+  )
+) WHERE rk <= {_BM25_K}
+"""
+
+
+@register(
+    "doc_bm25_topk",
+    _BM25_ORACLE,
+    "BM25 ranked retrieval for keyword queries (hard-negative mining shape)",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        _BM25_QUERIES,
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )

@@ -98,7 +98,13 @@ def synthesize(spark) -> None:
                 # doc_strip_boilerplate row used to measure a 5-stage no-op
                 # (VERDICT r7 item 6). Two footers in 1-in-5 docs make the
                 # strip path (boiler set build + broadcast strip join) do
-                # real work while staying tiny vs the corpus.
+                # real work while staying tiny vs the corpus. The copy
+                # marker keeps BODY lines unique across replicas — without
+                # it every text line appears verbatim in 10 docs and the
+                # "strip" measurement degenerates to stripping 100% of the
+                # corpus (measured: n_stripped == every line).
+                if i > 0:
+                    c = c.withColumn("text", F.concat(F.lit(f"copy{i} "), F.col("text")))
                 footer = F.lit(
                     "\n(c) example corp - all rights reserved"
                     "\nunsubscribe: http://example.invalid/u"

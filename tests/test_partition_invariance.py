@@ -383,7 +383,19 @@ def op_bpe(spark, scramble):
     return bpe_token_counts(docs, learn_bpe_merges(docs, n_merges=4))
 
 
+def op_bm25(spark, scramble):
+    # tf/df/dl are exact integer aggregates; the per-(query, doc) score is
+    # an ordered fold over term-sorted contributions, so partitioning
+    # cannot reorder the float sum
+    from duckpipe_spark.functions.text import bm25_topk
+
+    return bm25_topk(
+        scramble(_docs(spark)), [(0, ["the", "join"]), (1, ["a"])], k=5
+    )
+
+
 _OPS = [
+    op_bm25,
     op_token_stats,
     op_bpe,
     op_bpe_encode_ids,

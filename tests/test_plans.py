@@ -441,3 +441,54 @@ def test_sampled_quantiles_two_phase_rank(spark):
         a = audit_plan(sampled_quantiles(li, "cents", "rid", ["l_returnflag"], k=64))
     assert a.text.count("Window") >= 2, a.text
     assert "SPARK_PARTITION_ID" in a.text.upper() or "spark_partition_id" in a.text, a.text
+
+
+def test_bm25_broadcast_only_semi_pruned(spark):
+    """BM25: query-term/df/stats sides broadcast (no sort-merge join), the
+    only BNLJ is the 1-row stats crossJoin, zero Python stages, and the
+    token explode is pruned by a left-semi against the broadcast term set
+    BEFORE the tf shuffle (the df aggregate never sees non-query terms)."""
+    from duckpipe_spark.functions.text import bm25_topk
+    from duckpipe_spark.sources.tables import load_table
+
+    df = bm25_topk(
+        load_table(spark, SF_SMOKE, "documents"), [(0, ["the", "a"])], k=5
+    )
+    a = audit_plan(df)
+    assert a.sort_merge_joins == 0
+    # exactly ONE BNLJ node: the 1-row stats crossJoin (tree + detail
+    # section each mention it once, so count detail headers)
+    assert len(re.findall(r"\n\(\d+\) BroadcastNestedLoopJoin", a.text)) == 1
+    assert a.python_stages == 0
+    assert a.broadcast_hash_joins >= 4  # semi-prune + qt + dfq + (dl small here)
+    assert "LeftSemi" in a.text
+
+
+def test_curation_semdedup_no_cartesian_no_extra_python(spark):
+    """The SemDeDup splice must not add a cartesian pair search (the pair
+    join is a bucket equi-join on all-JVM fold expressions) and must not
+    add Python stages: the static un-persisted plan replays the Arrow
+    shingle kernel per consumer (persist_stages collapses that at run
+    time), so the pin compares against the BASE pipeline's count rather
+    than an absolute."""
+    from duckpipe_spark.functions.corpus import curation_pipeline
+    from duckpipe_spark.functions.similarity import N_PLANES
+    from duckpipe_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = audit_plan(curation_pipeline(docs, persist_stages=False))
+    a = audit_plan(
+        curation_pipeline(
+            docs,
+            embeddings=load_table(spark, SF_SMOKE, "embeddings"),
+            semdedup_planes=N_PLANES,
+            persist_stages=False,
+        )
+    )
+    assert "CartesianProduct" not in a.text
+    assert a.python_stages == base.python_stages, (a.python_stages, base.python_stages)
+    # the splice's own joins (survivor anti-join, closure label joins) are
+    # all EQUI joins — SMJ/SHJ are legitimate there at unknown build-side
+    # size; only a cartesian/BNLJ pair search would be a scale bug, and the
+    # BNLJ count must not grow vs the base pipeline
+    assert a.broadcast_nl_joins <= base.broadcast_nl_joins

@@ -172,3 +172,51 @@ def test_shard_and_order_reserved_column_guard(spark):
             shard_and_order(df.withColumn(col, F.lit(0)), "doc_id", 4)
     out = shard_and_order(df, "doc_id", 4)
     assert {"shard", "pos"} <= set(out.columns) and "__h" not in out.columns
+
+
+class TestBM25:
+    def test_bm25_matches_hand_computation(self, spark):
+        from duckpipe_spark.functions.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "apple apple apple apple"),
+                (4, "durian elderberry fig"),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {
+            (r.query_id, r.doc_id): (r.rank, r.score)
+            for r in bm25_topk(docs, [(0, ["apple"])], k=10).collect()
+        }
+        # N=4, df(apple)=2, idf=(4-2+0.5)/(2+0.5)=1.0, avgdl=12/4=3
+        def score(tf, dl):
+            return round(1.0 * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)), 6)
+
+        assert got == {
+            (0, 3): (1, score(4, 4)),  # tf=4 outranks tf=2
+            (0, 1): (2, score(2, 3)),
+        }
+
+    def test_bm25_tie_breaks_on_doc_id(self, spark):
+        from duckpipe_spark.functions.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(7, "x y"), (3, "x y"), (5, "z")], "doc_id bigint, text string"
+        )
+        rows = bm25_topk(docs, [(0, ["x"])], k=10).collect()
+        assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [3, 7]
+
+    def test_bm25_multi_term_sums_ordered(self, spark):
+        from duckpipe_spark.functions.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana"), (2, "apple"), (3, "banana banana")],
+            "doc_id bigint, text string",
+        )
+        rows = {r.doc_id: r.score for r in bm25_topk(docs, [(0, ["apple", "banana"])], k=10).collect()}
+        # doc 1 matches both terms: its score strictly exceeds single-term docs
+        assert rows[1] > rows[2] and rows[1] > rows[3]
+        assert set(rows) == {1, 2, 3}
