@@ -340,6 +340,12 @@ def bpe_token_counts(
       merge counts (kept for the zero-shuffle property tests)."""
     merges = _collect_merges(merges)
     keep = list(keep_cols or [])
+    if impl == "join" and docs.isStreaming:
+        # the word table aggregates the corpus, which a streaming append
+        # sink cannot do — route streams through the bit-identical
+        # projection twin (streams carry pre-trained merges, whose count
+        # is a config choice; the O(n_merges) depth caveat still applies)
+        impl = "chain"
     if impl == "chain":
         toks = tokens_col(F.col(text_col))
         total = F.aggregate(
@@ -434,7 +440,14 @@ def bpe_encode_ids(
       as literals — zero-shuffle, but O(n_merges) expression depth per
       token caps it at toy vocabularies (VERDICT r7 item 2)."""
     merges = _collect_merges(merges)
+    if impl == "join" and docs.isStreaming:
+        impl = "chain"  # same streaming fallback as bpe_token_counts
     if vocab is None:
+        if docs.isStreaming:
+            raise ValueError(
+                "bpe_encode_ids on a stream needs an explicit vocab= "
+                "(deriving it scans the corpus, which a stream cannot)"
+            )
         vocab = bpe_vocab_ids(docs, merges, text_col)
     if impl == "chain":
         toks = tokens_col(F.col(text_col))

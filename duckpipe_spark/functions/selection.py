@@ -1,0 +1,351 @@
+"""Data-selection operators: model-based quality scoring and importance
+weighting for training-corpus curation (SURVEY.md §2.14 extension — the
+reference has no selection surface; these are the "which documents do we
+actually train on" ops that sit between hygiene and sampling in a 100 TB
+pipeline).
+
+Three published recipes, re-expressed Spark-first:
+
+- ``lm_quality_score`` — CCNet-style (Wenzek et al., 2019) n-gram
+  language-model scoring: train a bigram LM on an in-domain reference
+  subset, score every document by how expected its text is under that LM.
+- ``dsir_scores`` — DSIR-style (Xie et al., 2023) hashed-n-gram importance
+  weights: how much more target-like than corpus-like each document's
+  hashed unigram distribution is.
+- ``dedup_keep_best`` — the curation DECISION on top of near-dup clusters:
+  instead of keeping the min-id doc per duplicate cluster, keep the
+  highest-quality member (the choice real pipelines make).
+
+Shared determinism constraints (same as functions/sampling.py and the BM25
+scorer in functions/text.py): every float is derived from exact integer
+aggregates through ONE mirrored expression tree, per-document sums are
+ORDERED left folds (by token position / bucket id), and no float ``ln()``
+appears anywhere — both LM and DSIR scores are kept rational (probability
+domain / first-order log-ratio surrogate) so Spark and DuckDB compute
+identical doubles without trusting libm ulps. Results round to 6 dp before
+comparison.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from duckpipe_spark.functions.dedup import POLY_MOD, WORD_BASE, char_poly_hash
+
+# hashed-feature bucket count for DSIR (mirrored into oracle SQL)
+DSIR_BUCKETS = 512
+
+
+def _lower_tokens(text_col: str) -> Column:
+    """Lower-cased whitespace tokens (the BM25 convention: trim first so
+    both engines agree on leading/trailing empties)."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    train_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-shape bigram-LM quality score → (id, n_bigrams, lm_score).
+
+    Train an add-one-smoothed bigram language model on the reference subset
+    ``docs.where(train_pred)`` (CCNet trains KenLM on Wikipedia; here the
+    reference subset is a predicate over the same table), then score every
+    document with ≥2 tokens by its mean per-bigram probability
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+
+    where c(w1 w2) / c(w1 ·) are train bigram / bigram-prefix counts and V
+    is the train token vocabulary size. The score is the per-document MEAN
+    of these probabilities — monotone "more in-domain = higher", like
+    CCNet's negative perplexity, but rational end-to-end: each p is one
+    IEEE division of exact integers, and the per-doc sum is an ordered
+    fold over token position, so both engines produce identical doubles
+    (the same no-ln() argument as the non-log Robertson idf in
+    ``bm25_topk``). A log-domain perplexity is a driver-side map away if a
+    calibrated scale is needed; the *ranking* a filter consumes needs only
+    a deterministic monotone score.
+
+    Words are reduced to their 31-base char-fold hashes (``char_poly_hash``)
+    and bigrams to ``(h1·WORD_BASE + h2) mod 1e9+7`` — the corpus never
+    shuffles strings, only bigints, and hash collisions merge counts
+    identically in both engines (the same hashed-LM quantization KenLM-style
+    deployments accept).
+
+    Scale shape: the LM side aggregates the TRAIN subset only (map-side
+    combinable groupBys over vocabulary-bounded keys); the trained tables
+    broadcast (they are vocabulary-sized, not corpus-sized); the corpus
+    side is explode → two broadcast joins → one groupBy on the document id.
+    No corpus-sized shuffle carries anything wider than (id, pos, 2 hashes).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        train_pred.alias("is_train"),
+        _lower_tokens(text_col).alias("t"),
+    )
+    n = F.size("t")
+    # bigram slots with position: struct(w1, w2) per adjacent pair
+    pairs = (
+        toks.where(n >= 2)
+        .select(
+            "id",
+            "is_train",
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice("t", 1, n - 1).alias("a"),
+                    F.slice(F.col("t"), 2, n - 1).alias("b"),
+                )
+            ).alias("pos", "s"),
+        )
+        .select(
+            "id",
+            "is_train",
+            "pos",
+            ((char_poly_hash(F.col("s.a")) * WORD_BASE + char_poly_hash(F.col("s.b")))
+             % POLY_MOD).alias("bk"),
+            char_poly_hash(F.col("s.a")).alias("pk"),
+        )
+    )
+    train_pairs = pairs.where("is_train")
+    big = train_pairs.groupBy("bk").agg(F.count(F.lit(1)).cast("bigint").alias("c_bi"))
+    uni = train_pairs.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+    # V = train token vocabulary (ALL positions, not just bigram prefixes)
+    vstats = (
+        toks.where("is_train")
+        .select(F.explode("t").alias("w"))
+        .select(char_poly_hash(F.col("w")).alias("wh"))
+        .agg(F.count_distinct("wh").cast("bigint").alias("v"))
+    )
+    p = (F.coalesce(F.col("c_bi"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v")
+    )
+    scored = (
+        pairs.join(F.broadcast(big), "bk", "left")
+        .join(F.broadcast(uni), "pk", "left")
+        .crossJoin(F.broadcast(vstats))
+        .select("id", "pos", p.alias("p"))
+    )
+    # ordered fold by position (the dot-product pattern): both engines sum
+    # the same doubles in the same order
+    total = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))), lambda s: s["p"]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nb = F.count(F.lit(1)).cast("bigint")
+    return (
+        scored.groupBy("id")
+        .agg(nb.alias("n_bigrams"), F.round(total / nb, 6).alias("lm_score"))
+        .select("id", "n_bigrams", "lm_score")
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shape hashed-n-gram importance score → (id, n_tokens,
+    dsir_score).
+
+    DSIR (Xie et al., 2023) weights each document by how much more likely
+    its hashed n-gram features are under a TARGET distribution (the data
+    you want more of) than under the RAW corpus distribution, then
+    importance-resamples. Features here are unigram char-fold hashes
+    bucketed mod ``n_buckets``; both distributions are add-one smoothed
+    over the bucket space:
+
+        p_b = (t_b + 1) / (T + B)      target
+        q_b = (r_b + 1) / (R + B)      raw corpus
+
+    The published weight is exp(Σ_b c_b·log(p_b/q_b)). To stay exactly
+    rational (no ln(), see module docstring) the score is the first-order
+    surrogate of the per-token mean log-ratio:
+
+        score(doc) = Σ_b (c_b / n) · (p_b − q_b) / q_b
+
+    i.e. log(p/q) replaced by its tangent (p−q)/q at p=q — identical sign,
+    identical zero set, and monotone in each bucket ratio, so threshold /
+    top-k selection decisions agree with the log-domain weight wherever
+    per-bucket ratios are moderate (the hashed-bucket regime: B ≪ vocab
+    smooths every ratio toward 1). Each term is one IEEE division of exact
+    integer products (all < 2^53 at any tested SF; at true 100 TB scale the
+    count products exceed 2^53 and the two totals T, R should be computed
+    on a sampled rate — noted, not silently assumed).
+
+    Scale shape: the two distribution tables are B rows (broadcast); the
+    corpus side is explode → (id, bucket) map-combinable count → broadcast
+    join → one groupBy on id with an ordered fold over bucket id. The
+    global T/R totals ride 1-row crossJoins, never a collect.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_target"),
+        F.explode(_lower_tokens(text_col)).alias("w"),
+    ).select("id", "is_target", (char_poly_hash(F.col("w")) % n_buckets).alias("b"))
+    doc_counts = tok.groupBy("id", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    tgt = tok.where("is_target").groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("big_r"),
+        F.sum(F.col("is_target").cast("bigint")).cast("bigint").alias("big_t"),
+    )
+    # every bucket a document can hit appears in raw (doc tokens ⊆ corpus
+    # tokens), so raw LEFT JOIN target covers the full support
+    ratio = (
+        ((F.col("t") + 1) * (F.col("big_r") + n_buckets)
+         - (F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
+        / ((F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
+    )
+    buckets = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("b", F.coalesce(F.col("t"), F.lit(0)).alias("t"), "r", "big_r", "big_t")
+        .select("b", ratio.alias("lr"))
+    )
+    total = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("b", "contrib"))), lambda s: s["contrib"]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_tok = F.sum("c").cast("bigint")
+    return (
+        doc_counts.join(F.broadcast(buckets), "b")
+        .select("id", "b", "c", (F.col("c").cast("double") * F.col("lr")).alias("contrib"))
+        .groupBy("id")
+        .agg(n_tok.alias("n_tokens"), F.round(total / n_tok, 6).alias("dsir_score"))
+        .select("id", "n_tokens", "dsir_score")
+    )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup cluster resolution that keeps the BEST member → (doc_id,
+    component, qp, n_toks, is_kept).
+
+    ``connected_components`` closes LSH candidate pairs into duplicate
+    clusters; real curation then keeps one representative per cluster —
+    not the arbitrary min-id, but the highest-quality member (Gopher-style
+    quality points, then token count, then min id as the final tiebreak).
+    Documents in no cluster are their own singleton component (and kept).
+
+    Scale shape: the closure is the O(log n) iterative piece (see
+    ``connected_components``); everything after it is one LEFT broadcast
+    join of the (small, duplicates-only) component map onto the corpus
+    projection plus a per-component row_number window — the window key is
+    the component id, whose cardinality is the number of duplicate
+    clusters, with singleton components never exceeding one row."""
+    from duckpipe_spark.functions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from duckpipe_spark.functions.text import quality_points_col, tokens_col
+
+    comp = connected_components(
+        lsh_candidate_pairs(minhash_signatures(docs, id_col=id_col, text_col=text_col))
+    )
+    scored = docs.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        quality_points_col(F.col(text_col)).cast("bigint").alias("qp"),
+        F.size(tokens_col(F.col(text_col))).cast("bigint").alias("n_toks"),
+    )
+    joined = scored.join(F.broadcast(comp), "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("component"), "qp", "n_toks"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("qp").desc(), F.col("n_toks").desc(), F.col("id").asc()
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        "component",
+        "qp",
+        "n_toks",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+def prototype_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+    prune_frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototypes-style pruning (Sorscher et al., 2022) → (vec_id,
+    cell, dist, cell_rank, is_kept).
+
+    Cluster the embedding space with the deterministic integer k-means
+    (``kmeans_cells``), recompute each cell's final centroid from the
+    final assignment, and rank members by integer squared-L2 distance to
+    their centroid. The MOST prototypical ``prune_frac`` of every cell
+    (smallest distance — the easy, redundant examples) is marked
+    ``is_kept = false``; rank ties break on id. All quantities are integer
+    (quantized vectors, integer distances) so the ranking is bit-exact
+    across engines — the same determinism contract as ``kmeans_cells``.
+
+    Scale shape: centroid recompute is one posexplode + (cell, pos)
+    aggregate (k·dim keys); distances are a broadcast join of k centroid
+    arrays onto the assignment; the rank window partitions by cell. The
+    vectors shuffle once (the kmeans assignment's own min-struct agg), and
+    never again — the window input carries only (id, cell, dist)."""
+    from duckpipe_spark.functions.similarity import kmeans_cells
+
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+    base = embeddings.select(F.col(id_col).alias("id"), qv.alias("v"))
+    cells = kmeans_cells(
+        embeddings, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+    assigned = cells.join(base, "id")
+    cents = (
+        assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("cv_i")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv_i"))).alias("ps"))
+        .select("cell", F.transform("ps", lambda s: s["cv_i"]).alias("cv"))
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("dist").asc(), F.col("id").asc())
+    wn = Window.partitionBy("cell")
+    ranked = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select("id", "cell", dist.alias("dist"))
+        .withColumn("cell_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_cell", F.count(F.lit(1)).over(wn))
+    )
+    return ranked.select(
+        F.col("id").alias(id_col),
+        "cell",
+        "dist",
+        "cell_rank",
+        (F.col("cell_rank") > F.floor(F.lit(prune_frac) * F.col("n_cell"))).alias(
+            "is_kept"
+        ),
+    )

@@ -1,0 +1,251 @@
+"""Data-selection queries (LM quality, DSIR importance, keep-best dedup,
+prototype pruning) with exact DuckDB oracles.
+
+The Spark side calls ``duckpipe_spark.functions.selection``; the oracle SQL
+is generated from the same constants (POLY hash, bucket count, k-means
+unroll) so both engines compute identical integers and doubles — see the
+determinism notes in the functions module and relational.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from duckpipe_spark.functions.dedup import POLY_BASE, POLY_MOD, WORD_BASE
+from duckpipe_spark.functions.selection import DSIR_BUCKETS
+from duckpipe_spark.queries.base import register
+from duckpipe_spark.queries.dedup_q import _CC_ORACLE
+from duckpipe_spark.queries.similarity_q import _KM_ITERS, _KM_K, _KM_SCALE, _kmeans_oracle
+from duckpipe_spark.sources.tables import load_table
+
+# char-fold word hash as a SQL lambda body (the twin of char_poly_hash)
+_WH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({w}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+)
+
+# --- CCNet-shape bigram-LM quality scoring ---------------------------------
+
+_LM_TRAIN_PRED = "lang = 'en'"
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS id, {_LM_TRAIN_PRED} AS is_train,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+wtoks AS (
+  SELECT id, is_train, list_transform(t, w -> {_WH.format(w="w")}) AS wh, len(t) AS n
+  FROM toks
+),
+pairs AS (
+  SELECT id, is_train, i AS pos,
+         (wh[i] * {WORD_BASE} + wh[i + 1]) % {POLY_MOD} AS bk,
+         wh[i] AS pk
+  FROM (SELECT id, is_train, wh, unnest(range(1, n)) AS i FROM wtoks WHERE n >= 2)
+),
+big AS (
+  SELECT bk, CAST(count(*) AS BIGINT) AS c_bi FROM pairs WHERE is_train GROUP BY bk
+),
+uni AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS c_uni FROM pairs WHERE is_train GROUP BY pk
+),
+vstats AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT unnest(wh) AS w FROM wtoks WHERE is_train)
+),
+scored AS (
+  SELECT p.id, p.pos,
+         CAST(coalesce(b.c_bi, 0) + 1 AS DOUBLE) / (coalesce(u.c_uni, 0) + vs.v) AS pr
+  FROM pairs p
+  LEFT JOIN big b ON p.bk = b.bk
+  LEFT JOIN uni u ON p.pk = u.pk
+  CROSS JOIN vstats vs
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pr ORDER BY pos)),
+                     (a, x) -> a + x) / count(*), 6) AS lm_score
+FROM scored GROUP BY id
+"""
+
+
+@register(
+    "doc_lm_quality",
+    _LM_ORACLE,
+    "CCNet-style bigram-LM quality score (train on lang='en', score all docs)",
+    bench=True,  # two corpus passes + broadcast LM: a perf-tracked family head
+)
+def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference surface: none (beyond-reference data-selection operator;
+    CCNet = Wenzek et al. 2019). Docs with <2 tokens carry no bigram and
+    are absent from the result — mirrored by the oracle's n >= 2 guard."""
+    from duckpipe_spark.functions.selection import lm_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = lm_quality_score(docs, F.col("lang") == "en")
+    return out.select(F.col("id").alias("doc_id"), "n_bigrams", "lm_score")
+
+
+# --- DSIR-shape hashed-unigram importance scores ----------------------------
+
+_DSIR_TARGET_PRED = "lang = 'en'"
+_B = DSIR_BUCKETS
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id AS id, {_DSIR_TARGET_PRED} AS is_target,
+         {_WH.format(w="w")} % {_B} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+),
+doc_counts AS (
+  SELECT id, b, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY id, b
+),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t FROM tok WHERE is_target GROUP BY b),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS big_r,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS big_t
+  FROM tok
+),
+buckets AS (
+  SELECT raw.b,
+         CAST((coalesce(tgt.t, 0) + 1) * (tt.big_r + {_B})
+              - (raw.r + 1) * (tt.big_t + {_B}) AS DOUBLE)
+         / CAST((raw.r + 1) * (tt.big_t + {_B}) AS DOUBLE) AS lr
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN totals tt
+)
+SELECT id AS doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY b)),
+                     (a, x) -> a + x) / sum(c), 6) AS dsir_score
+FROM (
+  SELECT d.id, d.b, d.c, CAST(d.c AS DOUBLE) * bu.lr AS contrib
+  FROM doc_counts d JOIN buckets bu ON d.b = bu.b
+) GROUP BY id
+"""
+
+
+@register(
+    "doc_dsir_scores",
+    _DSIR_ORACLE,
+    "DSIR-style hashed-unigram importance score (target = lang='en')",
+    bench=True,  # r8 data-selection family ratio-tracked round-over-round
+)
+def doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference surface: none (beyond-reference; DSIR = Xie et al. 2023,
+    log-free first-order surrogate — see functions/selection.py)."""
+    from duckpipe_spark.functions.selection import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_scores(docs, F.col("lang") == "en")
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "dsir_score")
+
+
+# --- keep-best near-dup cluster resolution ----------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH comp AS (
+  {_CC_ORACLE}
+),
+dq AS (
+  SELECT doc_id AS id,
+         (
+           (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+           + (CASE WHEN (CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                         / length(text)) <= 0.1
+                   THEN 1 ELSE 0 END)
+         )::BIGINT AS qp,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+  FROM documents
+),
+j AS (
+  SELECT dq.id, coalesce(comp.component, dq.id) AS component, dq.qp, dq.n_toks
+  FROM dq LEFT JOIN comp ON dq.id = comp.id
+)
+SELECT id AS doc_id, component, qp, n_toks,
+       row_number() OVER (PARTITION BY component
+                          ORDER BY qp DESC, n_toks DESC, id ASC) = 1 AS is_kept
+FROM j
+"""
+
+
+@register(
+    "doc_dedup_keep_best",
+    _KEEP_BEST_ORACLE,
+    "near-dup cluster resolution keeping the highest-quality member per cluster",
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the LSH-pair connected-components closure (doc_dup_components'
+    recursive-CTE oracle, spliced as a CTE) with the Gopher-style quality
+    points: the curation decision of WHICH duplicate survives."""
+    from duckpipe_spark.functions.selection import dedup_keep_best
+
+    return dedup_keep_best(load_table(spark, sf_dir, "documents"))
+
+
+# --- SSL-prototypes pruning over the trained k-means ------------------------
+
+_PROTO_PRUNE_FRAC = 0.25
+
+_PROTO_ORACLE = f"""
+WITH km AS (
+  {_kmeans_oracle(_KM_K, _KM_ITERS, _KM_SCALE)}
+),
+qv2 AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+a AS (SELECT km.id, km.cell, qv2.v FROM km JOIN qv2 ON km.id = qv2.id),
+cents AS (
+  SELECT cell, list(c ORDER BY pos) AS cv FROM (
+    SELECT cell, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS c FROM (
+      SELECT cell, pos, v[pos] AS val FROM (
+        SELECT cell, v, unnest(range(1, len(v) + 1)) AS pos FROM a
+      )
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+),
+d AS (
+  SELECT a.id, a.cell,
+         CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+              i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))) AS BIGINT) AS dist
+  FROM a JOIN cents c ON a.cell = c.cell
+),
+r AS (
+  SELECT id, cell, dist,
+         CAST(row_number() OVER (PARTITION BY cell ORDER BY dist, id) AS BIGINT) AS cell_rank,
+         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+  FROM d
+)
+SELECT id AS vec_id, cell, dist, cell_rank,
+       cell_rank > CAST(floor({_PROTO_PRUNE_FRAC} * n_cell) AS BIGINT) AS is_kept
+FROM r
+"""
+
+
+@register(
+    "embedding_prototype_prune",
+    _PROTO_ORACLE,
+    "SSL-prototypes pruning: drop the most-prototypical quarter of every k-means cell",
+)
+def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extends the unrolled integer-Lloyd oracle (embedding_kmeans_cells)
+    with a final-assignment centroid recompute + per-cell distance rank —
+    Sorscher et al. 2022's easy-example pruning as one lazy plan."""
+    from duckpipe_spark.functions.selection import prototype_prune
+
+    return prototype_prune(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_KM_K,
+        iters=_KM_ITERS,
+        scale=_KM_SCALE,
+        prune_frac=_PROTO_PRUNE_FRAC,
+    )

@@ -394,7 +394,42 @@ def op_bm25(spark, scramble):
     )
 
 
+def op_lm_quality(spark, scramble):
+    # LM counts are exact integer aggregates; each bigram probability is
+    # one IEEE division and the per-doc sum is an ordered fold over token
+    # position — no float summation-order exposure
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import lm_quality_score
+
+    return lm_quality_score(scramble(_docs(spark)), F.col("lang") == "en")
+
+
+def op_dsir(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import dsir_scores
+
+    return dsir_scores(scramble(_docs(spark)), F.col("lang") == "en")
+
+
+def op_dedup_keep_best(spark, scramble):
+    from duckpipe_spark.functions.selection import dedup_keep_best
+
+    return dedup_keep_best(scramble(_docs(spark)))
+
+
+def op_prototype_prune(spark, scramble):
+    from duckpipe_spark.functions.selection import prototype_prune
+
+    return prototype_prune(scramble(_embs(spark)), k=4, iters=1)
+
+
 _OPS = [
+    op_lm_quality,
+    op_dsir,
+    op_dedup_keep_best,
+    op_prototype_prune,
     op_bm25,
     op_token_stats,
     op_bpe,

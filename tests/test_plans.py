@@ -492,3 +492,54 @@ def test_curation_semdedup_no_cartesian_no_extra_python(spark):
     # size; only a cartesian/BNLJ pair search would be a scale bug, and the
     # BNLJ count must not grow vs the base pipeline
     assert a.broadcast_nl_joins <= base.broadcast_nl_joins
+
+
+def test_lm_quality_broadcast_lm_tables_no_smj(spark):
+    """doc_lm_quality: the trained LM tables (bigram counts, prefix
+    counts, 1-row vocab stats) are vocabulary-bounded and must BROADCAST
+    onto the corpus explode — a sort-merge join here would shuffle every
+    (id, pos, hash) row of the corpus against the LM at 100 TB. The only
+    nested-loop joins allowed are the 1-row scalar crossJoins."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_lm_quality")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0
+    assert a.shuffle_hash_joins == 0
+    assert a.broadcast_hash_joins >= 2  # bigram + prefix count tables
+    assert a.python_stages == 0
+    assert "CartesianProduct" not in a.text
+
+
+def test_dsir_bucket_table_broadcast_no_smj(spark):
+    """doc_dsir_scores: the B-row bucket distribution table broadcasts;
+    the corpus side is explode -> map-combinable (id, bucket) count ->
+    broadcast join -> one groupBy(id). No SMJ/SHJ anywhere."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_dsir_scores")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0
+    assert a.shuffle_hash_joins == 0
+    assert a.broadcast_hash_joins >= 1
+    assert a.python_stages == 0
+    assert "CartesianProduct" not in a.text
+
+
+def test_dedup_keep_best_component_map_broadcasts(spark):
+    """doc_dedup_keep_best: the component map (duplicate clusters only —
+    tiny vs the corpus) broadcasts LEFT onto the quality projection; the
+    only exchange in the final stitch is the per-component window."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_dedup_keep_best")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_hash_joins >= 1
+    assert a.exchanges <= 2, a.text
+
+
+def test_prototype_prune_centroids_broadcast_no_python(spark):
+    """embedding_prototype_prune: centroid arrays (k rows) broadcast onto
+    the assignment; distances are JVM fold expressions (zero Python); no
+    cartesian pair search anywhere in the unrolled Lloyd plan."""
+    with no_aqe(spark):
+        a = audit_plan(_q("embedding_prototype_prune")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0
+    assert a.shuffle_hash_joins == 0
+    assert a.python_stages == 0
+    assert "CartesianProduct" not in a.text

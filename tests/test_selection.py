@@ -1,0 +1,141 @@
+"""Semantics tests for the data-selection operators (functions/selection.py):
+hand-checkable fixtures pin WHAT each score means, independent of the
+oracle-equivalence gate (which pins only that both engines agree)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+# --- CCNet-shape bigram LM ---------------------------------------------------
+
+
+def test_lm_in_domain_doc_outscores_out_of_domain(spark):
+    from duckpipe_spark.functions.selection import lm_quality_score
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat sat on the mat", "en"),
+        (3, "the cat sat on the mat", "xx"),  # scored only: pure train bigrams
+        (4, "zq wv xj kq pf bn", "xx"),  # scored only: zero train bigrams
+    ]
+    out = {r.id: r for r in lm_quality_score(_docs(spark, rows), F.col("lang") == "en").collect()}
+    assert out[3].lm_score > out[4].lm_score
+    # identical text => identical score regardless of train membership
+    assert out[1].lm_score == out[3].lm_score
+    assert out[1].n_bigrams == 5
+
+
+def test_lm_hand_computed_probability(spark):
+    from duckpipe_spark.functions.selection import lm_quality_score
+
+    # train: one doc "a b a b"; bigrams: (a,b)x2, (b,a)x1; prefix counts
+    # a->2, b->1; V = 2. score doc "a b": p(b|a) = (2+1)/(2+2) = 0.75
+    rows = [(1, "a b a b", "en"), (2, "a b", "xx")]
+    out = {r.id: r for r in lm_quality_score(_docs(spark, rows), F.col("lang") == "en").collect()}
+    assert out[2].lm_score == pytest.approx(0.75)
+    # unseen bigram in doc "b b": p(b|b) = (0+1)/(1+2) = 1/3
+    rows.append((3, "b b", "xx"))
+    out = {r.id: r for r in lm_quality_score(_docs(spark, rows), F.col("lang") == "en").collect()}
+    assert out[3].lm_score == pytest.approx(round(1 / 3, 6))
+
+
+def test_lm_short_docs_are_absent(spark):
+    from duckpipe_spark.functions.selection import lm_quality_score
+
+    rows = [(1, "a b c", "en"), (2, "single", "en")]
+    ids = {r.id for r in lm_quality_score(_docs(spark, rows), F.col("lang") == "en").collect()}
+    assert ids == {1}
+
+
+# --- DSIR importance ---------------------------------------------------------
+
+
+def test_dsir_target_like_doc_scores_higher(spark):
+    from duckpipe_spark.functions.selection import dsir_scores
+
+    # target vocabulary {aa bb}, raw-only vocabulary {zz yy}: a doc made of
+    # target-frequent tokens must outweigh a doc of raw-only tokens
+    rows = [
+        (1, "aa bb aa bb aa bb", "en"),
+        (2, "aa bb aa bb", "en"),
+        (3, "aa bb aa bb", "xx"),  # target-like, not in target
+        (4, "zz yy zz yy", "xx"),  # raw-only
+    ]
+    out = {r.id: r for r in dsir_scores(_docs(spark, rows), F.col("lang") == "en").collect()}
+    assert out[3].dsir_score > out[4].dsir_score
+    assert out[3].n_tokens == 4
+    # identical hashed-feature vectors => identical score
+    assert out[2].dsir_score == out[3].dsir_score
+
+
+def test_dsir_score_sign_matches_direction(spark):
+    from duckpipe_spark.functions.selection import dsir_scores
+
+    # the surrogate keeps log(p/q)'s zero set: a token distribution
+    # identical to the corpus-wide one scores ~0; raw-only tokens (absent
+    # from target) get negative weight
+    rows = [(1, "aa", "en"), (2, "zz", "xx")]
+    out = {r.id: r for r in dsir_scores(_docs(spark, rows), F.col("lang") == "en").collect()}
+    assert out[1].dsir_score > 0 > out[2].dsir_score
+
+
+# --- keep-best duplicate resolution -----------------------------------------
+
+
+def test_keep_best_prefers_quality_not_min_id(spark):
+    from duckpipe_spark.functions.selection import dedup_keep_best
+
+    # two near-identical docs; the LOWER id is the LOWER quality one (its
+    # punctuation tail fails the punct-ratio check), so keep-best must pick
+    # the HIGHER id — the opposite of min-id survivorship. Texts share
+    # enough 3-shingles to LSH-pair.
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base + " ....!!!!....!!!!....", "en"),  # high punct ratio -> fewer points
+        (2, base, "en"),
+    ]
+    out = {r.doc_id: r for r in dedup_keep_best(_docs(spark, rows)).collect()}
+    assert out[1].component == out[2].component == 1
+    assert out[2].is_kept and not out[1].is_kept
+    assert out[2].qp > out[1].qp
+
+
+def test_keep_best_singletons_all_kept(spark):
+    from duckpipe_spark.functions.selection import dedup_keep_best
+
+    rows = [
+        (1, "completely unique first document text here", "en"),
+        (2, "another entirely different second document body", "en"),
+    ]
+    out = dedup_keep_best(_docs(spark, rows)).collect()
+    assert all(r.is_kept for r in out)
+    assert {r.component for r in out} == {1, 2}
+
+
+# --- prototypicality pruning -------------------------------------------------
+
+
+def test_prototype_prune_drops_nearest_quarter(spark):
+    from duckpipe_spark.functions.selection import prototype_prune
+
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = prototype_prune(load_table(spark, SF_SMOKE, "embeddings"), k=4, iters=1).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert len(by_cell) >= 2
+    for cell, rows in by_cell.items():
+        n = len(rows)
+        dropped = sorted(r.cell_rank for r in rows if not r.is_kept)
+        # exactly floor(n/4) pruned, and they are the SMALLEST ranks
+        # (most prototypical = closest to centroid)
+        assert dropped == list(range(1, n // 4 + 1)), (cell, n, dropped)
+        ranked = sorted(rows, key=lambda r: r.cell_rank)
+        dists = [r.dist for r in ranked]
+        assert dists == sorted(dists)
