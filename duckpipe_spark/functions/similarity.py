@@ -434,9 +434,22 @@ def kmeans_cells(
             lambda acc, x: acc + x,
         )
 
+    spark = embeddings.sparkSession
+
+    def _materialize(cents: DataFrame) -> DataFrame:
+        # pin the centroid table as a LITERAL k-row DataFrame each round:
+        # without this, round t's broadcast re-executes every prior round's
+        # crossJoin/top-1 lineage (t-deep plan recursion — measured 45 s at
+        # sf0.1 where the data itself is trivial). The collect is bounded
+        # by construction: ≤ k rows of dim bigints, the same driver-bounded
+        # pattern as learn_bpe_merges' 1-row argmax (values are exact
+        # integers, so re-literalizing cannot perturb the hash contract).
+        rows = [(r["cell"], list(r["cv"])) for r in cents.collect()]
+        return spark.createDataFrame(rows, "cell bigint, cv array<bigint>")
+
     # farthest-point init: each new seed is a broadcast pass + distributed
     # top-1 (TakeOrdered), never a global sort of the corpus
-    cents = (
+    cents = _materialize(
         base.orderBy("h", "id")
         .limit(1)
         .select(F.lit(0).cast("bigint").alias("cell"), F.col("v").alias("cv"))
@@ -452,7 +465,7 @@ def kmeans_cells(
             .limit(1)
             .select(F.lit(t).cast("bigint").alias("cell"), F.col("v").alias("cv"))
         )
-        cents = cents.unionByName(far)
+        cents = _materialize(cents.unionByName(far))
 
     def _assign(cents: DataFrame) -> DataFrame:
         dist = F.aggregate(
@@ -486,7 +499,7 @@ def kmeans_cells(
         )
 
     for _ in range(iters):
-        cents = _update(_assign(cents))
+        cents = _materialize(_update(_assign(cents)))
     return _assign(cents)
 
 
