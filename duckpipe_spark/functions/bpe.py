@@ -379,6 +379,30 @@ def bpe_token_counts(
     )
 
 
+def bpe_decode_ids(
+    encoded: DataFrame,
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverse of ``bpe_encode_ids``: (id_col, pos, token_id) → (id_col,
+    pos, sym) via the reverse vocabulary map as a broadcast join (the
+    vocabulary is driver-bounded by construction — |charset| + n_merges
+    rows). Ids are unique per symbol (``bpe_vocab_ids`` first-win
+    semantics), so the inversion is a function; id 0 (OOV) decodes to
+    NULL — the caller decides the replacement glyph.
+
+    Scale shape: one broadcast join, no shuffle — the id stream keeps its
+    partitioning, which is what lets decode run inline in a
+    detokenization/inspection pass over sharded training data."""
+    spark = encoded.sparkSession
+    vt = spark.createDataFrame(
+        [(i, s) for s, i in vocab.items()], "token_id bigint, sym string"
+    )
+    return encoded.join(F.broadcast(vt), "token_id", "left").select(
+        F.col(id_col), F.col("pos"), F.col("sym")
+    )
+
+
 def _collect_merges(merges: DataFrame | list[tuple[str, str]]) -> list[tuple[str, str]]:
     if isinstance(merges, DataFrame):
         return [(r.lhs, r.rhs) for r in merges.orderBy("merge_rank").collect()]

@@ -71,10 +71,13 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     outrank the r6 fill (approx_distinct_parts leads the r9 window).
 # Two-window schedule going forward, so no query's latest green row ever
 # exceeds 3 rounds:
-#   * r9 window: the 4 NEW late-r8 selection queries (doc_lm_quality,
-#     doc_dsir_scores, doc_dedup_keep_best, embedding_prototype_prune —
-#     registered after the r8 window was frozen at 50, so never-attested)
-#     lead, then the remaining 41 r6-cohort queries (latest green r6) +
+#   * r9 window: the 5 NEW late-r8 queries (doc_lm_quality,
+#     doc_dsir_scores, doc_dedup_keep_best, embedding_prototype_prune,
+#     doc_bpe_roundtrip — registered after the r8 window was frozen at 50,
+#     so never-attested) lead, then the kmeans-family re-attest
+#     (embedding_kmeans_cells / embedding_cluster_profile — the centroid
+#     materialization changed the plan, values pinned unchanged), then
+#     the remaining 41 r6-cohort queries (latest green r6) +
 #     the r7 cohort starts aging — alphabetical prefix of the 50-strong
 #     r7 cohort fills the window after r9's own new/changed queries;
 #   * r10 window: the rest of the r7 cohort + the r8 cohort (this
@@ -93,6 +96,9 @@ CHANGED_THIS_ROUND = [
     "doc_dsir_scores",
     "doc_dedup_keep_best",
     "embedding_prototype_prune",
+    "doc_bpe_roundtrip",
+    "embedding_kmeans_cells",  # centroid-table materialization (values unchanged)
+    "embedding_cluster_profile",
     "doc_bpe_merges",
     "doc_bpe_token_counts",
     "doc_bpe_encoded",

@@ -120,10 +120,13 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from duckpipe_spark.functions.bpe import bpe_encode_ids  # noqa: E402
 
 
-def _encode_ids_oracle(n_merges: int) -> str:
-    # vocabulary: alphabet chars (binary-sorted) get 1..A, merge products
-    # A + rank; MIN(id) resolves two rounds producing the same surface
-    # string (first id wins — mirrors bpe_vocab_ids's setdefault)
+def _vocab_enc_ctes(n_merges: int) -> str:
+    """Merge rounds + vocabulary + per-position symbol stream as a shared
+    CTE body (used by the encode oracle and the decode round-trip oracle).
+
+    Vocabulary: alphabet chars (binary-sorted) get 1..A, merge products
+    A + rank; MIN(id) resolves two rounds producing the same surface
+    string (first id wins — mirrors bpe_vocab_ids's setdefault)."""
     vocab_rows = "\nUNION ALL\n".join(
         f"SELECT lhs || rhs AS sym, (SELECT a FROM asize) + {r} AS id FROM top{r}"
         for r in range(1, n_merges + 1)
@@ -136,7 +139,7 @@ def _encode_ids_oracle(n_merges: int) -> str:
         chain = (
             f"replace({chain}, {_S}||l{r}||{_S}||{_S}||r{r}||{_S}, {_S}||l{r}||r{r}||{_S})"
         )
-    return f"""WITH {_bpe_ctes(n_merges)},
+    return f"""{_bpe_ctes(n_merges)},
 alpha AS (
   SELECT c, CAST(row_number() OVER (ORDER BY c) AS BIGINT) AS id
   FROM (SELECT DISTINCT unnest(string_split(w, '')) AS c FROM w)
@@ -155,12 +158,17 @@ enc AS (
         THEN string_split(tk, '')
         ELSE list_filter(string_split({chain}, {_S}), x -> x <> '') END)) AS syms
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), {tops}
-)
-SELECT e.doc_id, e.pos, CAST(coalesce(v.id, 0) AS BIGINT) AS token_id
-FROM (
+),
+e AS (
   SELECT doc_id, CAST(unnest(range(len(syms))) AS BIGINT) AS pos, unnest(syms) AS sym
   FROM enc
-) e
+)"""
+
+
+def _encode_ids_oracle(n_merges: int) -> str:
+    return f"""WITH {_vocab_enc_ctes(n_merges)}
+SELECT e.doc_id, e.pos, CAST(coalesce(v.id, 0) AS BIGINT) AS token_id
+FROM e
 LEFT JOIN vocab v ON e.sym = v.sym
 """
 
@@ -174,6 +182,72 @@ def doc_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=N_MERGES)
     return bpe_encode_ids(docs, merges)
+
+
+# --- decode round-trip: ids -> symbols -> concatenation == original --------
+
+
+def _roundtrip_oracle(n_merges: int) -> str:
+    # the round trip goes THROUGH ids on both engines: syms -> id (forward
+    # vocab join, OOV -> 0) -> sym (REVERSE join on id — exercises the
+    # inversion, not a shortcut re-use of the symbol stream); word
+    # boundaries are not carried by the id stream, so the recoverable
+    # invariant is the whitespace-stripped text
+    return f"""WITH {_vocab_enc_ctes(n_merges)},
+ids AS (
+  SELECT e.doc_id, e.pos, CAST(coalesce(v.id, 0) AS BIGINT) AS token_id
+  FROM e LEFT JOIN vocab v ON e.sym = v.sym
+),
+dec AS (
+  SELECT ids.doc_id, ids.pos, rv.sym
+  FROM ids LEFT JOIN vocab rv ON ids.token_id = rv.id
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_syms,
+         string_agg(sym, '' ORDER BY pos) AS decoded
+  FROM dec GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_syms,
+       p.decoded = regexp_replace(trim(d.text), '\\s+', '', 'g') AS roundtrip_ok
+FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+"""
+
+
+@register(
+    "doc_bpe_roundtrip",
+    _roundtrip_oracle(N_MERGES),
+    "BPE decode inversion: encode -> id stream -> decode == whitespace-stripped text",
+)
+def doc_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking tokenizer contract: every document's id sequence,
+    decoded through the REVERSE vocabulary map, must re-concatenate
+    (ordered fold by position) to the whitespace-stripped original text —
+    the strongest invariant the id stream can carry (word boundaries are
+    not encoded; a production tokenizer adds an end-of-word marker, which
+    would make the invariant the full text). Both engines run the full
+    encode -> decode chain, so a silent id collision or vocab drift on
+    EITHER side breaks the hash."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.bpe import bpe_decode_ids, bpe_encode_ids, bpe_vocab_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=N_MERGES)
+    vocab = bpe_vocab_ids(docs, merges)
+    dec = bpe_decode_ids(bpe_encode_ids(docs, merges, vocab=vocab), vocab)
+    decoded = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sym"))), lambda s: s["sym"]
+        ),
+        "",
+    )
+    perdoc = dec.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_syms"), decoded.alias("decoded")
+    )
+    stripped = F.regexp_replace(F.trim(F.col("text")), r"\s+", "")
+    return perdoc.join(docs.select("doc_id", stripped.alias("_t")), "doc_id").select(
+        "doc_id", "n_syms", (F.col("decoded") == F.col("_t")).alias("roundtrip_ok")
+    )
 
 
 from duckpipe_spark.functions.sampling import pack_sequences  # noqa: E402

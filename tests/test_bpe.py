@@ -446,3 +446,39 @@ def test_batched_amortizes_rounds_and_encodes_consistently(spark):
     c1 = sorted(map(tuple, bpe_token_counts(docs, ml, impl="chain").collect()))
     c2 = sorted(map(tuple, bpe_token_counts(docs, ml, impl="join").collect()))
     assert c1 == c2
+
+
+def test_decode_round_trips_every_document(spark):
+    """decode(encode(x)) re-concatenates (ordered by position) to the
+    whitespace-stripped text for EVERY document — all-true, not just
+    engine-agreement (the oracle gate would also pass on a consistent
+    failure)."""
+    from duckpipe_spark.functions.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_vocab_ids,
+        learn_bpe_merges,
+    )
+
+    docs = _seeded_docs(spark, 5, n_docs=40)
+    merges = learn_bpe_merges(docs, n_merges=6)
+    vocab = bpe_vocab_ids(docs, merges)
+    dec = bpe_decode_ids(bpe_encode_ids(docs, merges, vocab=vocab), vocab)
+    got = {}
+    for r in dec.collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.sym))
+    orig = {r.doc_id: "".join(r.text.split()) for r in docs.collect()}
+    assert set(got) == {d for d, t in orig.items() if t}
+    for doc_id, syms in got.items():
+        decoded = "".join(s for _, s in sorted(syms))
+        assert decoded == orig[doc_id], doc_id
+
+
+def test_decode_oov_id_is_null(spark):
+    from duckpipe_spark.functions.bpe import bpe_decode_ids
+
+    enc = spark.createDataFrame(
+        [(1, 0, 0), (1, 1, 1)], "doc_id bigint, pos bigint, token_id bigint"
+    )
+    out = {r.pos: r.sym for r in bpe_decode_ids(enc, {"a": 1}).collect()}
+    assert out[0] is None and out[1] == "a"
