@@ -109,9 +109,18 @@ def lm_quality_score(
             char_poly_hash(F.col("s.a")).alias("pk"),
         )
     )
-    train_pairs = pairs.where("is_train")
-    big = train_pairs.groupBy("bk").agg(F.count(F.lit(1)).cast("bigint").alias("c_bi"))
-    uni = train_pairs.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+    # ONE corpus-side aggregation for the whole LM: group the train bigram
+    # slots by (prefix, bigram) once, then derive both count tables from
+    # the vocabulary-bounded result — bigram counts as a sum over bk,
+    # prefix counts as a sum over pk (identical values to direct counts;
+    # saves a second full pass over the train explode)
+    tp = (
+        pairs.where("is_train")
+        .groupBy("pk", "bk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    big = tp.groupBy("bk").agg(F.sum("c").cast("bigint").alias("c_bi"))
+    uni = tp.groupBy("pk").agg(F.sum("c").cast("bigint").alias("c_uni"))
     # V = train token vocabulary (ALL positions, not just bigram prefixes)
     vstats = (
         toks.where("is_train")

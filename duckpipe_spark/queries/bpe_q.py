@@ -184,6 +184,37 @@ def doc_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ids(docs, merges)
 
 
+# --- vocabulary export: the artifact a tokenizer ships ----------------------
+
+
+def _vocab_oracle(n_merges: int) -> str:
+    return f"""WITH {_vocab_enc_ctes(n_merges)}
+SELECT sym, CAST(id AS BIGINT) AS token_id FROM vocab
+"""
+
+
+@register(
+    "doc_bpe_vocab",
+    _vocab_oracle(N_MERGES),
+    "trained-tokenizer vocabulary export (symbol -> id, alphabet + merge products)",
+)
+def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (symbol, id) table a trained tokenizer ships to the serving
+    side: alphabet chars (binary-sorted) get 1..A, merge products
+    A + rank, first id wins on surface collisions. Spark derives it
+    through the distributed trainer + ``bpe_vocab_ids`` (alphabet scan is
+    distributed, assembly is the driver-bounded |charset| + n_merges
+    dict); the oracle re-derives it from the unrolled merge CTEs."""
+    from duckpipe_spark.functions.bpe import bpe_vocab_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=N_MERGES)
+    vocab = bpe_vocab_ids(docs, merges)
+    return spark.createDataFrame(
+        [(s, i) for s, i in vocab.items()], "sym string, token_id bigint"
+    )
+
+
 # --- decode round-trip: ids -> symbols -> concatenation == original --------
 
 
