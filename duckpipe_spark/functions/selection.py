@@ -199,26 +199,37 @@ def dsir_scores(
         target_pred.alias("is_target"),
         F.explode(_lower_tokens(text_col)).alias("w"),
     ).select("id", "is_target", (char_poly_hash(F.col("w")) % n_buckets).alias("b"))
-    doc_counts = tok.groupBy("id", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    raw = tok.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
-    tgt = tok.where("is_target").groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("t")
+    # ONE corpus-side aggregation: (id, bucket) counts with the per-doc
+    # target flag riding along. BOTH distributions collapse into a single
+    # B-row table (raw = sum, target = conditional sum over the same
+    # groups) and the global totals derive from that table's B rows —
+    # the corpus explode feeds exactly TWO consumers (the distribution
+    # rollup and the per-doc scorer), not four. Values identical to
+    # direct counts (sums of disjoint groups).
+    doc_counts = (
+        tok.groupBy("id", "is_target", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    totals = tok.agg(
-        F.count(F.lit(1)).cast("bigint").alias("big_r"),
-        F.sum(F.col("is_target").cast("bigint")).cast("bigint").alias("big_t"),
+    raw_tgt = doc_counts.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("r"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("t"),
     )
-    # every bucket a document can hit appears in raw (doc tokens ⊆ corpus
-    # tokens), so raw LEFT JOIN target covers the full support
+    totals = raw_tgt.agg(
+        F.sum("r").cast("bigint").alias("big_r"),
+        F.sum("t").cast("bigint").alias("big_t"),
+    )
+    # every bucket a document can hit appears in raw_tgt (doc tokens ⊆
+    # corpus tokens), and a bucket with no target tokens has t = 0 from
+    # the conditional sum — full support, no outer join needed
     ratio = (
         ((F.col("t") + 1) * (F.col("big_r") + n_buckets)
          - (F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
         / ((F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
     )
     buckets = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select("b", F.coalesce(F.col("t"), F.lit(0)).alias("t"), "r", "big_r", "big_t")
+        raw_tgt.crossJoin(F.broadcast(totals))
         .select("b", ratio.alias("lr"))
     )
     total = F.aggregate(
