@@ -43,6 +43,99 @@ def _lower_tokens(text_col: str) -> Column:
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+def _bigram_cols(text_col: str) -> tuple[Column, Column]:
+    """(bk_array, pk_array): position-ordered bigram / prefix hash arrays
+    of the lower-cased tokens. Built from SLICES of the once-computed
+    word-hash array (each slice re-evaluates the transform O(n) once —
+    never the element_at-per-reference O(n²) trap shingle_hash_array's
+    HOF path documents)."""
+    t = _lower_tokens(text_col)
+    wh = F.transform(t, lambda w: char_poly_hash(w))
+    n = F.size(t)
+    left = F.slice(wh, 1, n - 1)
+    right = F.slice(wh, 2, n - 1)
+    bks = F.zip_with(left, right, lambda a, b: (a * WORD_BASE + b) % POLY_MOD)
+    return bks, left
+
+
+def lm_train(
+    docs: DataFrame,
+    train_pred: Column,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the add-one bigram LM of ``lm_quality_score`` → ONE model row
+    (big: map<bigram_hash, count>, uni: map<prefix_hash, count>, v:
+    vocabulary size). The maps carry exactly the bytes a broadcast join of
+    the count tables would ship; packaging them as one row makes scoring a
+    stateless stream-static cross join — the shape an inference service
+    (or a Structured Streaming score-on-arrival pipeline) wants.
+
+    The model is vocabulary-bounded, NOT driver-bounded (bigram type
+    counts grow with corpus size), so it stays a DataFrame — callers
+    joining it against a stream should ``.persist()`` it (and unpersist
+    after) so the train lineage doesn't re-execute per micro-batch."""
+    bks, pks = _bigram_cols(text_col)
+    pairs = (
+        docs.where(train_pred)
+        .select(F.explode(F.arrays_zip(bks.alias("bk"), pks.alias("pk"))).alias("s"))
+        .select(F.col("s.bk").alias("bk"), F.col("s.pk").alias("pk"))
+    )
+    tp = pairs.groupBy("pk", "bk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    big = tp.groupBy("bk").agg(F.sum("c").cast("bigint").alias("c_bi"))
+    uni = tp.groupBy("pk").agg(F.sum("c").cast("bigint").alias("c_uni"))
+    vstats = (
+        docs.where(train_pred)
+        .select(F.explode(_lower_tokens(text_col)).alias("w"))
+        .select(char_poly_hash(F.col("w")).alias("wh"))
+        .agg(F.count_distinct("wh").cast("bigint").alias("v"))
+    )
+    return (
+        big.agg(
+            F.map_from_entries(F.collect_list(F.struct("bk", "c_bi"))).alias("big")
+        )
+        .crossJoin(
+            uni.agg(
+                F.map_from_entries(F.collect_list(F.struct("pk", "c_uni"))).alias("uni")
+            )
+        )
+        .crossJoin(vstats)
+    )
+
+
+def lm_score_with_model(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a pre-trained ``lm_train`` model → (id,
+    n_bigrams, lm_score), bit-identical to ``lm_quality_score`` (pytest
+    pins it): the projection's left-to-right array fold IS the
+    position-ordered sum the batch path materializes via sort-by-pos.
+
+    This is a PURE PROJECTION over a stateless 1-row cross join — no
+    explode, no per-doc re-aggregation — so it runs unchanged on a
+    Structured Streaming DataFrame in append mode (train on batch, score
+    the stream: the train/serve split every production scorer has)."""
+    bks, pks = _bigram_cols(text_col)
+    p_of = lambda bk, pk: (  # noqa: E731 - local expression builder
+        (F.coalesce(F.element_at("big", bk), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.element_at("uni", pk), F.lit(0)) + F.col("v"))
+    )
+    total = F.aggregate(
+        F.zip_with(F.col("_bks"), F.col("_pks"), p_of),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nb = F.size("_bks").cast("bigint")
+    return (
+        docs.select(F.col(id_col).alias("id"), bks.alias("_bks"), pks.alias("_pks"))
+        .where(F.size("_bks") >= 1)
+        .crossJoin(F.broadcast(model))
+        .select("id", nb.alias("n_bigrams"), F.round(total / nb, 6).alias("lm_score"))
+    )
+
+
 def lm_quality_score(
     docs: DataFrame,
     train_pred: Column,

@@ -139,3 +139,26 @@ def test_prototype_prune_drops_nearest_quarter(spark):
         ranked = sorted(rows, key=lambda r: r.cell_rank)
         dists = [r.dist for r in ranked]
         assert dists == sorted(dists)
+
+
+def test_lm_map_model_scoring_bit_identical_to_join_path(spark):
+    """lm_score_with_model (pure-projection scoring against the 1-row map
+    model) equals lm_quality_score (broadcast-join scoring) bit-for-bit:
+    the projection's left-to-right array fold IS the position-ordered sum
+    the join path materializes via sort-by-pos."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import (
+        lm_quality_score,
+        lm_score_with_model,
+        lm_train,
+    )
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import canonicalize
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pred = F.col("lang") == "en"
+    a = lm_quality_score(docs, pred)
+    b = lm_score_with_model(docs, lm_train(docs, pred))
+    assert canonicalize(a.toPandas()) == canonicalize(b.toPandas())

@@ -745,3 +745,42 @@ def test_gopher_and_chunking_stream_as_projections(spark, tmp_path):
         got = _run_stream(spark, op(stream), name, mode="append")
         want = op(docs)
         assert canonicalize(got.toPandas()) == canonicalize(want.toPandas()), name
+
+
+def test_lm_score_stream_matches_batch(spark, tmp_path):
+    """Train-batch / score-stream: the bigram LM trains on the static
+    corpus (lm_train, persisted so the train lineage doesn't re-execute
+    per micro-batch); scoring is a pure projection over a stateless
+    stream-static cross join, so the drained append-mode sink equals the
+    batch lm_quality_score result bit-for-bit — the train/serve split a
+    production quality scorer runs."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import (
+        lm_quality_score,
+        lm_score_with_model,
+        lm_train,
+    )
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import canonicalize
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    d = tmp_path / "docs"
+    d.mkdir()
+    pdf = docs.toPandas()
+    n = len(pdf)
+    for i, chunk in enumerate([pdf[: n // 2], pdf[n // 2 :]]):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.parquet(str(d / f"b{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    model = lm_train(docs, F.col("lang") == "en").persist()
+    try:
+        got = _run_stream(spark, lm_score_with_model(stream, model), "lm_s", mode="append")
+        want = lm_quality_score(docs, F.col("lang") == "en")
+        assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
+    finally:
+        model.unpersist()
