@@ -30,8 +30,7 @@ _WH = (
 
 _LM_TRAIN_PRED = "lang = 'en'"
 
-_LM_ORACLE = f"""
-WITH toks AS (
+_LM_CTES = f"""toks AS (
   SELECT doc_id AS id, {_LM_TRAIN_PRED} AS is_train,
          string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents
@@ -63,12 +62,18 @@ scored AS (
   LEFT JOIN big b ON p.bk = b.bk
   LEFT JOIN uni u ON p.pk = u.pk
   CROSS JOIN vstats vs
-)
-SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pr ORDER BY pos)),
-                     (a, x) -> a + x) / count(*), 6) AS lm_score
-FROM scored GROUP BY id
+),
+lm AS (
+  SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pr ORDER BY pos)),
+                       (a, x) -> a + x) / count(*), 6) AS lm_score
+  FROM scored GROUP BY id
+)"""
+
+_LM_ORACLE = f"""
+WITH {_LM_CTES}
+SELECT doc_id, n_bigrams, lm_score FROM lm
 """
 
 
@@ -87,6 +92,45 @@ def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = lm_quality_score(docs, F.col("lang") == "en")
     return out.select(F.col("id").alias("doc_id"), "n_bigrams", "lm_score")
+
+
+# --- CCNet head/middle/tail LM buckets ---------------------------------------
+
+_LM_BUCKETS_ORACLE = f"""
+WITH {_LM_CTES}
+SELECT lm.doc_id, d.lang, lm.lm_score,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY lm.lm_score DESC, lm.doc_id ASC) AS BIGINT)
+         AS lm_bucket
+FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+"""
+
+
+@register(
+    "doc_lm_buckets",
+    _LM_BUCKETS_ORACLE,
+    "CCNet head/middle/tail buckets: per-language ntile(3) over the LM score",
+)
+def doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DECISION CCNet makes with its perplexity scores:
+    per-language thirds (head = most in-domain). ntile is exact integer
+    math over a total order ((score desc, doc_id) — no float-boundary
+    percentile), so the bucket assignment is engine-portable. One extra
+    shuffle on lang; the window sort parallelizes across languages."""
+    from pyspark.sql import Window
+
+    from duckpipe_spark.functions.selection import lm_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lm_quality_score(docs, F.col("lang") == "en")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score").desc(), F.col("id").asc()
+    )
+    return (
+        scores.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .withColumn("lm_bucket", F.ntile(3).over(w).cast("bigint"))
+        .select(F.col("id").alias("doc_id"), "lang", "lm_score", "lm_bucket")
+    )
 
 
 # --- DSIR-shape hashed-unigram importance scores ----------------------------
