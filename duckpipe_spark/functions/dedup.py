@@ -267,6 +267,40 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def ngram_novelty(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty rate → (id, n_shingles, n_novel,
+    novel_frac): the share of a document's DISTINCT k-shingles that occur
+    in no other document. Lee et al. 2021 report exactly this rate to
+    quantify how much of a corpus is memorization-prone boilerplate vs
+    novel text; as a per-doc signal it ranks candidates for dedup review
+    (low novelty = likely near-duplicate or template).
+
+    Scale shape: shingle hashes come from the Arrow kernel projection
+    (no strings shuffle); the document-frequency aggregate and the
+    join-back both key on the shingle hash — bounded by distinct shingle
+    count, the same inverted-index shape as ``ngram_jaccard_pairs`` but
+    WITHOUT the pair explosion (df is summed, never self-joined).
+    novel_frac is one exact-integer division (engine-portable bits)."""
+    sh = shingle_hash_array(docs, text_col=text_col, id_col=id_col, k=k)
+    ex = sh.select("id", F.explode("hvs").alias("hv"))
+    dfc = ex.groupBy("hv").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    sizes = sh.select("id", F.size("hvs").cast("bigint").alias("n_shingles"))
+    nov = (
+        ex.join(dfc.where(F.col("df") == 1), "hv", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+    return sizes.join(nov, "id", "left").select(
+        "id",
+        "n_shingles",
+        n_novel.alias("n_novel"),
+        (n_novel.cast("double") / F.col("n_shingles")).alias("novel_frac"),
+    )
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct normalized content with
     the canonical (min) id and the duplicate count."""

@@ -318,3 +318,38 @@ def doc_decontam_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_join(
         corpus, benchmark, min_jaccard_pct=_DECONTAM_PCT, broadcast_small_side=True
     )
+
+
+# --- n-gram novelty rate: memorization-risk / template detection ------------
+
+_NOVELTY_ORACLE = f"""
+WITH {_WORD_HASH_SHINGLES_SQL},
+dfc AS (SELECT hv, CAST(count(*) AS BIGINT) AS df FROM h GROUP BY hv),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shingles FROM h GROUP BY id),
+nov AS (
+  SELECT h.id, CAST(count(*) AS BIGINT) AS n_novel
+  FROM h JOIN dfc ON h.hv = dfc.hv WHERE dfc.df = 1 GROUP BY h.id
+)
+SELECT s.id AS doc_id, s.n_shingles,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(coalesce(n.n_novel, 0) AS DOUBLE) / s.n_shingles AS novel_frac
+FROM sizes s LEFT JOIN nov n ON s.id = n.id
+"""
+
+
+@register(
+    "doc_ngram_novelty",
+    _NOVELTY_ORACLE,
+    "per-doc novelty rate: share of distinct 3-shingles occurring in no other doc",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2021's memorization-risk signal as a per-document
+    metric (low novelty = template/near-dup candidate). Inverted-index
+    shape WITHOUT pair explosion — df sums over the shingle hash, never
+    self-joins."""
+    from duckpipe_spark.functions.dedup import ngram_novelty
+
+    out = ngram_novelty(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_novel", "novel_frac"
+    )

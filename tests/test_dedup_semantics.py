@@ -348,3 +348,22 @@ def test_lsh_join_rows_match_self_join_on_identical_corpora(spark):
     ident = got.where(F.col("id_a") == F.col("id_b"))
     assert ident.count() == docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 3).count()
     assert ident.where(F.col("n_inter") != F.col("n_union")).count() == 0
+
+
+def test_ngram_novelty_semantics(spark):
+    """A doc sharing every 3-shingle with a twin has novelty 0; a doc with
+    entirely unique text has novelty 1."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.dedup import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact twin: 0 novel
+        (3, "one unique sentence nobody else wrote today"),  # all novel
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.id: r for r in ngram_novelty(docs).collect()}
+    assert out[1].novel_frac == 0.0 and out[2].novel_frac == 0.0
+    assert out[3].novel_frac == 1.0
+    assert out[3].n_novel == out[3].n_shingles

@@ -425,7 +425,14 @@ def op_prototype_prune(spark, scramble):
     return prototype_prune(scramble(_embs(spark)), k=4, iters=1)
 
 
+def op_ngram_novelty(spark, scramble):
+    from duckpipe_spark.functions.dedup import ngram_novelty
+
+    return ngram_novelty(scramble(_docs(spark)))
+
+
 _OPS = [
+    op_ngram_novelty,
     op_lm_quality,
     op_dsir,
     op_dedup_keep_best,
