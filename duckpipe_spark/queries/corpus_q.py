@@ -296,7 +296,67 @@ def _pipe_decon_combine(k: int) -> str:
     return combine
 
 
-_PIPELINE_ORACLE = f"""
+def _lm_gate_ctes(min_score: float) -> str:
+    """CCNet LM-gate stage as CTEs over ``gated`` (the quality-passed
+    corpus): train the add-one bigram LM on gated's lang='en' slice,
+    score every gated doc, keep score >= min_score. Mirrors
+    selection_q's _LM_CTES with the corpus source swapped (the pipeline
+    trains on the GATED set — garbage filtered before it can pollute the
+    LM). Comparison happens on the 6-dp-rounded score, so the keep set
+    is engine-portable."""
+    from duckpipe_spark.queries.selection_q import _WH
+
+    wh = _WH.format(w="w")
+    return f""",
+lmtoks AS (
+  SELECT doc_id AS id, lang = 'en' AS is_train,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM gated
+),
+lmw AS (
+  SELECT id, is_train, list_transform(t, w -> {wh}) AS wh, len(t) AS n FROM lmtoks
+),
+lmpairs AS (
+  SELECT id, is_train, i AS pos,
+         (wh[i] * {WORD_BASE} + wh[i + 1]) % {POLY_MOD} AS bk,
+         wh[i] AS pk
+  FROM (SELECT id, is_train, wh, unnest(range(1, n)) AS i FROM lmw WHERE n >= 2)
+),
+lmbig AS (
+  SELECT bk, CAST(count(*) AS BIGINT) AS c_bi FROM lmpairs WHERE is_train GROUP BY bk
+),
+lmuni AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS c_uni FROM lmpairs WHERE is_train GROUP BY pk
+),
+lmv AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT unnest(wh) AS w FROM lmw WHERE is_train)
+),
+lmscored AS (
+  SELECT p.id, p.pos,
+         CAST(coalesce(b.c_bi, 0) + 1 AS DOUBLE) / (coalesce(u.c_uni, 0) + vs.v) AS pr
+  FROM lmpairs p
+  LEFT JOIN lmbig b ON p.bk = b.bk
+  LEFT JOIN lmuni u ON p.pk = u.pk
+  CROSS JOIN lmv vs
+),
+lmsc AS (
+  SELECT id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pr ORDER BY pos)),
+                           (a, x) -> a + x) / count(*), 6) AS lm_score
+  FROM lmscored GROUP BY id
+),
+lgated AS (
+  SELECT g.doc_id, g.text, g.lang
+  FROM gated g JOIN lmsc ON g.doc_id = lmsc.id
+  WHERE lmsc.lm_score >= {min_score!r}
+)"""
+
+
+def _pipeline_oracle(lm_min_score: float | None = None) -> str:
+    lm_block = "" if lm_min_score is None else _lm_gate_ctes(lm_min_score)
+    src = "gated" if lm_min_score is None else "lgated"
+    return f"""
 WITH q AS (
   SELECT doc_id, text, lang,
          len(string_split_regex(trim(text), '\\s+')) AS n,
@@ -312,13 +372,16 @@ gated AS (
     AND ((CASE WHEN n BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
        + (CASE WHEN avg_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
        + (CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END)) >= {_PIPE_MIN_POINTS}
-),
+){lm_block},
 canon AS (
   SELECT min(doc_id) AS doc_id
-  FROM gated
+  FROM {src}
   GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
 ),
-uniq AS (SELECT g.doc_id, g.text, g.lang FROM gated g JOIN canon USING (doc_id)),
+uniq AS (SELECT g.doc_id, g.text, g.lang FROM {src} g JOIN canon USING (doc_id)),{_PIPELINE_REST}"""
+
+
+_PIPELINE_REST = f"""
 stoks AS (
   SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM uniq
 ),
@@ -415,7 +478,7 @@ FROM sampled
 
 @register(
     "doc_curation_pipeline",
-    _PIPELINE_ORACLE,
+    _pipeline_oracle(),
     "end-to-end curation: gate → exact dedup → span dedup → decontam → mixture → shards",
     bench=True,  # the integration shape a real training-data run executes
 )
@@ -441,12 +504,49 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curation pipeline + CCNet LM gate: the same chain with the bigram-LM
+# quality stage enabled between the surface gate and exact dedup. The
+# oracle is _pipeline_oracle(lm_min_score) — the LM CTEs train on the
+# gated corpus inside the same multi-CTE SQL.
+# ---------------------------------------------------------------------------
+
+_PIPE_LM_MIN = 0.0335  # ~median of the gated set's scores at sf0.1
+
+
+@register(
+    "doc_curation_lmgate",
+    _pipeline_oracle(_PIPE_LM_MIN),
+    "curation pipeline with the CCNet bigram-LM gate stage enabled",
+)
+def doc_curation_lmgate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_curation_pipeline with ``lm_min_score`` set: the LM trains on
+    the gated in-domain slice and low-score docs drop BEFORE dedup — so
+    every downstream election (canonical ids, span first-occurrence,
+    mixture ranks) runs on a different survivor set than the base
+    pipeline, which is exactly the cross-stage contract this query pins."""
+    from duckpipe_spark.functions.corpus import curation_pipeline
+
+    return curation_pipeline(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=_PIPE_MIN_TOKENS,
+        min_points=_PIPE_MIN_POINTS,
+        span_window=_PIPE_SPAN_W,
+        decontam_k=_PIPE_DECON_K,
+        bench_bucket_min=_PIPE_BENCH_MIN,
+        max_contamination=_PIPE_MAX_CONTAM,
+        mix_weights=_PIPE_WEIGHTS,
+        n_shards=_PIPE_SHARDS,
+        lm_min_score=_PIPE_LM_MIN,
+    )
+
+
+# ---------------------------------------------------------------------------
 # curation pipeline + SemDeDup stage (VERDICT r7 item 7): a real curation
 # run also drops embedding near-duplicates — same chain, with the
 # LSH-bucketed cosine closure over the exact-dedup survivors' embeddings
 # spliced in between exact dedup and span removal. The oracle is the same
 # multi-CTE SQL with the recursive-closure CTEs inserted (string surgery on
-# _PIPELINE_ORACLE, pinned by the asserts below so a reword of the base
+# _pipeline_oracle(), pinned by the asserts below so a reword of the base
 # oracle can't silently produce a half-spliced one).
 # ---------------------------------------------------------------------------
 
@@ -478,17 +578,18 @@ sduniq AS (
   LEFT JOIN sdcomp c ON u.doc_id = c.id
   WHERE c.component IS NULL OR c.component = u.doc_id
 )"""
+    base = _pipeline_oracle()
     uniq_cte = "uniq AS (SELECT g.doc_id, g.text, g.lang FROM gated g JOIN canon USING (doc_id))"
     uniq_mat = uniq_cte.replace("uniq AS (", "uniq AS MATERIALIZED (", 1)
-    assert _PIPELINE_ORACLE.count(uniq_cte) == 1
-    assert _PIPELINE_ORACLE.count("AS t FROM uniq") == 1  # stoks source
-    assert _PIPELINE_ORACLE.count("WITH q AS") == 1
+    assert base.count(uniq_cte) == 1
+    assert base.count("AS t FROM uniq") == 1  # stoks source
+    assert base.count("WITH q AS") == 1
     # MATERIALIZED is load-bearing: uniq is referenced 3x here (sdb, sduniq,
     # the lang join) and DuckDB inlines multiply-referenced CTEs — the
     # un-materialized splice re-evaluated the whole gate+dedup subtree per
     # reference (measured 215 s vs ~2 s at sf0.01)
     return (
-        _PIPELINE_ORACLE.replace("WITH q AS", "WITH RECURSIVE q AS", 1)
+        base.replace("WITH q AS", "WITH RECURSIVE q AS", 1)
         .replace(uniq_cte, uniq_mat + sem_ctes, 1)
         .replace("AS t FROM uniq", "AS t FROM sduniq", 1)
     )
