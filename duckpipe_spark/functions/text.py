@@ -388,6 +388,56 @@ def chunk_documents(
     )
 
 
+def fim_transform(
+    df: DataFrame,
+    fim_rate_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022) → (id_col,
+    n_tokens, fim_applied, fim_text): for ``fim_rate_pct`` % of documents
+    (selected by the Lehmer hash of the id — the deterministic stand-in
+    for the paper's Bernoulli draw), split the token stream at two
+    hash-derived cut points and emit PSM order
+    ``<PRE> prefix <SUF> suffix <MID> middle``; the rest pass through in
+    natural order. Pretraining on the transformed corpus is what gives a
+    code/text model infilling ability without hurting left-to-right loss.
+
+    Determinism: the two cut points are independent Lehmer draws mod
+    (n+1), sorted — pure integer math, so the SAME document gets the SAME
+    split on every engine, run, and partitioning. Segments may be empty
+    (the paper's uniform split allows it); joins of empty arrays are ''.
+
+    Scale shape: a pure projection — no shuffle, no Python; composes with
+    chunking/packing downstream exactly like the identity text column."""
+    from duckpipe_spark.functions.sampling import lehmer_hash_col
+
+    toks = F.filter(tokens_col(F.col(text_col)), lambda w: w != "")
+    df = df.withColumn("_t", toks)
+    n = F.size("_t")
+    h1 = lehmer_hash_col(F.col(id_col))
+    h2 = lehmer_hash_col(F.col(id_col) + 1_000_003)
+    a = h1 % (n + 1)
+    b = h2 % (n + 1)
+    lo = F.least(a, b)
+    hi = F.greatest(a, b)
+    psm = F.concat(
+        F.lit("<PRE> "),
+        F.array_join(F.slice("_t", 1, lo), " "),
+        F.lit(" <SUF> "),
+        F.array_join(F.slice("_t", hi + 1, n - hi), " "),
+        F.lit(" <MID> "),
+        F.array_join(F.slice("_t", lo + 1, hi - lo), " "),
+    )
+    applied = (h1 % 100) < fim_rate_pct
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        applied.alias("fim_applied"),
+        F.when(applied, psm).otherwise(F.array_join("_t", " ")).alias("fim_text"),
+    )
+
+
 def feature_hash_embed(
     df: DataFrame,
     dim: int = 64,

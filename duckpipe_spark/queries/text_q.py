@@ -20,6 +20,7 @@ from duckpipe_spark.functions.text import (
     with_language_guess,
     with_token_stats,
 )
+from duckpipe_spark.functions.sampling import lehmer_hash_sql
 from duckpipe_spark.queries.base import register
 from duckpipe_spark.sources.tables import load_table
 
@@ -579,3 +580,47 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
     )
+
+
+# --- fill-in-the-middle (FIM) pretraining transform --------------------------
+
+_FIM_RATE = 50
+_FIM_H = lehmer_hash_sql("doc_id")
+_FIM_H2 = lehmer_hash_sql("doc_id + 1000003")
+
+_FIM_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS t,
+         ({_FIM_H}) AS h1, ({_FIM_H2}) AS h2
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t, len(t) AS n, h1,
+         least(h1 % (len(t) + 1), h2 % (len(t) + 1)) AS lo,
+         greatest(h1 % (len(t) + 1), h2 % (len(t) + 1)) AS hi
+  FROM b
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       (h1 % 100) < {_FIM_RATE} AS fim_applied,
+       CASE WHEN (h1 % 100) < {_FIM_RATE}
+            THEN '<PRE> ' || coalesce(array_to_string(list_slice(t, 1, lo), ' '), '')
+                 || ' <SUF> ' || coalesce(array_to_string(list_slice(t, hi + 1, n), ' '), '')
+                 || ' <MID> ' || coalesce(array_to_string(list_slice(t, lo + 1, hi), ' '), '')
+            ELSE coalesce(array_to_string(t, ' '), '') END AS fim_text
+FROM c
+"""
+
+
+@register(
+    "doc_fim_transform",
+    _FIM_ORACLE,
+    "fill-in-the-middle PSM transform at a 50% deterministic rate (Bavarian'22)",
+)
+def doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-projection FIM: hash-selected docs emit <PRE>/<SUF>/<MID> PSM
+    order with hash-derived cut points; the rest pass through. The
+    pretraining transform that adds infilling capability."""
+    from duckpipe_spark.functions.text import fim_transform
+
+    return fim_transform(load_table(spark, sf_dir, "documents"), fim_rate_pct=_FIM_RATE)

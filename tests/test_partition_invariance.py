@@ -431,7 +431,14 @@ def op_ngram_novelty(spark, scramble):
     return ngram_novelty(scramble(_docs(spark)))
 
 
+def op_fim(spark, scramble):
+    from duckpipe_spark.functions.text import fim_transform
+
+    return fim_transform(scramble(_docs(spark)))
+
+
 _OPS = [
+    op_fim,
     op_ngram_novelty,
     op_lm_quality,
     op_dsir,

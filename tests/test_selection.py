@@ -162,3 +162,28 @@ def test_lm_map_model_scoring_bit_identical_to_join_path(spark):
     a = lm_quality_score(docs, pred)
     b = lm_score_with_model(docs, lm_train(docs, pred))
     assert canonicalize(a.toPandas()) == canonicalize(b.toPandas())
+
+
+def test_fim_transform_reassembles_to_original(spark):
+    """PSM pieces re-concatenate (prefix + middle + suffix) to the exact
+    token stream, per document — the lossless-ness FIM training depends
+    on — and pass-through docs keep natural order."""
+    from duckpipe_spark.functions.text import fim_transform
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = fim_transform(docs, fim_rate_pct=50).collect()
+    orig = {r.doc_id: " ".join(r.text.split()) for r in docs.collect()}
+    n_applied = 0
+    for r in out:
+        if r.fim_applied:
+            n_applied += 1
+            assert r.fim_text.startswith("<PRE> ")
+            pre, rest = r.fim_text[len("<PRE> "):].split(" <SUF> ", 1)
+            suf, mid = rest.split(" <MID> ", 1)
+            reassembled = " ".join(x for x in (pre, mid, suf) if x)
+            assert reassembled == orig[r.doc_id], r.doc_id
+        else:
+            assert r.fim_text == orig[r.doc_id]
+    assert 0 < n_applied < len(out)
