@@ -308,15 +308,15 @@ def _lm_gate_ctes(min_score: float) -> str:
 
     wh = _WH.format(w="w")
     return f""",
-lmtoks AS (
+lmtoks AS MATERIALIZED (
   SELECT doc_id AS id, lang = 'en' AS is_train,
          string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM gated
 ),
-lmw AS (
+lmw AS MATERIALIZED (
   SELECT id, is_train, list_transform(t, w -> {wh}) AS wh, len(t) AS n FROM lmtoks
 ),
-lmpairs AS (
+lmpairs AS MATERIALIZED (
   SELECT id, is_train, i AS pos,
          (wh[i] * {WORD_BASE} + wh[i + 1]) % {POLY_MOD} AS bk,
          wh[i] AS pk
@@ -340,7 +340,7 @@ lmscored AS (
   LEFT JOIN lmuni u ON p.pk = u.pk
   CROSS JOIN lmv vs
 ),
-lmsc AS (
+lmsc AS MATERIALIZED (
   SELECT id,
          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pr ORDER BY pos)),
                            (a, x) -> a + x) / count(*), 6) AS lm_score
@@ -356,6 +356,7 @@ lgated AS (
 def _pipeline_oracle(lm_min_score: float | None = None) -> str:
     lm_block = "" if lm_min_score is None else _lm_gate_ctes(lm_min_score)
     src = "gated" if lm_min_score is None else "lgated"
+    gated_kw = "gated AS (" if lm_min_score is None else "gated AS MATERIALIZED ("
     return f"""
 WITH q AS (
   SELECT doc_id, text, lang,
@@ -366,7 +367,7 @@ WITH q AS (
            / length(text) AS punct_ratio
   FROM documents
 ),
-gated AS (
+{gated_kw}
   SELECT doc_id, text, lang FROM q
   WHERE n >= {_PIPE_MIN_TOKENS}
     AND ((CASE WHEN n BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
