@@ -811,3 +811,70 @@ def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate_lines(
         load_table(spark, sf_dir, "documents"), min_docs=_STRIP_MIN_DOCS
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset datasheet: per-(source, lang) corpus report
+# ---------------------------------------------------------------------------
+
+_REPORT_ORACLE = f"""
+WITH s AS (
+  SELECT source, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         (
+           (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+           + (CASE WHEN (CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                         / length(text)) <= 0.1
+                   THEN 1 ELSE 0 END)
+         ) AS qp,
+         count(*) OVER (
+           PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         ) AS fpc
+  FROM documents
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(qp) AS DOUBLE) / (count(*) * 3) AS avg_quality,
+       CAST(sum(CASE WHEN fpc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+       CAST(sum(CASE WHEN fpc > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+FROM s GROUP BY source, lang
+"""
+
+
+@register(
+    "doc_corpus_report",
+    _REPORT_ORACLE,
+    "dataset datasheet: per-(source, lang) docs/tokens/quality/exact-dup rollup",
+)
+def doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-slice report a dataset owner publishes (datasheet shape):
+    volume, quality, and exact-duplication rate per (source, lang). The
+    duplicate count rides a window over the corpus-wide normalized
+    fingerprint (one shuffle on the 16-byte fp — bodies stay put), then
+    everything rolls up map-side-combinably on the tiny (source, lang)
+    key space."""
+    from pyspark.sql import Window
+
+    from duckpipe_spark.functions.text import quality_points_col, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    s = docs.select(
+        "source",
+        "lang",
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_toks"),
+        quality_points_col(F.col("text")).alias("qp"),
+        F.count(F.lit(1)).over(Window.partitionBy(fp)).alias("fpc"),
+    )
+    n = F.count(F.lit(1))
+    return s.groupBy("source", "lang").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        (F.sum("qp").cast("double") / (n * 3)).alias("avg_quality"),
+        F.sum(F.when(F.col("fpc") > 1, 1).otherwise(0)).cast("bigint").alias("n_exact_dup_docs"),
+        (F.sum(F.when(F.col("fpc") > 1, 1).otherwise(0)).cast("double") / n).alias("dup_frac"),
+    )
