@@ -173,6 +173,58 @@ def pack_sequences(
     return df.withColumn("pack_id", F.floor(prefix / budget).cast("bigint"))
 
 
+def length_bucketed_packing(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-grouped packing (HF ``group_by_length`` shape): documents
+    bucket by ``floor(log2(tokens))`` so sequences of similar length pack
+    together — near-uniform fill with minimal padding waste — then
+    ``pack_sequences`` runs per bucket. length_bucket is integer bit-math
+    (63 − leading-zero-count via a compare chain would be overkill: the
+    doc lengths here fit a small CASE-free formula ``length(bin())``-style;
+    we use the portable ``floor(ln)``-free variant: bucket = bit length of
+    the token count, i.e. the unique b with 2^(b-1) <= n < 2^b, computed
+    by string length of the binary representation — exact integers on
+    both engines).
+
+    One shuffle on the bucket key (bounded: ~log2(max doc length)
+    buckets; the window sort parallelizes across buckets — salt the
+    bucket with a shard prefix if one bucket dominates a real corpus)."""
+    # bit_length(n) via conv → binary string length: exact integer math
+    bucket = F.length(F.conv(F.col(token_col).cast("string"), 10, 2)).cast("bigint")
+    out = df.withColumn("length_bucket", bucket)
+    return pack_sequences(out, token_col, budget, "length_bucket", order_col=id_col)
+
+
+def epoch_order(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-epoch deterministic reshuffle: epoch e's training order is the
+    Lehmer hash of ``id + e·LARGE_PRIME`` — a DIFFERENT pseudo-random
+    permutation every epoch (multi-epoch training wants fresh order, not
+    a replay), each a pure function of (id, epoch): resumable, engine-
+    portable, no RNG state to checkpoint. Output adds (epoch, shard,
+    pos): shard = epoch-hash mod n_shards, pos = rank within shard.
+
+    Same scale shape as ``shard_and_order``: projection + one rank
+    window partitioned by shard."""
+    h = lehmer_hash_col(F.col(id_col) + epoch * 1_000_003)
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("epoch", F.lit(epoch).cast("bigint"))
+        .withColumn("shard", (F.col("_h") % n_shards).cast("bigint"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_h")
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     budget: int,

@@ -277,3 +277,84 @@ def doc_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return shard_and_order(docs, "doc_id", _SHARDS).select("doc_id", "shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed packing + per-epoch deterministic reshuffle
+# ---------------------------------------------------------------------------
+
+_LBP_BUDGET = 512
+
+_LBP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(length(bin(n_tokens)) AS BIGINT) AS length_bucket
+  FROM toks
+)
+SELECT doc_id, n_tokens, length_bucket,
+       CAST(floor(
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY length_bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / {_LBP_BUDGET}) AS BIGINT) AS pack_id
+FROM b
+"""
+
+
+@register(
+    "doc_length_bucketed_pack",
+    _LBP_ORACLE,
+    "length-grouped packing: log2 length buckets, per-bucket prefix-sum packing",
+)
+def doc_length_bucketed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HF group_by_length shape: similar-length docs pack together for
+    near-uniform fill. Bucket = bit length of the token count (exact
+    integer via binary-string length on both engines)."""
+    from duckpipe_spark.functions.sampling import length_bucketed_packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return length_bucketed_packing(toks, "n_tokens", _LBP_BUDGET).select(
+        "doc_id", "n_tokens", "length_bucket", "pack_id"
+    )
+
+
+_EPOCH = 2
+_EPOCH_SHARDS = 4
+_EPOCH_H = lehmer_hash_sql(f"doc_id + {_EPOCH} * 1000003")
+
+_EPOCH_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, ({_EPOCH_H}) AS eh FROM documents
+)
+SELECT doc_id, lang, CAST({_EPOCH} AS BIGINT) AS epoch,
+       CAST(eh % {_EPOCH_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY eh % {_EPOCH_SHARDS} ORDER BY eh, doc_id
+            ) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register(
+    "doc_epoch_order",
+    _EPOCH_ORACLE,
+    "per-epoch deterministic reshuffle: epoch-keyed Lehmer permutation + shard rank",
+)
+def doc_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training order: epoch e permutes by hash(id + e·P) — a
+    fresh deterministic shuffle per epoch, resumable with no RNG state."""
+    from duckpipe_spark.functions.sampling import epoch_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return epoch_order(docs, epoch=_EPOCH, n_shards=_EPOCH_SHARDS).select(
+        "doc_id", "lang", "epoch", "shard", "pos"
+    )

@@ -627,3 +627,51 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.similarity import scalar_quantize_int8
 
     return scalar_quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- binary (sign) quantization + exact Hamming top-k ------------------------
+
+_PACK_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_slice({v}, {lo} + 1, {lo} + 32), "
+    "x -> CASE WHEN x > 0.0 THEN 1 ELSE 0 END)), (a, b) -> a * 2 + b)"
+)
+
+_HAMMING_ORACLE = f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_PACK_SQL.format(v='embedding', lo=0)} AS h0,
+         {_PACK_SQL.format(v='embedding', lo=32)} AS h1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, h0 AS q0, h1 AS q1 FROM codes
+  WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.h0, q.q0)) + bit_count(xor(c.h1, q.q1)) AS BIGINT) AS hamming
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, hamming FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "embedding_hamming_topk",
+    _HAMMING_ORACLE,
+    "binary sign-quantized ANN: exact Hamming top-k over 16-byte packed codes",
+)
+def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-integer ANN (no float rounding anywhere): sign-pack each
+    64-dim vector into two 32-bit halves, rank by xor+popcount. The
+    binary-embedding retrieval shape — 16 bytes/vector makes the full
+    scan the index."""
+    from duckpipe_spark.functions.similarity import hamming_topk
+
+    return hamming_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K)

@@ -220,3 +220,46 @@ class TestBM25:
         # doc 1 matches both terms: its score strictly exceeds single-term docs
         assert rows[1] > rows[2] and rows[1] > rows[3]
         assert set(rows) == {1, 2, 3}
+
+
+def test_epoch_orders_differ_across_epochs(spark):
+    """Different epochs produce genuinely different permutations; each is
+    a total order per shard."""
+    from duckpipe_spark.functions.sampling import epoch_order
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    o1 = {r.doc_id: (r.shard, r.pos) for r in epoch_order(docs, 1, 4).collect()}
+    o2 = {r.doc_id: (r.shard, r.pos) for r in epoch_order(docs, 2, 4).collect()}
+    assert set(o1) == set(o2)
+    assert sum(1 for d in o1 if o1[d] != o2[d]) > len(o1) // 2
+    by_shard = {}
+    for d, (s, p) in o1.items():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+
+
+def test_length_bucketed_packing_fill(spark):
+    """Packs respect the budget in doc-count terms: within a bucket, a
+    pack's token sum stays below budget + the largest member (the
+    concat-and-chunk invariant), and buckets group similar lengths."""
+    from duckpipe_spark.functions.sampling import length_bucketed_packing
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")
+    )
+    out = length_bucketed_packing(toks, "n_tokens", 512).collect()
+    for r in out:
+        assert 2 ** (r.length_bucket - 1) <= r.n_tokens < 2 ** r.length_bucket
+    packs = {}
+    for r in out:
+        packs.setdefault((r.length_bucket, r.pack_id), []).append(r.n_tokens)
+    for (_, _), sizes in packs.items():
+        assert sum(sizes) < 512 + max(sizes)
