@@ -437,7 +437,61 @@ def op_fim(spark, scramble):
     return fim_transform(scramble(_docs(spark)))
 
 
+def op_hamming_topk(spark, scramble):
+    from duckpipe_spark.functions.similarity import hamming_topk
+
+    return hamming_topk(scramble(_embs(spark)), [0, 1, 2], k=4)
+
+
+def op_length_bucketed_pack(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.sampling import length_bucketed_packing
+
+    toks = scramble(_docs(spark)).select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")
+    )
+    return length_bucketed_packing(toks, "n_tokens", 512)
+
+
+def op_epoch_order(spark, scramble):
+    from duckpipe_spark.functions.sampling import epoch_order
+
+    return epoch_order(scramble(_docs(spark)).select("doc_id"), epoch=3, n_shards=4)
+
+
+def op_corpus_report(spark, scramble):
+    from duckpipe_spark.queries import REGISTRY  # noqa: F401 - registry import
+
+    from duckpipe_spark.queries.corpus_q import doc_corpus_report  # noqa: F401
+
+    # the query fn reads from disk; reuse its projection over a scramble
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from duckpipe_spark.functions.text import quality_points_col, tokens_col
+
+    docs = scramble(_docs(spark))
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    s = docs.select(
+        "source", "lang",
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_toks"),
+        quality_points_col(F.col("text")).alias("qp"),
+        F.count(F.lit(1)).over(Window.partitionBy(fp)).alias("fpc"),
+    )
+    n = F.count(F.lit(1))
+    return s.groupBy("source", "lang").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("fpc") > 1, 1).otherwise(0)).cast("bigint").alias("n_dups"),
+    )
+
+
 _OPS = [
+    op_hamming_topk,
+    op_length_bucketed_pack,
+    op_epoch_order,
+    op_corpus_report,
     op_fim,
     op_ngram_novelty,
     op_lm_quality,

@@ -735,11 +735,14 @@ def test_gopher_and_chunking_stream_as_projections(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d / "b*"))
     )
+    from duckpipe_spark.functions.text import fim_transform
+
     merges = [("a", "b")]  # pre-trained merge list (training itself is batch)
     cases = [
         ("gopher_s", gopher_quality_flags),
         ("chunks_s", chunk_documents),
         ("bpe_s", lambda df: bpe_token_counts(df, merges)),
+        ("fim_s", fim_transform),
     ]
     for name, op in cases:
         got = _run_stream(spark, op(stream), name, mode="append")
