@@ -507,25 +507,39 @@ def kmeans_cells(
         rows = [(r["cell"], list(r["cv"])) for r in cents.collect()]
         return spark.createDataFrame(rows, "cell bigint, cv array<bigint>")
 
-    # farthest-point init: each new seed is a broadcast pass + distributed
-    # top-1 (TakeOrdered), never a global sort of the corpus
-    cents = _materialize(
-        base.orderBy("h", "id")
-        .limit(1)
-        .select(F.lit(0).cast("bigint").alias("cell"), F.col("v").alias("cv"))
-    )
+    # farthest-point init with an INCREMENTAL running min-distance: seed t
+    # only needs min over seeds <t, and min(d_{t-1}, dist-to-seed_{t-1})
+    # computes it from the cached previous round — one literal-centroid
+    # projection + one TakeOrdered per round, NO crossJoin and NO per-id
+    # groupBy shuffle (the earlier form recomputed distances to ALL t
+    # seeds per round: O(k²) distance work and k exchanges). Values are
+    # identical (min over the same integer set), so the unrolled oracle
+    # is untouched. The running (id, h, v, d) state persists per round
+    # and the previous round unpersists — bounded cache churn, the same
+    # inter-round materialization call the iterative dedup closure makes.
+    def _lit_vec(cv: list[int]) -> Column:
+        return F.array(*[F.lit(int(x)).cast("bigint") for x in cv])
+
+    seed_rows = base.orderBy("h", "id").limit(1).select("v").collect()
+    if not seed_rows:  # empty corpus: empty assignment, same as before
+        return spark.createDataFrame([], "id bigint, cell bigint")
+    cent_rows = [(0, list(seed_rows[0]["v"]))]
+    mind = base.select(
+        "id", "h", "v", _dist("v", _lit_vec(cent_rows[0][1])).alias("d")
+    ).persist()
+    handles = [mind]
     for t in range(1, k):
-        far = (
-            base.crossJoin(F.broadcast(cents.select("cv")))
-            .select("id", _dist("v", "cv").alias("dist"))
-            .groupBy("id")
-            .agg(F.min("dist").alias("d"))
-            .join(base, "id")
-            .orderBy(F.col("d").desc(), "h", "id")
-            .limit(1)
-            .select(F.lit(t).cast("bigint").alias("cell"), F.col("v").alias("cv"))
-        )
-        cents = _materialize(cents.unionByName(far))
+        far = mind.orderBy(F.col("d").desc(), "h", "id").limit(1).collect()[0]
+        cent_rows.append((t, list(far["v"])))
+        if t < k - 1:  # last round's min-dist state has no consumer
+            mind = mind.select(
+                "id", "h", "v",
+                F.least(F.col("d"), _dist("v", _lit_vec(far["v"]))).alias("d"),
+            ).persist()
+            handles.append(mind)
+    for h_df in handles:
+        h_df.unpersist()
+    cents = spark.createDataFrame(cent_rows, "cell bigint, cv array<bigint>")
 
     def _assign(cents: DataFrame) -> DataFrame:
         dist = F.aggregate(
