@@ -443,3 +443,76 @@ def doc_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_per_round=_BATCH_K,
         cand_m=_BATCH_M,
     )
+
+
+# --- tokenizer fertility: per-language compression report --------------------
+
+_FERTILITY_ORACLE = f"""WITH {_bpe_ctes(N_MERGES)},
+counted AS (
+  SELECT d.doc_id, d.lang,
+         CAST(length(regexp_replace(trim(d.text), '\\s+', '', 'g')) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_words,
+         c.n_bpe_tokens
+  FROM documents d JOIN (
+    SELECT doc_id,
+      CAST(coalesce(list_sum(list_transform(t, tk ->
+        CASE WHEN contains(tk, {_S}) THEN length(tk)
+             ELSE len(list_filter(string_split({{chain}}, {_S}), x -> x <> '')) END
+      )), 0) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents), {{tops}}
+  ) c USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe_tokens) AS chars_per_token,
+       CAST(sum(n_bpe_tokens) AS DOUBLE) / sum(n_words) AS fertility
+FROM counted GROUP BY lang
+"""
+
+
+def _fertility_oracle(n_merges: int) -> str:
+    tops = ", ".join(
+        f"(SELECT lhs AS l{r}, rhs AS r{r} FROM top{r})" for r in range(1, n_merges + 1)
+    )
+    chain = f"{_S} || array_to_string(string_split(tk, ''), {_S}||{_S}) || {_S}"
+    for r in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, {_S}||l{r}||{_S}||{_S}||r{r}||{_S}, {_S}||l{r}||r{r}||{_S})"
+        )
+    return _FERTILITY_ORACLE.replace("{chain}", chain).replace("{tops}", tops)
+
+
+@register(
+    "lang_tokenizer_fertility",
+    _fertility_oracle(N_MERGES),
+    "tokenizer-eval report: per-language fertility (tokens/word) and chars/token",
+)
+def lang_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard tokenizer evaluation a multilingual pipeline publishes
+    per candidate vocabulary: fertility (BPE tokens per whitespace word —
+    high fertility = the language is being shredded) and compression
+    (chars per token). Integer sums per language, two divisions at the
+    end — engine-portable without rounding."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=N_MERGES)
+    counted = bpe_token_counts(docs, merges, keep_cols=["lang"])
+    chars = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
+    )
+    return (
+        counted.join(chars, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            (F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens")).alias("chars_per_token"),
+            (F.sum("n_bpe_tokens").cast("double") / F.sum("n_words")).alias("fertility"),
+        )
+    )
