@@ -543,3 +543,36 @@ def test_prototype_prune_centroids_broadcast_no_python(spark):
     assert a.shuffle_hash_joins == 0
     assert a.python_stages == 0
     assert "CartesianProduct" not in a.text
+
+
+def test_fim_is_zero_exchange_projection(spark):
+    """doc_fim_transform: the PSM reorder is a PURE projection — zero
+    exchanges, zero joins, zero Python; the cheapest possible shape for a
+    corpus-wide rewrite at 100 TB."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_fim_transform")(spark, SF_SMOKE))
+    assert a.exchanges == 0, a.text
+    assert a.sort_merge_joins + a.broadcast_hash_joins + a.shuffle_hash_joins == 0
+    assert a.python_stages == 0
+
+
+def test_epoch_and_length_pack_single_window_exchange(spark):
+    """doc_epoch_order / doc_length_bucketed_pack: projection + ONE rank/
+    prefix-sum window exchange — the dataloader-prep floor."""
+    for name in ("doc_epoch_order", "doc_length_bucketed_pack"):
+        with no_aqe(spark):
+            a = audit_plan(_q(name)(spark, SF_SMOKE))
+        assert a.exchanges == 1, (name, a.text)
+        assert a.python_stages == 0, name
+
+
+def test_hamming_topk_no_smj_single_exchange(spark):
+    """embedding_hamming_topk: codes are a projection, the 5-row query
+    side broadcasts (tiny BNLJ is the intended crossJoin), the only
+    exchange is the per-query rank window. No SMJ ever touches the
+    corpus codes."""
+    with no_aqe(spark):
+        a = audit_plan(_q("embedding_hamming_topk")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0
+    assert a.exchanges == 1, a.text
+    assert a.python_stages == 0
