@@ -379,6 +379,142 @@ def bpe_token_counts(
     )
 
 
+def maxmatch_word_ids_table(
+    docs: DataFrame,
+    vocab: dict[str, int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy longest-match (MaxMatch / WordPiece-inference-style)
+    segmentation of every distinct trainable word against a symbol
+    inventory → (w, ids: array<bigint>). At each position the longest
+    vocab symbol matching the remaining suffix is taken; a position with
+    no match emits OOV id 0 and advances one char (so segmentation always
+    terminates and covers the word).
+
+    Fully declarative — no recursion, no Python: the per-(word, position)
+    longest match is an explode × candidate-length grid broadcast-joined
+    against the vocab and arg-maxed; the sequential position walk is a
+    bounded higher-order fold (≤ len(w) steps) over the per-word
+    longest-match arrays, with a (pos, ids) struct accumulator. Both
+    shapes mirror exactly into SQL (the oracle's list_reduce twin).
+
+    Scale: every table here is vocabulary-bounded (distinct words ×
+    ≤ max word length positions), never corpus-sized; the corpus touches
+    the result only through a broadcast join on the word."""
+    spark = docs.sparkSession
+    max_sym_len = max((len(s) for s in vocab), default=1)
+    vt = spark.createDataFrame(
+        [(s, i, len(s)) for s, i in vocab.items()], "sym string, vid bigint, vl int"
+    )
+    words = _clean_words(docs, text_col).select("w")
+    # candidate grid: every (word, pos, length<=max_sym_len) substring
+    grid = words.select(
+        "w", F.explode(F.sequence(F.lit(0), F.length("w") - 1)).alias("pos")
+    )
+    cand = (
+        grid.select(
+            "w",
+            "pos",
+            F.explode(F.sequence(F.lit(1), F.lit(max_sym_len))).alias("l"),
+        )
+        .withColumn("sub", F.col("w").substr(F.col("pos") + 1, F.col("l")))
+        .where(F.length("sub") == F.col("l"))
+        .join(F.broadcast(vt), (F.col("sub") == F.col("sym")) & (F.col("vl") == F.col("l")))
+        .select("w", "pos", F.col("l").alias("ml"), "vid")
+    )
+    lm = cand.groupBy("w", "pos").agg(F.max(F.struct("ml", "vid")).alias("m"))
+    # full per-position arrays with the OOV default (len 1, id 0)
+    arrays = (
+        grid.join(lm, ["w", "pos"], "left")
+        .groupBy("w")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        F.coalesce(F.col("m.ml"), F.lit(1)).cast("int").alias("ml"),
+                        F.coalesce(F.col("m.vid"), F.lit(0)).cast("bigint").alias("vid"),
+                    )
+                )
+            ).alias("ps")
+        )
+        .select(
+            "w",
+            F.transform("ps", lambda s: s["ml"]).alias("lens"),
+            F.transform("ps", lambda s: s["vid"]).alias("vids"),
+        )
+    )
+    # sequential walk as a bounded fold: state (pos, ids); step i is a
+    # no-op once pos has passed the end
+    init = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.array().cast("array<bigint>").alias("ids"),
+    )
+    step = lambda acc, _i: F.when(  # noqa: E731
+        acc["pos"] < F.size("lens"),
+        F.struct(
+            (acc["pos"] + F.element_at("lens", acc["pos"] + 1)).cast("int").alias("pos"),
+            F.concat(
+                acc["ids"], F.array(F.element_at("vids", acc["pos"] + 1))
+            ).alias("ids"),
+        ),
+    ).otherwise(acc)
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.size("lens")), init, step, lambda acc: acc["ids"]
+    )
+    return arrays.select("w", walked.alias("ids"))
+
+
+def maxmatch_encode_ids(
+    docs: DataFrame,
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with greedy longest-match against ``vocab`` →
+    (id_col, pos, token_id). Same corpus shape as ``bpe_encode_ids``
+    impl='join': posexplode tokens → broadcast word-table join → one
+    doc-key window for global positions → posexplode. Tokens the word
+    table misses ('' and SEP-bearing) fall back to per-char ids, OOV 0 —
+    the same contract as the BPE encoder."""
+    from pyspark.sql import Window
+
+    wt = maxmatch_word_ids_table(docs, vocab, text_col)
+    t = docs.select(
+        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("wpos", "w")
+    )
+    char_map = {s: i for s, i in vocab.items() if len(s) == 1}
+    if char_map:
+        cmap = F.create_map(*[F.lit(x) for kv in char_map.items() for x in kv])
+        char_ids = F.transform(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            lambda c: F.coalesce(F.element_at(cmap, c), F.lit(0)).cast("bigint"),
+        )
+    else:
+        char_ids = F.transform(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            lambda c: F.lit(0).cast("bigint"),
+        )
+    step = t.join(F.broadcast(wt), "w", "left").select(
+        id_col, "wpos", F.coalesce(F.col("ids"), char_ids).alias("_ids")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("wpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    step = step.withColumn(
+        "_off", F.coalesce(F.sum(F.size("_ids")).over(win), F.lit(0))
+    )
+    return step.select(
+        id_col, F.col("_off"), F.posexplode("_ids").alias("i", "tid")
+    ).select(
+        id_col,
+        (F.col("_off") + F.col("i")).cast("bigint").alias("pos"),
+        F.col("tid").cast("bigint").alias("token_id"),
+    )
+
+
 def bpe_decode_ids(
     encoded: DataFrame,
     vocab: dict[str, int],

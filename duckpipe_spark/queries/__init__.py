@@ -71,12 +71,12 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     outrank the r6 fill (approx_distinct_parts leads the r9 window).
 # Two-window schedule going forward, so no query's latest green row ever
 # exceeds 3 rounds:
-#   * r9 window: the 15 NEW late-r8 queries (doc_lm_quality,
+#   * r9 window: the 16 NEW late-r8 queries (doc_lm_quality,
 #     doc_dsir_scores, doc_dedup_keep_best, embedding_prototype_prune,
 #     doc_bpe_roundtrip, doc_bpe_vocab, doc_lm_buckets, doc_ngram_novelty,
 #     doc_curation_lmgate, doc_fim_transform, doc_corpus_report,
 #     embedding_hamming_topk, doc_length_bucketed_pack, doc_epoch_order,
-#     lang_tokenizer_fertility — registered after the r8 window was frozen at 50,
+#     lang_tokenizer_fertility, doc_maxmatch_encoded — registered after the r8 window was frozen at 50,
 #     so never-attested) lead, then the kmeans-family re-attest
 #     (embedding_kmeans_cells / embedding_cluster_profile — the centroid
 #     materialization changed the plan, values pinned unchanged), then
@@ -110,6 +110,7 @@ CHANGED_THIS_ROUND = [
     "doc_length_bucketed_pack",
     "doc_epoch_order",
     "lang_tokenizer_fertility",
+    "doc_maxmatch_encoded",
     "embedding_kmeans_cells",  # centroid-table materialization (values unchanged)
     "embedding_cluster_profile",
     "doc_bpe_merges",

@@ -516,3 +516,92 @@ def lang_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_bpe_tokens").cast("double") / F.sum("n_words")).alias("fertility"),
         )
     )
+
+
+# --- MaxMatch (WordPiece-inference-style) greedy longest-match encode --------
+
+
+def _maxmatch_oracle(n_merges: int) -> str:
+    # the sequential position walk is a RECURSIVE CTE over the per-word
+    # longest-match arrays (state: (word, position, emit ordinal)).
+    # Deliberately NOT a list_reduce fold: DuckDB 1.0's list_reduce is
+    # unreliable with accumulating state (struct accumulators drop list
+    # fields outright, and a packed-list accumulator produced
+    # run-to-run-NONDETERMINISTIC walks inside the full query) — the
+    # recursion is plain joins, which are deterministic.
+    return f"""WITH RECURSIVE {_vocab_enc_ctes(n_merges)},
+words AS (SELECT w FROM w),
+grid AS (SELECT w, unnest(range(0, length(w))) AS pos FROM words),
+cand AS (
+  SELECT g.w, g.pos, CAST(length(v.sym) AS BIGINT) AS ml, v.id AS vid
+  FROM grid g JOIN vocab v
+    ON g.pos + length(v.sym) <= length(g.w)
+   AND substr(g.w, CAST(g.pos + 1 AS INT), length(v.sym)) = v.sym
+),
+lm AS (
+  SELECT w, pos, max(ml) AS ml, arg_max(vid, ml) AS vid FROM cand GROUP BY w, pos
+),
+arrays AS MATERIALIZED (
+  SELECT g.w,
+         list(coalesce(lm.ml, 1) ORDER BY g.pos) AS lens,
+         list(CAST(coalesce(lm.vid, 0) AS BIGINT) ORDER BY g.pos) AS vids
+  FROM grid g LEFT JOIN lm ON g.w = lm.w AND g.pos = lm.pos
+  GROUP BY g.w
+),
+walk(w, pos, ord, vid) AS (
+  SELECT w, CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(NULL AS BIGINT) FROM arrays
+  UNION ALL
+  SELECT a.w, s.pos + a.lens[CAST(s.pos + 1 AS INT)], s.ord + 1,
+         a.vids[CAST(s.pos + 1 AS INT)]
+  FROM walk s JOIN arrays a ON s.w = a.w
+  WHERE s.pos < len(a.lens)
+),
+walked AS MATERIALIZED (
+  SELECT w, list(vid ORDER BY ord) AS ids FROM walk WHERE ord >= 0 GROUP BY w
+),
+amap AS (SELECT map(list(c), list(id)) AS am FROM alpha),
+dtoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+texp AS (
+  SELECT doc_id, i - 1 AS wpos, t[i] AS tw
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM dtoks)
+),
+joined AS (
+  SELECT e.doc_id, e.wpos,
+         coalesce(wk.ids,
+           list_transform(list_filter(string_split(e.tw, ''), c -> c <> ''),
+                          c -> coalesce((a.am)[c][1], CAST(0 AS BIGINT)))) AS ids
+  FROM texp e LEFT JOIN walked wk ON e.tw = wk.w CROSS JOIN amap a
+),
+offs AS (
+  SELECT doc_id, wpos, ids,
+         coalesce(sum(len(ids)) OVER (PARTITION BY doc_id ORDER BY wpos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM joined
+)
+SELECT doc_id, CAST(off + i - 1 AS BIGINT) AS pos, CAST(ids[i] AS BIGINT) AS token_id
+FROM (SELECT doc_id, off, ids, unnest(range(1, len(ids) + 1)) AS i FROM offs)
+"""
+
+
+@register(
+    "doc_maxmatch_encoded",
+    _maxmatch_oracle(N_MERGES),
+    "WordPiece-inference-style greedy longest-match encoding over the trained vocab",
+)
+def doc_maxmatch_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER tokenizer-inference discipline: MaxMatch (greedy longest
+    match, the WordPiece/fast-WordPiece decode rule) against the SAME
+    symbol inventory the BPE trainer produced — differs from BPE merge
+    replay whenever a longer symbol shadows the merge order. Fully
+    declarative: longest-match table via candidate-length explode +
+    broadcast vocab join + argmax; the sequential position walk is a
+    bounded higher-order fold. The corpus pays one broadcast word join +
+    one doc-key window, same as the BPE encoder."""
+    from duckpipe_spark.functions.bpe import bpe_vocab_ids, maxmatch_encode_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=N_MERGES)
+    vocab = bpe_vocab_ids(docs, merges)
+    return maxmatch_encode_ids(docs, vocab)

@@ -482,3 +482,53 @@ def test_decode_oov_id_is_null(spark):
     )
     out = {r.pos: r.sym for r in bpe_decode_ids(enc, {"a": 1}).collect()}
     assert out[0] is None and out[1] == "a"
+
+
+def test_maxmatch_matches_python_reference(spark):
+    from duckpipe_spark.functions.bpe import (
+        bpe_vocab_ids,
+        learn_bpe_merges,
+        maxmatch_word_ids_table,
+    )
+
+    docs = _seeded_docs(spark, 7, n_docs=40)
+    merges = learn_bpe_merges(docs, n_merges=6)
+    vocab = bpe_vocab_ids(docs, merges)
+    msl = max(len(s) for s in vocab)
+
+    def ref(w):
+        out, p = [], 0
+        while p < len(w):
+            for L in range(min(msl, len(w) - p), 0, -1):
+                if w[p:p + L] in vocab:
+                    out.append(vocab[w[p:p + L]])
+                    p += L
+                    break
+            else:
+                out.append(0)
+                p += 1
+        return out
+
+    wt = {r.w: list(r.ids) for r in maxmatch_word_ids_table(docs, vocab).collect()}
+    assert wt and all(wt[w] == ref(w) for w in wt)
+
+
+def test_maxmatch_diverges_from_bpe_replay_when_longer_symbol_shadows(spark):
+    """vocab {a,b,c,bc,ab} from merges [(b,c),(a,b)]: BPE replay on 'abc'
+    applies (b,c) first -> [a, bc]; greedy longest-match takes 'ab'
+    -> [ab, c]. The two inference disciplines are genuinely different."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.bpe import (
+        bpe_symbols_of_token_col,
+        maxmatch_encode_ids,
+    )
+
+    vocab = {"a": 1, "b": 2, "c": 3, "bc": 4, "ab": 5}
+    docs = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    mm = [r.token_id for r in maxmatch_encode_ids(docs, vocab).orderBy("pos").collect()]
+    assert mm == [5, 3]  # ab, c
+    bpe_syms = docs.select(
+        bpe_symbols_of_token_col(F.lit("abc"), [("b", "c"), ("a", "b")]).alias("s")
+    ).collect()[0]["s"]
+    assert list(bpe_syms) == ["a", "bc"]
