@@ -487,7 +487,20 @@ def op_corpus_report(spark, scramble):
     )
 
 
+def op_maxmatch_encode(spark, scramble):
+    from duckpipe_spark.functions.bpe import (
+        bpe_vocab_ids,
+        learn_bpe_merges,
+        maxmatch_encode_ids,
+    )
+
+    docs = scramble(_docs(spark))
+    merges = learn_bpe_merges(docs, n_merges=4)
+    return maxmatch_encode_ids(docs, bpe_vocab_ids(docs, merges))
+
+
 _OPS = [
+    op_maxmatch_encode,
     op_hamming_topk,
     op_length_bucketed_pack,
     op_epoch_order,
