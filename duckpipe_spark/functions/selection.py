@@ -73,7 +73,10 @@ def lm_train(
     The model is vocabulary-bounded, NOT driver-bounded (bigram type
     counts grow with corpus size), so it stays a DataFrame — callers
     joining it against a stream should ``.persist()`` it (and unpersist
-    after) so the train lineage doesn't re-execute per micro-batch."""
+    after) so the train lineage doesn't re-execute per micro-batch.
+    A train subset with no bigrams at all yields V = 0 and NULL scores
+    (0/0) — the same degenerate contract as the join path; train on a
+    non-empty in-domain slice."""
     bks, pks = _bigram_cols(text_col)
     pairs = (
         docs.where(train_pred)

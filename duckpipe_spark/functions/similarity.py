@@ -106,6 +106,9 @@ def sign_pack_cols(vec: Column, dim: int = 64) -> tuple[Column, Column]:
     stays < 2^32 and no engine has to reason about the int64 sign bit).
     16 bytes per vector: the memory format binary-embedding retrieval
     ships to serving."""
+    if dim % 2 or dim > 64:
+        raise ValueError(f"sign_pack_cols needs an even dim <= 64, got {dim}")
+
     def pack(lo: int) -> Column:
         sl = F.slice(vec, lo + 1, dim // 2)
         return F.aggregate(
