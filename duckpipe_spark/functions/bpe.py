@@ -155,15 +155,26 @@ def _select_noninteracting(
     """The batched-round acceptance rule, shared verbatim with the SQL
     oracle (queries/bpe_q.py): candidate j (in (pf DESC, lhs, rhs) rank
     order) is *compatible* iff NO higher-ranked candidate — accepted or
-    not — shares a symbol with it; the round takes the first ``k``
-    compatible candidates. Checking against all higher-ranked candidates
-    (rather than only accepted ones) keeps the rule non-recursive, so one
-    window + one anti-self-join expresses it exactly in SQL."""
+    not — interacts with it; the round takes the first ``k`` compatible
+    candidates. Checking against all higher-ranked candidates (rather
+    than only accepted ones) keeps the rule non-recursive, so one window
+    + one anti-self-join expresses it exactly in SQL.
+
+    Interaction is tested on each candidate's {lhs, rhs, lhs+rhs} set —
+    the PRODUCT is included because a pair sharing no raw symbol can
+    still consume symbols another same-round merge CREATES (e.g.
+    ('xy','z') then ('xyz','w'): the first manufactures 'xyz' symbols the
+    second's pattern matches, so its recorded pair_freq would be stale
+    and the replaces would no longer commute). Product-product collisions
+    are rejected too — conservative, but the rule is a selection policy:
+    rejecting more candidates costs a round, never correctness."""
+    def syms(lhs: str, rhs: str) -> tuple[str, str, str]:
+        return (lhs, rhs, lhs + rhs)
+
     ok_rows: list[tuple[str, str, int]] = []
     for j, (lhs, rhs, pf) in enumerate(cands):
-        if not any(
-            hl in (lhs, rhs) or hr in (lhs, rhs) for hl, hr, _ in cands[:j]
-        ):
+        mine = syms(lhs, rhs)
+        if not any(set(syms(hl, hr)) & set(mine) for hl, hr, _ in cands[:j]):
             ok_rows.append((lhs, rhs, pf))
     return ok_rows[:k]
 
@@ -354,7 +365,12 @@ def bpe_token_counts(
             lambda acc, t: acc + bpe_symbol_count_col(t, merges).cast("bigint"),
         )
         return docs.select(
-            F.col(id_col), *[F.col(c) for c in keep], total.alias("n_bpe_tokens")
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            # coalesce: a NULL text row folds to NULL here but counts 0 on
+            # the join path (explode_outer emits one null-w row) — the
+            # bit-identity contract needs both impls to agree on 0
+            F.coalesce(total, F.lit(0).cast("bigint")).alias("n_bpe_tokens"),
         )
     if impl != "join":
         raise ValueError(f"impl must be 'join' or 'chain', got {impl!r}")
@@ -476,43 +492,10 @@ def maxmatch_encode_ids(
     impl='join': posexplode tokens → broadcast word-table join → one
     doc-key window for global positions → posexplode. Tokens the word
     table misses ('' and SEP-bearing) fall back to per-char ids, OOV 0 —
-    the same contract as the BPE encoder."""
-    from pyspark.sql import Window
-
+    the same contract as the BPE encoder (shared ``_encode_with_word_table``
+    stitch)."""
     wt = maxmatch_word_ids_table(docs, vocab, text_col)
-    t = docs.select(
-        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("wpos", "w")
-    )
-    char_map = {s: i for s, i in vocab.items() if len(s) == 1}
-    if char_map:
-        cmap = F.create_map(*[F.lit(x) for kv in char_map.items() for x in kv])
-        char_ids = F.transform(
-            F.filter(F.split("w", ""), lambda c: c != ""),
-            lambda c: F.coalesce(F.element_at(cmap, c), F.lit(0)).cast("bigint"),
-        )
-    else:
-        char_ids = F.transform(
-            F.filter(F.split("w", ""), lambda c: c != ""),
-            lambda c: F.lit(0).cast("bigint"),
-        )
-    step = t.join(F.broadcast(wt), "w", "left").select(
-        id_col, "wpos", F.coalesce(F.col("ids"), char_ids).alias("_ids")
-    )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("wpos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    step = step.withColumn(
-        "_off", F.coalesce(F.sum(F.size("_ids")).over(win), F.lit(0))
-    )
-    return step.select(
-        id_col, F.col("_off"), F.posexplode("_ids").alias("i", "tid")
-    ).select(
-        id_col,
-        (F.col("_off") + F.col("i")).cast("bigint").alias("pos"),
-        F.col("tid").cast("bigint").alias("token_id"),
-    )
+    return _encode_with_word_table(docs, wt, vocab, text_col, id_col)
 
 
 def bpe_decode_ids(
@@ -632,12 +615,27 @@ def bpe_encode_ids(
     from pyspark.sql import Window
 
     wt = bpe_word_ids_table(docs, merges, text_col, vocab).select("w", "ids")
+    return _encode_with_word_table(docs, wt, vocab, text_col, id_col)
+
+
+def _encode_with_word_table(
+    docs: DataFrame,
+    wt: DataFrame,
+    vocab: dict[str, int],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared corpus stitch for every word-table encoder (BPE join path,
+    MaxMatch): posexplode tokens → broadcast (w → ids) join → one doc-key
+    window for global symbol positions → posexplode of the id arrays.
+    Join misses ('' and SEP-bearing tokens) fall back to per-char ids —
+    single-char vocab entries are exactly the alphabet, so this matches
+    the chain impl's char path bit-for-bit."""
+    from pyspark.sql import Window
+
     t = docs.select(
         F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("wpos", "w")
     )
-    # join misses ('' and SEP-bearing tokens) fall back to per-char ids —
-    # single-char vocab entries are exactly the alphabet, so this matches
-    # the chain impl's char path bit-for-bit
     char_map = {s: i for s, i in vocab.items() if len(s) == 1}
     if char_map:
         cmap = F.create_map(*[F.lit(x) for kv in char_map.items() for x in kv])

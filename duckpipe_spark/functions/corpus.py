@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from duckpipe_spark.functions.dedup import (
     exact_dedup_groups,
@@ -369,6 +369,7 @@ def curation_pipeline(
     vec_col: str = "embedding",
     stage_handles: list | None = None,
     lm_min_score: float | None = None,
+    lm_train_pred: Column | None = None,
 ) -> DataFrame:
     """The END-TO-END curation pipeline a training-data run executes, as one
     lazy composition (VERDICT r6 item 3 — the integration shape that catches
@@ -453,11 +454,18 @@ def curation_pipeline(
     # floor — the rounded compare is what makes the keep set
     # engine-portable. The LM tables broadcast (vocabulary-bounded); the
     # gate adds one scan-shaped scoring pass, no new corpus shuffle class.
+    # ``lm_train_pred`` picks the in-domain slice (default lang == 'en').
+    # CONTRACT: a train slice with no bigrams yields NULL scores and the
+    # gate drops EVERYTHING (NULL >= floor is never true) — deliberate:
+    # an un-trained quality gate passing documents would be the silent
+    # failure; callers on non-English corpora must set lm_train_pred.
     if lm_min_score is not None:
         from duckpipe_spark.functions.selection import lm_quality_score
 
+        if lm_train_pred is None:
+            lm_train_pred = F.col(lang_col) == "en"
         scores = lm_quality_score(
-            gated, F.col(lang_col) == "en", id_col=id_col, text_col=text_col
+            gated, lm_train_pred, id_col=id_col, text_col=text_col
         )
         keep = scores.where(F.col("lm_score") >= lm_min_score).select(
             F.col("id").alias(id_col)
@@ -478,6 +486,15 @@ def curation_pipeline(
     if embeddings is not None:
         from duckpipe_spark.functions.similarity import semantic_dedup
 
+        # the embedding join casts the doc id to bigint; a non-integral id
+        # type would cast to all-NULL and the stage would silently no-op —
+        # refuse loudly instead (same contract as positional_shingle_hashes)
+        id_type = uniq.schema[id_col].dataType.simpleString()
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"SemDeDup stage needs an integral {id_col!r} to join "
+                f"embeddings on {vec_id_col!r}; got {id_type}"
+            )
         surv = uniq.select(F.col(id_col).cast("bigint").alias(vec_id_col))
         emb = embeddings.join(surv, vec_id_col, "left_semi")
         sd = semantic_dedup(
@@ -589,6 +606,13 @@ def mask_contaminated_spans(
     from duckpipe_spark.functions.dedup import positional_shingle_hashes
     from duckpipe_spark.functions.sampling import lehmer_hash_col
 
+    if k > window:
+        # the both-ends guarantee ("no token of a colliding k-gram
+        # survives") holds only while a k-gram touches <= 2 consecutive
+        # spans; k > window would silently leak every interior span
+        raise ValueError(
+            f"mask_contaminated_spans needs k <= window (got k={k}, window={window})"
+        )
     w = int(window)
     # split BEFORE the shingle kernel: the bucket is a function of the id
     # alone, so filtering docs first (a) pushes the predicate into the

@@ -214,6 +214,11 @@ def epoch_order(
 
     Same scale shape as ``shard_and_order``: projection + one rank
     window partitioned by shard."""
+    clash = {"epoch", "shard", "pos", "_h"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"epoch_order reserves column names {sorted(clash)}; rename them first"
+        )
     h = lehmer_hash_col(F.col(id_col) + epoch * 1_000_003)
     w = Window.partitionBy("shard").orderBy("_h", id_col)
     return (

@@ -530,18 +530,25 @@ def kmeans_cells(
     mind = base.select(
         "id", "h", "v", _dist("v", _lit_vec(cent_rows[0][1])).alias("d")
     ).persist()
-    handles = [mind]
+    prev = None  # round t-1's state: unpersist only AFTER round t's
+    # far.collect() has materialized round t's cache FROM it (releasing
+    # earlier would force a from-scratch recompute); peak cache is then
+    # 2 × corpus (id, h, v, d) rows, not k ×
     for t in range(1, k):
         far = mind.orderBy(F.col("d").desc(), "h", "id").limit(1).collect()[0]
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         cent_rows.append((t, list(far["v"])))
         if t < k - 1:  # last round's min-dist state has no consumer
+            prev = mind
             mind = mind.select(
                 "id", "h", "v",
                 F.least(F.col("d"), _dist("v", _lit_vec(far["v"]))).alias("d"),
             ).persist()
-            handles.append(mind)
-    for h_df in handles:
-        h_df.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    mind.unpersist()
     cents = spark.createDataFrame(cent_rows, "cell bigint, cv array<bigint>")
 
     def _assign(cents: DataFrame) -> DataFrame:

@@ -127,8 +127,14 @@ def _vocab_enc_ctes(n_merges: int) -> str:
     Vocabulary: alphabet chars (binary-sorted) get 1..A, merge products
     A + rank; MIN(id) resolves two rounds producing the same surface
     string (first id wins — mirrors bpe_vocab_ids's setdefault)."""
+    # lhs <> '' drops the pairless-round sentinel rows (same filter as
+    # _merges_oracle): without it a degenerate corpus with < n_merges
+    # learnable merges injects a '' symbol the Spark vocab never has —
+    # and the maxmatch oracle's substring join would treat that '' as a
+    # length-0 always-matching candidate
     vocab_rows = "\nUNION ALL\n".join(
         f"SELECT lhs || rhs AS sym, (SELECT a FROM asize) + {r} AS id FROM top{r}"
+        f" WHERE lhs <> ''"
         for r in range(1, n_merges + 1)
     )
     tops = ", ".join(
@@ -385,7 +391,9 @@ def _batched_oracle(n_merges: int, k: int, m: int) -> str:
   SELECT c.lhs, c.rhs, c.pf, c.rk,
     NOT EXISTS (SELECT 1 FROM ranked{r} h
       WHERE h.rk < c.rk
-        AND (h.lhs IN (c.lhs, c.rhs) OR h.rhs IN (c.lhs, c.rhs))) AS ok
+        AND (h.lhs IN (c.lhs, c.rhs, c.lhs || c.rhs)
+          OR h.rhs IN (c.lhs, c.rhs, c.lhs || c.rhs)
+          OR h.lhs || h.rhs IN (c.lhs, c.rhs, c.lhs || c.rhs))) AS ok
   FROM ranked{r} c
 )""")
         parts.append(f"""sel{r} AS MATERIALIZED (

@@ -532,3 +532,19 @@ def test_maxmatch_diverges_from_bpe_replay_when_longer_symbol_shadows(spark):
         bpe_symbols_of_token_col(F.lit("abc"), [("b", "c"), ("a", "b")]).alias("s")
     ).collect()[0]["s"]
     assert list(bpe_syms) == ["a", "bc"]
+
+
+def test_select_noninteracting_rejects_product_collisions():
+    """A pair sharing no raw symbol still interacts when one's PRODUCT is
+    the other's symbol: ('xy','z') manufactures 'xyz' symbols that
+    ('xyz','w')'s pattern would consume mid-round (stale pair_freq,
+    non-commuting replaces)."""
+    from duckpipe_spark.functions.bpe import _select_noninteracting
+
+    cands = [("xy", "z", 10), ("xyz", "w", 9), ("p", "q", 8)]
+    sel = _select_noninteracting(cands, 3)
+    assert ("xyz", "w", 9) not in sel
+    assert sel == [("xy", "z", 10), ("p", "q", 8)]
+    # symmetric direction: higher-ranked symbol == lower-ranked product
+    cands2 = [("ab", "c", 10), ("a", "bc", 9)]  # products both 'abc'
+    assert _select_noninteracting(cands2, 2) == [("ab", "c", 10)]
