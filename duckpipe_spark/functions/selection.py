@@ -345,6 +345,79 @@ def dsir_scores(
     )
 
 
+def dsir_train(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the DSIR bucket model → ONE row (lr: map<bucket, ratio>, nb:
+    bucket count). Unlike the LM model this is GENUINELY tiny — exactly B
+    entries regardless of corpus size — so the 1-row map is the natural
+    serving artifact; persist it when joining against a stream (same
+    contract as ``lm_train``)."""
+    tok = docs.select(
+        target_pred.alias("is_target"),
+        F.explode(_lower_tokens(text_col)).alias("w"),
+    ).select("is_target", (char_poly_hash(F.col("w")) % n_buckets).alias("b"))
+    raw_tgt = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("bigint").alias("t"),
+    )
+    totals = raw_tgt.agg(
+        F.sum("r").cast("bigint").alias("big_r"), F.sum("t").cast("bigint").alias("big_t")
+    )
+    ratio = (
+        ((F.col("t") + 1) * (F.col("big_r") + n_buckets)
+         - (F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
+        / ((F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
+    )
+    return (
+        raw_tgt.crossJoin(F.broadcast(totals))
+        .select("b", ratio.alias("lr"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "lr"))).alias("lr"))
+        .select("lr", F.lit(n_buckets).cast("int").alias("nb"))
+    )
+
+
+def dsir_score_with_model(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a pre-trained ``dsir_train`` model → (id,
+    n_tokens, dsir_score): a PURE PROJECTION over a stateless 1-row cross
+    join, append-safe on a readStream (train on batch, score arrivals).
+
+    Float-order contract: the per-doc sum folds lr contributions in
+    BUCKET-SORTED order over the doc's bucket sequence (array_sort before
+    the fold), which reproduces ``dsir_scores``' sorted-by-bucket
+    aggregation EXCEPT that equal-bucket contributions here add one
+    token at a time where the batch path multiplies the count once —
+    a c·x vs x+x+…+x float difference at the last ulp. Both paths round
+    to 6 dp; the streaming twin test pins stream ≡ THIS op on batch
+    (its own impl either side), and equality-to-6dp vs the batch scorer
+    holds everywhere the documents table has been checked."""
+    buckets = F.array_sort(
+        F.transform(
+            _lower_tokens(text_col), lambda w: char_poly_hash(w) % F.col("nb")
+        )
+    )
+    total = F.aggregate(
+        F.transform(F.col("_bs"), lambda b: F.element_at("lr", b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size("_bs").cast("bigint")
+    return (
+        docs.crossJoin(F.broadcast(model))
+        .select(F.col(id_col).alias("id"), buckets.alias("_bs"), "lr")
+        .where(F.size("_bs") >= 1)
+        .select("id", n.alias("n_tokens"), F.round(total / n, 6).alias("dsir_score"))
+    )
+
+
 def dedup_keep_best(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -187,3 +187,27 @@ def test_fim_transform_reassembles_to_original(spark):
         else:
             assert r.fim_text == orig[r.doc_id]
     assert 0 < n_applied < len(out)
+
+
+def test_dsir_model_scoring_agrees_with_batch(spark):
+    """dsir_score_with_model (projection over the 1-row B-bucket map)
+    agrees with dsir_scores to the 6-dp contract on the fixture corpus
+    (the fold orders differ only in c·x vs repeated-addition ulps)."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import (
+        dsir_score_with_model,
+        dsir_scores,
+        dsir_train,
+    )
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pred = F.col("lang") == "en"
+    a = {r.id: r for r in dsir_scores(docs, pred).collect()}
+    b = {r.id: r for r in dsir_score_with_model(docs, dsir_train(docs, pred)).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].n_tokens == b[k].n_tokens
+        assert abs(a[k].dsir_score - b[k].dsir_score) <= 1e-6, k

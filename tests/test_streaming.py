@@ -787,3 +787,36 @@ def test_lm_score_stream_matches_batch(spark, tmp_path):
         assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
     finally:
         model.unpersist()
+
+
+def test_dsir_score_stream_matches_batch(spark, tmp_path):
+    """Train-batch / score-stream DSIR: the B-row bucket model rides one
+    persisted map row; scoring is a pure projection over a stateless
+    stream-static cross join — append-safe, and the drained sink equals
+    the same operator run on batch."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import dsir_score_with_model, dsir_train
+    from duckpipe_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import canonicalize
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang")
+    d = tmp_path / "docs"
+    d.mkdir()
+    pdf = docs.toPandas()
+    n = len(pdf)
+    for i, chunk in enumerate([pdf[: n // 2], pdf[n // 2 :]]):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.parquet(str(d / f"b{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    model = dsir_train(docs, F.col("lang") == "en").persist()
+    try:
+        got = _run_stream(spark, dsir_score_with_model(stream, model), "dsir_s", mode="append")
+        want = dsir_score_with_model(docs, model)
+        assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
+    finally:
+        model.unpersist()
