@@ -71,23 +71,24 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #     outrank the r6 fill (approx_distinct_parts leads the r9 window).
 # Two-window schedule going forward, so no query's latest green row ever
 # exceeds 3 rounds:
-#   * r9 window (59 candidates for 50 slots — trim spelled out): the 16
+#   * r9 window (60 candidates for 50 slots — trim spelled out): the 17
 #     NEW late-r8 queries (doc_lm_quality, doc_dsir_scores,
 #     doc_dedup_keep_best, embedding_prototype_prune, doc_bpe_roundtrip,
 #     doc_bpe_vocab, doc_lm_buckets, doc_ngram_novelty,
 #     doc_curation_lmgate, doc_fim_transform, doc_corpus_report,
 #     embedding_hamming_topk, doc_length_bucketed_pack, doc_epoch_order,
-#     lang_tokenizer_fertility, doc_maxmatch_encoded — registered after
+#     lang_tokenizer_fertility, doc_maxmatch_encoded,
+#     doc_quality_calibration — registered after
 #     the r8 window froze at 50, so never-attested) lead, then the
 #     kmeans-family re-attest (embedding_kmeans_cells /
 #     embedding_cluster_profile — the centroid materialization +
 #     incremental init changed the plan, values pinned unchanged), then
-#     the ALPHABETICALLY-FIRST 32 of the 41-strong r6 cohort (latest
-#     green r6) fill the window; the trailing 9 r6 queries
+#     the ALPHABETICALLY-FIRST 31 of the 41-strong r6 cohort (latest
+#     green r6) fill the window; the trailing 10 r6 queries
 #     (alphabetical) defer to r10 — their rows are then 4 rounds old,
-#     one past the invariant, the price of 16 new queries in one round;
+#     one past the invariant, the price of 17 new queries in one round;
 #     name them FIRST in r10.
-#   * r10 window: the 9 deferred r6 queries lead, then the r7 cohort
+#   * r10 window: the 10 deferred r6 queries lead, then the r7 cohort
 #     (latest green r7) by alphabetical prefix as slots allow.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
@@ -115,6 +116,7 @@ CHANGED_THIS_ROUND = [
     "doc_epoch_order",
     "lang_tokenizer_fertility",
     "doc_maxmatch_encoded",
+    "doc_quality_calibration",
     "embedding_kmeans_cells",  # centroid-table materialization (values unchanged)
     "embedding_cluster_profile",
     "doc_bpe_merges",

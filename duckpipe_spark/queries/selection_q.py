@@ -293,3 +293,68 @@ def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_KM_SCALE,
         prune_frac=_PROTO_PRUNE_FRAC,
     )
+
+
+# --- calibration: cheap LM score vs independent surface-quality points -------
+
+_CALIB_ORACLE = f"""
+WITH {_LM_CTES},
+qp AS (
+  SELECT doc_id,
+         CAST(
+           (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+           + (CASE WHEN (CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                         / length(text)) <= 0.1
+                   THEN 1 ELSE 0 END)
+         AS BIGINT) AS qp
+  FROM documents
+),
+deciled AS (
+  SELECT lm.doc_id, lm.lm_score, qp.qp,
+         CAST(ntile(10) OVER (ORDER BY lm.lm_score DESC, lm.doc_id ASC) AS BIGINT) AS lm_decile
+  FROM lm JOIN qp ON lm.doc_id = qp.doc_id
+)
+SELECT lm_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(qp) AS BIGINT) AS total_qp,
+       CAST(sum(qp) AS DOUBLE) / (count(*) * 3) AS mean_quality
+FROM deciled GROUP BY lm_decile
+"""
+
+
+@register(
+    "doc_quality_calibration",
+    _CALIB_ORACLE,
+    "calibration: LM-score deciles vs the independent surface-quality points",
+)
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validation a filter owner runs before trusting a cheap score:
+    bucket the corpus into LM-score deciles and report the mean of the
+    INDEPENDENT surface-quality points per decile — a monotone-ish curve
+    says the two signals agree; a flat one says the LM gate is noise.
+    Exact integer window (ntile) + integer sums; one division per row."""
+    from pyspark.sql import Window
+
+    from duckpipe_spark.functions.selection import lm_quality_score
+    from duckpipe_spark.functions.text import quality_points_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lm_quality_score(docs, F.col("lang") == "en")
+    qp = docs.select(
+        F.col("doc_id").alias("id"), quality_points_col(F.col("text")).alias("qp")
+    )
+    w = Window.orderBy(F.col("lm_score").desc(), F.col("id").asc())
+    n = F.count(F.lit(1))
+    return (
+        scores.join(qp, "id")
+        .withColumn("lm_decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("lm_decile")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.sum("qp").cast("bigint").alias("total_qp"),
+            (F.sum("qp").cast("double") / (n * 3)).alias("mean_quality"),
+        )
+    )
