@@ -193,6 +193,12 @@ def length_bucketed_packing(
     One shuffle on the bucket key (bounded: ~log2(max doc length)
     buckets; the window sort parallelizes across buckets — salt the
     bucket with a shard prefix if one bucket dominates a real corpus)."""
+    clash = {"length_bucket", "pack_id"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"length_bucketed_packing reserves column names {sorted(clash)}; "
+            "rename them first"
+        )
     # bit_length(n) via conv → binary string length: exact integer math
     bucket = F.length(F.conv(F.col(token_col).cast("string"), 10, 2)).cast("bigint")
     out = df.withColumn("length_bucket", bucket)

@@ -355,7 +355,15 @@ def dsir_train(
     bucket count). Unlike the LM model this is GENUINELY tiny — exactly B
     entries regardless of corpus size — so the 1-row map is the natural
     serving artifact; persist it when joining against a stream (same
-    contract as ``lm_train``)."""
+    contract as ``lm_train``).
+
+    The map carries FULL bucket support 0..B-1, not just the buckets the
+    train corpus happened to populate: a served document can hash tokens
+    into buckets the train batch never saw (the whole point of the
+    train/serve split), and a missing map entry would make ``element_at``
+    NULL and poison the serve-side fold. Unseen buckets carry the add-one
+    smoothed ratio at r = t = 0 — exactly what ``dsir_scores`` would
+    compute had the bucket appeared zero times."""
     tok = docs.select(
         target_pred.alias("is_target"),
         F.explode(_lower_tokens(text_col)).alias("w"),
@@ -364,7 +372,16 @@ def dsir_train(
         F.count(F.lit(1)).cast("bigint").alias("r"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("bigint").alias("t"),
     )
-    totals = raw_tgt.agg(
+    # full 0..B-1 support: left-join observed counts onto the bucket series
+    allb = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("b")
+    )
+    full = allb.join(raw_tgt, "b", "left").select(
+        "b",
+        F.coalesce("r", F.lit(0)).cast("bigint").alias("r"),
+        F.coalesce("t", F.lit(0)).cast("bigint").alias("t"),
+    )
+    totals = full.agg(
         F.sum("r").cast("bigint").alias("big_r"), F.sum("t").cast("bigint").alias("big_t")
     )
     ratio = (
@@ -373,7 +390,7 @@ def dsir_train(
         / ((F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
     )
     return (
-        raw_tgt.crossJoin(F.broadcast(totals))
+        full.crossJoin(F.broadcast(totals))
         .select("b", ratio.alias("lr"))
         .agg(F.map_from_entries(F.collect_list(F.struct("b", "lr"))).alias("lr"))
         .select("lr", F.lit(n_buckets).cast("int").alias("nb"))

@@ -335,7 +335,17 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket the corpus into LM-score deciles and report the mean of the
     INDEPENDENT surface-quality points per decile — a monotone-ish curve
     says the two signals agree; a flat one says the LM gate is noise.
-    Exact integer window (ntile) + integer sums; one division per row."""
+    Exact integer window (ntile) + integer sums; one division per row.
+
+    Scale shape: the global decile ntile is an UNPARTITIONED window — the
+    entire scored corpus serializes through one partition for the rank.
+    That is deliberate and accepted for this REPORT query only (global
+    deciles need a total order; the input is one (id, score, qp) row per
+    doc, so the single partition holds ~24 bytes/doc — bounded by the
+    scored-doc count, not the corpus bytes). If this query ever joins the
+    bench set or a hot path, replace the window with a two-pass boundary
+    computation: aggregate approx/exact decile boundaries first, then
+    assign buckets with a broadcast range join — no global sort."""
     from pyspark.sql import Window
 
     from duckpipe_spark.functions.selection import lm_quality_score

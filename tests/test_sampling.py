@@ -174,6 +174,22 @@ def test_shard_and_order_reserved_column_guard(spark):
     assert {"shard", "pos"} <= set(out.columns) and "__h" not in out.columns
 
 
+def test_length_bucketed_packing_reserved_column_guard(spark):
+    """ADVICE r8: length_bucketed_packing writes 'length_bucket'/'pack_id' —
+    same clash contract as epoch_order/shard_and_order: collide ->
+    ValueError instead of silently overwriting the caller's column."""
+    import pytest as _pytest
+
+    from duckpipe_spark.functions.sampling import length_bucketed_packing
+
+    df = spark.range(10).selectExpr("id AS doc_id", "CAST(id + 3 AS BIGINT) AS n")
+    for col in ("length_bucket", "pack_id"):
+        with _pytest.raises(ValueError, match=col):
+            length_bucketed_packing(df.withColumn(col, F.lit(0)), "n", 16)
+    out = length_bucketed_packing(df, "n", 16)
+    assert {"length_bucket", "pack_id"} <= set(out.columns)
+
+
 class TestBM25:
     def test_bm25_matches_hand_computation(self, spark):
         from duckpipe_spark.functions.text import bm25_topk

@@ -189,6 +189,38 @@ def test_fim_transform_reassembles_to_original(spark):
     assert 0 < n_applied < len(out)
 
 
+def test_dsir_model_scores_unseen_buckets(spark):
+    """ADVICE r8 (medium): the trained model must carry FULL 0..B-1 bucket
+    support — a served document whose tokens hash to buckets the train
+    batch never populated previously got element_at -> NULL, which poisoned
+    the whole fold and made dsir_score NULL. Train on a tiny corpus, score
+    a document made of train-unseen tokens: every score must be non-NULL
+    and the unseen-bucket ratio must be the add-one smoothed value at
+    r = t = 0, i.e. ((big_r + B) - (big_t + B)) / (big_t + B)."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import dsir_score_with_model, dsir_train
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta alpha", "en"), (2, "gamma beta", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    model = dsir_train(train, F.col("lang") == "en", n_buckets=8)
+    row = model.collect()[0]
+    assert len(row.lr) == 8, "model must have full bucket support"
+    # big_r = 5 train tokens, big_t = 3 target tokens, B = 8
+    expected_unseen = ((5 + 8) - (3 + 8)) / (3 + 8)
+    serve = spark.createDataFrame(
+        [(10, "zzzqx wvvvk zzzqx")], "doc_id bigint, text string"
+    )
+    out = dsir_score_with_model(serve, model).collect()
+    assert len(out) == 1 and out[0].dsir_score is not None
+    # if ALL serve tokens land in train-unseen buckets, the mean equals the
+    # unseen ratio exactly; tokens may collide into seen buckets, so only
+    # assert non-NULL plus the model map containing the smoothed value
+    assert any(abs(v - expected_unseen) <= 1e-9 for v in row.lr.values())
+
+
 def test_dsir_model_scoring_agrees_with_batch(spark):
     """dsir_score_with_model (projection over the 1-row B-bucket map)
     agrees with dsir_scores to the 6-dp contract on the fixture corpus
