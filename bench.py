@@ -171,7 +171,7 @@ def main(reps: int = 1) -> None:
     }
 
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_ORACLE"):
-        duck = _duckdb_timings(sf_dir, names)
+        duck = _duckdb_timings(sf_dir, names, reps=reps)
         out["duckdb"] = duck
         # None = no oracle / errored; 0.0 is a legitimate fast timing and
         # must stay in the ratio set (clamped denominator keeps it finite)
@@ -206,14 +206,18 @@ def main(reps: int = 1) -> None:
     print(json.dumps(compact))
 
 
-def _duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
-    """DuckDB oracle wall-clock for each named query (warm + timed second
-    run — the exact protocol the Spark side uses). Queries without oracle
-    SQL, or whose oracle errors, record null rather than aborting the
-    bench line. Defensive bounds so the whole bench stays inside any
-    driver timeout: each query gets a hard interrupt at PER_QUERY_S, and
-    once the pass has spent TOTAL_BUDGET_S the remaining queries record
-    null (a partial oracle side beats a missing BENCH artifact)."""
+def _duckdb_timings(
+    sf_dir: str, names: list[str], reps: int = 1
+) -> dict[str, float | None]:
+    """DuckDB oracle wall-clock for each named query — warm pass, then the
+    SAME interleaved median-of-``reps`` protocol the Spark side uses (both
+    engines get identical treatment, so the per-query ratios compare like
+    with like). Queries without oracle SQL, or whose oracle errors, record
+    null rather than aborting the bench line. Defensive bounds so the whole
+    bench stays inside any driver timeout: each query execution gets a hard
+    interrupt at PER_QUERY_S, and once the pass has spent TOTAL_BUDGET_S
+    the remaining executions record null (a partial oracle side beats a
+    missing BENCH artifact)."""
     import threading
 
     import duckdb
@@ -221,32 +225,41 @@ def _duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float | None]:
     from duckpipe_spark.queries import REGISTRY
     from duckpipe_spark.sources.tables import TABLE_NAMES
 
-    PER_QUERY_S = 45.0  # warm + timed run share the window; DuckDB's
-    TOTAL_BUDGET_S = 150.0  # slowest honest query (lsh_topk) is ~2x10 s
+    PER_QUERY_S = 45.0  # single-execution interrupt window
+    TOTAL_BUDGET_S = 150.0 * max(1, reps)  # scales with the rep count
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    duck: dict[str, float | None] = {}
     started = time.perf_counter()
-    for name in names:
-        q = REGISTRY[name].oracle
-        if q is None or time.perf_counter() - started > TOTAL_BUDGET_S:
-            duck[name] = None
-            if q is not None:
-                print(f"# duckdb {name} skipped: oracle budget spent", file=sys.stderr)
-            continue
+
+    def _timed(q: str) -> float | None:
+        if time.perf_counter() - started > TOTAL_BUDGET_S:
+            return None
         timer = threading.Timer(PER_QUERY_S, con.interrupt)
         timer.start()
         try:
-            con.execute(q).fetchall()  # warm
             t0 = time.perf_counter()
             con.execute(q).fetchall()
-            duck[name] = round(time.perf_counter() - t0, 3)
+            return time.perf_counter() - t0
         except Exception as exc:  # pragma: no cover - diagnostic path
-            print(f"# duckdb {name} failed/interrupted: {exc}", file=sys.stderr)
-            duck[name] = None
+            print(f"# duckdb failed/interrupted: {exc}", file=sys.stderr)
+            return None
         finally:
             timer.cancel()
+
+    with_oracle = [n for n in names if REGISTRY[n].oracle is not None]
+    samples: dict[str, list[float]] = {n: [] for n in with_oracle}
+    for name in with_oracle:  # warm pass (buffer/catalog setup)
+        _timed(REGISTRY[name].oracle)
+    for _ in range(reps):
+        for name in with_oracle:
+            t = _timed(REGISTRY[name].oracle)
+            if t is not None:
+                samples[name].append(t)
+    duck: dict[str, float | None] = {}
+    for name in names:
+        xs = samples.get(name, [])
+        duck[name] = round(_median(xs), 3) if xs else None
     return duck
 
 
@@ -254,7 +267,14 @@ if __name__ == "__main__":
     if "--oracle" in sys.argv:
         oracle_main()
     else:
-        reps = 1
+        # VERDICT r8 item 6: the repo's declared-authoritative protocol is
+        # interleaved per-query MEDIANS of >= 3 reps (BASELINE §5/§21) — a
+        # single rep on this noisy box swings sub-second queries ±40% and
+        # r8's driver artifact (1 rep, loadavg 7.45) read 1.01 while the
+        # §21 protocol read 0.828. Default the machine-readable artifact to
+        # the defended protocol; SPARK_GRAFT_BENCH_REPS=1 restores the old
+        # warm-once/time-second behavior for quick iteration.
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
         if "--interleave" in sys.argv:
             ix = sys.argv.index("--interleave")
             # a following flag/query-name token must not crash the bench —

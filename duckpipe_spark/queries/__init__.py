@@ -80,7 +80,21 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # test_changed_query_matches_oracle_sf001) — the driver gate's exact
 # scale — so scale-sensitive divergence in touched code surfaces locally
 # before the gate does. Update each round alongside DRIVER_ORDER.
-CHANGED_THIS_ROUND: list[str] = []
+CHANGED_THIS_ROUND: list[str] = [
+    # BPE family: wrappers consume the session-memoized trained-merges
+    # artifact instead of retraining inline (VERDICT r8 item 2) — values
+    # pinned unchanged (deterministic trainer; pytest pins memo ≡ fresh)
+    "doc_bpe_merges",
+    "doc_bpe_token_counts",
+    "doc_bpe_encoded",
+    "doc_bpe_vocab",
+    "doc_bpe_roundtrip",
+    "doc_bpe_pack",
+    "lang_tokenizer_fertility",
+    "doc_maxmatch_encoded",
+    # NEW in r9: count-floor-pruned LM model (VERDICT r8 item 5) — leads r10
+    "doc_lm_quality_pruned",
+]
 
 base.DRIVER_ORDER[:] = [
     # the 17 never-attested late-r8 queries (published r9 order)

@@ -30,7 +30,11 @@ _WH = (
 
 _LM_TRAIN_PRED = "lang = 'en'"
 
-_LM_CTES = f"""toks AS (
+# __BIG_HAVING__ is the count-floor prune hook: '' for the exact unpruned
+# model, 'HAVING count(*) >= N' for the CCNet-style min_count=N prune
+# (mirrors functions/selection.py's min_count — numerator-only, uni/v stay
+# full, so surviving probabilities are identical either side)
+_LM_CTES_TMPL = f"""toks AS (
   SELECT doc_id AS id, {_LM_TRAIN_PRED} AS is_train,
          string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents
@@ -47,6 +51,7 @@ pairs AS (
 ),
 big AS (
   SELECT bk, CAST(count(*) AS BIGINT) AS c_bi FROM pairs WHERE is_train GROUP BY bk
+  __BIG_HAVING__
 ),
 uni AS (
   SELECT pk, CAST(count(*) AS BIGINT) AS c_uni FROM pairs WHERE is_train GROUP BY pk
@@ -71,6 +76,14 @@ lm AS (
   FROM scored GROUP BY id
 )"""
 
+
+def _lm_ctes(min_count: int = 1) -> str:
+    having = f"HAVING count(*) >= {min_count}" if min_count > 1 else ""
+    return _LM_CTES_TMPL.replace("__BIG_HAVING__", having)
+
+
+_LM_CTES = _lm_ctes()
+
 _LM_ORACLE = f"""
 WITH {_LM_CTES}
 SELECT doc_id, n_bigrams, lm_score FROM lm
@@ -91,6 +104,36 @@ def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     out = lm_quality_score(docs, F.col("lang") == "en")
+    return out.select(F.col("id").alias("doc_id"), "n_bigrams", "lm_score")
+
+
+# --- count-floor-pruned LM (the bounded-broadcast serving model) -------------
+
+_LM_MIN_COUNT = 2
+
+_LM_PRUNED_ORACLE = f"""
+WITH {_lm_ctes(_LM_MIN_COUNT)}
+SELECT doc_id, n_bigrams, lm_score FROM lm
+"""
+
+
+@register(
+    "doc_lm_quality_pruned",
+    _LM_PRUNED_ORACLE,
+    "bigram-LM quality under the count-floor-pruned model (min_count=2, bounded broadcast)",
+)
+def doc_lm_quality_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r8 item 5: the PRODUCTION shape of the LM gate. The unpruned
+    bigram map grows with train-corpus diversity (singleton bigram types
+    dominate under Zipf — multi-GB at a web-scale train slice);
+    min_count=2 drops singletons from the numerator map, bounding the
+    broadcast, while uni/V stay full so surviving probabilities are
+    IDENTICAL to the unpruned model's (pruned bigrams score as unseen).
+    Oracle in lockstep via the same HAVING floor."""
+    from duckpipe_spark.functions.selection import lm_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = lm_quality_score(docs, F.col("lang") == "en", min_count=_LM_MIN_COUNT)
     return out.select(F.col("id").alias("doc_id"), "n_bigrams", "lm_score")
 
 

@@ -548,3 +548,27 @@ def test_select_noninteracting_rejects_product_collisions():
     # symmetric direction: higher-ranked symbol == lower-ranked product
     cands2 = [("ab", "c", 10), ("a", "bc", 9)]  # products both 'abc'
     assert _select_noninteracting(cands2, 2) == [("ab", "c", 10)]
+
+
+def test_trained_merges_artifact_equals_fresh_training(spark):
+    """VERDICT r8 item 2: the session-scoped merge-table artifact
+    (queries/bpe_q.trained_merges) must be row-identical to a fresh
+    learn_bpe_merges run on the same corpus (the trainer is deterministic,
+    so memoized rows == retrained rows), and the second call must hit the
+    memo (key present, list object reused)."""
+    from duckpipe_spark.functions.bpe import learn_bpe_merges
+    from duckpipe_spark.queries.bpe_q import _MERGES_MEMO, _memo_key, trained_merges
+    from tests.conftest import SF_SMOKE
+
+    from duckpipe_spark.sources.tables import load_table
+
+    key = _memo_key(spark, SF_SMOKE, 8)
+    _MERGES_MEMO.pop(key, None)
+    a = trained_merges(spark, SF_SMOKE, 8)
+    assert key in _MERGES_MEMO
+    memo_obj = _MERGES_MEMO[key]
+    b = trained_merges(spark, SF_SMOKE, 8)
+    assert _MERGES_MEMO[key] is memo_obj, "second call must reuse the memo"
+    fresh = learn_bpe_merges(load_table(spark, SF_SMOKE, "documents"), n_merges=8)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(a) == rows(b) == rows(fresh)

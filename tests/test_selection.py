@@ -189,6 +189,46 @@ def test_fim_transform_reassembles_to_original(spark):
     assert 0 < n_applied < len(out)
 
 
+def test_lm_count_floor_prune_bounds_model(spark):
+    """VERDICT r8 item 5 contract: min_count=2 drops singleton bigram types
+    from the big map (bounding the broadcast), keeps uni/v full, leaves
+    surviving counts identical — and the pruned map model scores
+    bit-identically to the pruned join path."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import (
+        lm_quality_score,
+        lm_score_with_model,
+        lm_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b", "en"),   # (a,b)x3, (b,a)x2 — survive the floor
+            (2, "c d e f", "en"),       # all singleton bigrams — pruned
+            (3, "a b c d", "fr"),       # scored only
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    pred = F.col("lang") == "en"
+    full = lm_train(docs, pred).collect()[0]
+    pruned = lm_train(docs, pred, min_count=2).collect()[0]
+    assert len(pruned.big) < len(full.big), "floor must drop singleton types"
+    for bk, c in pruned.big.items():
+        assert full.big[bk] == c and c >= 2
+    assert pruned.uni == full.uni and pruned.v == full.v, "denominator stays full"
+    a = {r.id: r for r in lm_quality_score(docs, pred, min_count=2).collect()}
+    b = {r.id: r for r in lm_score_with_model(
+        docs, lm_train(docs, pred, min_count=2)).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert (a[k].n_bigrams, a[k].lm_score) == (b[k].n_bigrams, b[k].lm_score), k
+    # pruned score never exceeds unpruned (numerators only shrink)
+    u = {r.id: r.lm_score for r in lm_quality_score(docs, pred).collect()}
+    for k in a:
+        assert a[k].lm_score <= u[k] + 1e-12
+
+
 def test_dsir_model_scores_unseen_buckets(spark):
     """ADVICE r8 (medium): the trained model must carry FULL 0..B-1 bucket
     support — a served document whose tokens hash to buckets the train
