@@ -216,6 +216,13 @@ def learn_bpe_merges_batched(
     cur = base
     out: list[tuple[int, int, str, str, int]] = []
     rnd = 0
+    # lineage bound: checkpoint by PENDING-REPLACE count, not round count —
+    # at k_per_round=256 a 4-round cadence would stack ~1k nested replace()
+    # expressions in one segment (Catalyst analysis/codegen depth cliff,
+    # the same wall the encode chain impl hit); 64 keeps every segment's
+    # expression tree shallow regardless of k
+    ckpt_every = 64
+    pending = 0
     while len(out) < n_merges:
         rnd += 1
         cands = [
@@ -232,8 +239,13 @@ def learn_bpe_merges_batched(
             out.append((len(out) + 1, rnd, lhs, rhs, pf))
             pat, rep = _merge_pattern(lhs, rhs)
             cur = cur.withColumn("s", F.replace("s", F.lit(pat), F.lit(rep)))
-        if rnd % 4 == 0 and len(out) < n_merges:
+            pending += 1
+            if pending >= ckpt_every and len(out) < n_merges:
+                cur = cur.localCheckpoint()
+                pending = 0
+        if pending and rnd % 4 == 0 and len(out) < n_merges:
             cur = cur.localCheckpoint()
+            pending = 0
     base.unpersist()
     return spark.createDataFrame(out, BATCH_MERGE_SCHEMA)
 

@@ -147,11 +147,50 @@ def hamming_topk(
         F.col("h0").alias("q0"),
         F.col("h1").alias("q1"),
     )
+    return _hamming_rank(codes, q, k, id_col, exclude_same_id=True)
+
+
+def hamming_topk_queries(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """``hamming_topk`` against an EXTERNAL query table (VERDICT r8 item
+    7): hard-negative mining scores a fresh batch of query vectors against
+    the corpus — the queries are their own DataFrame (own id namespace),
+    sign-packed with the same MSB-first fold as the corpus codes. No
+    same-id exclusion here: query ids and corpus ids are different
+    namespaces, so an id collision is a coincidence, not a self-match
+    (callers mining negatives for an IN-corpus batch want ``hamming_topk``,
+    which does exclude self). Same scale shape — the query batch
+    broadcasts, the corpus scan is the index."""
+    h0, h1 = sign_pack_cols(F.col(vec_col), dim)
+    codes = embeddings.select(F.col(id_col), h0.alias("h0"), h1.alias("h1"))
+    q0, q1 = sign_pack_cols(F.col(query_vec_col), dim)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), q0.alias("q0"), q1.alias("q1")
+    )
+    return _hamming_rank(codes, q, k, id_col, exclude_same_id=False)
+
+
+def _hamming_rank(
+    codes: DataFrame, q: DataFrame, k: int, id_col: str, exclude_same_id: bool
+) -> DataFrame:
+    """Shared core: broadcast the (query_id, q0, q1) batch across the
+    packed corpus codes, rank by (xor-popcount hamming asc, neighbor id
+    asc), keep top-k per query."""
     ham = (
         F.bit_count(F.col("h0").bitwiseXOR(F.col("q0")))
         + F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
     ).cast("bigint")
-    pairs = codes.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("query_id"))
+    pairs = codes.crossJoin(F.broadcast(q))
+    if exclude_same_id:
+        pairs = pairs.where(F.col(id_col) != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col("neighbor_id").asc()
     )

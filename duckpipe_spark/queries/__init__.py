@@ -94,6 +94,15 @@ CHANGED_THIS_ROUND: list[str] = [
     "doc_maxmatch_encoded",
     # NEW in r9: count-floor-pruned LM model (VERDICT r8 item 5) — leads r10
     "doc_lm_quality_pruned",
+    # NEW in r9: train/serve split scored through the persisted model
+    # (VERDICT r8 item 8 + ADVICE r8 full-bucket-support oracle evidence)
+    "doc_lm_serve_scores",
+    "doc_dsir_serve_scores",
+    # NEW in r9: Hamming ANN against an external query table (VERDICT r8 item 7)
+    "embedding_hamming_external_topk",
+    # checkpoint cadence in the batched trainer is now merge-count-bounded
+    # (k=256-safe lineage segments); values pinned unchanged
+    "doc_bpe_merges_batched",
 ]
 
 base.DRIVER_ORDER[:] = [

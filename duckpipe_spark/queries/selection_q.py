@@ -107,6 +107,30 @@ def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_bigrams", "lm_score")
 
 
+# --- train/serve split: score through the persisted model --------------------
+
+
+@register(
+    "doc_lm_serve_scores",
+    _LM_ORACLE,
+    "LM serve path: score every doc through the 1-row trained model (train/serve split)",
+)
+def doc_lm_serve_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r8 item 8: the SERVE path as a registered oracle query. The
+    model is trained once (``lm_train`` → one map row) and every document
+    is scored through ``lm_score_with_model`` — the pure-projection
+    stream-static shape that runs unchanged on a readStream (the
+    streaming≡batch pytest pins exactly that; this query gives the same
+    path hash-exact oracle evidence). Scores are bit-identical to
+    ``lm_quality_score`` (pinned), so the oracle IS the batch LM oracle."""
+    from duckpipe_spark.functions.selection import lm_score_with_model, lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lm_train(docs, F.col("lang") == "en")
+    out = lm_score_with_model(docs, model)
+    return out.select(F.col("id").alias("doc_id"), "n_bigrams", "lm_score")
+
+
 # --- count-floor-pruned LM (the bounded-broadcast serving model) -------------
 
 _LM_MIN_COUNT = 2
@@ -229,6 +253,64 @@ def doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     out = dsir_scores(docs, F.col("lang") == "en")
+    return out.select(F.col("id").alias("doc_id"), "n_tokens", "dsir_score")
+
+
+# --- DSIR serve path: score through the full-support bucket model ------------
+
+_DSIR_SERVE_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id AS id, {_DSIR_TARGET_PRED} AS is_target,
+         {_WH.format(w="w")} % {_B} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t FROM tok WHERE is_target GROUP BY b),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS big_r,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS big_t
+  FROM tok
+),
+allb AS (SELECT unnest(range(0, {_B})) AS b),
+buckets AS MATERIALIZED (
+  SELECT allb.b,
+         CAST((coalesce(tgt.t, 0) + 1) * (tt.big_r + {_B})
+              - (coalesce(raw.r, 0) + 1) * (tt.big_t + {_B}) AS DOUBLE)
+         / CAST((coalesce(raw.r, 0) + 1) * (tt.big_t + {_B}) AS DOUBLE) AS lr
+  FROM allb LEFT JOIN raw ON allb.b = raw.b
+            LEFT JOIN tgt ON allb.b = tgt.b
+            CROSS JOIN totals tt
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lr ORDER BY b)),
+                     (a, x) -> a + x) / count(*), 6) AS dsir_score
+FROM (SELECT t.id, t.b, bu.lr FROM tok t JOIN buckets bu ON t.b = bu.b)
+GROUP BY id
+"""
+
+
+@register(
+    "doc_dsir_serve_scores",
+    _DSIR_SERVE_ORACLE,
+    "DSIR serve path: per-token fold through the full-support B-bucket model",
+)
+def doc_dsir_serve_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR train/serve split as a registered oracle query — and the
+    oracle evidence for the ADVICE r8 full-bucket-support fix: the trained
+    model carries lr for ALL 0..B-1 buckets (unseen buckets get the
+    smoothed r = t = 0 ratio), and the serve scorer folds lr one TOKEN at
+    a time in bucket-sorted order (the oracle mirrors that exact fold —
+    it differs from doc_dsir_scores' count-weighted fold only in c·x vs
+    repeated-addition ulps, which the shared 6-dp rounding absorbs; ties
+    in the sort carry identical lr values, so tie order cannot change the
+    float sequence)."""
+    from duckpipe_spark.functions.selection import dsir_score_with_model, dsir_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = dsir_train(docs, F.col("lang") == "en")
+    out = dsir_score_with_model(docs, model)
     return out.select(F.col("id").alias("doc_id"), "n_tokens", "dsir_score")
 
 

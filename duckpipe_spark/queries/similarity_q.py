@@ -675,3 +675,57 @@ def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.similarity import hamming_topk
 
     return hamming_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K)
+
+
+# --- Hamming ANN against an EXTERNAL query batch ------------------------------
+
+# the "fresh batch": every 257th corpus vector, re-keyed into a query-id
+# namespace disjoint from vec_ids (x10+1) — the hard-negative-mining shape
+# where the queries arrive as their own table, not as corpus ids
+_HAMMING_EXT_ORACLE = f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_PACK_SQL.format(v='embedding', lo=0)} AS h0,
+         {_PACK_SQL.format(v='embedding', lo=32)} AS h1
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id * 10 + 1 AS query_id,
+         {_PACK_SQL.format(v='embedding', lo=0)} AS q0,
+         {_PACK_SQL.format(v='embedding', lo=32)} AS q1
+  FROM embeddings WHERE vec_id % 257 = 3
+),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.h0, q.q0)) + bit_count(xor(c.h1, q.q1)) AS BIGINT) AS hamming
+  FROM codes c CROSS JOIN q
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, hamming FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "embedding_hamming_external_topk",
+    _HAMMING_EXT_ORACLE,
+    "Hamming ANN against an external query table (hard-negative-mining batch shape)",
+)
+def embedding_hamming_external_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r8 item 7: the query side is its OWN DataFrame with its own
+    id namespace (here: every 257th corpus vector re-keyed x10+1),
+    sign-packed identically and broadcast across the corpus codes. No
+    same-id exclusion — external queries can legitimately match any corpus
+    row (a query identical to a corpus vector ranks it first at hamming
+    0)."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.similarity import hamming_topk_queries
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 257 == 3).select(
+        (F.col("vec_id") * 10 + 1).alias("query_id"), "embedding"
+    )
+    return hamming_topk_queries(emb, queries, _K)

@@ -20,12 +20,17 @@ Measures:
     analysis; that cliff is the point).
 
 Run: PYTHONPATH=/root/repo python examples/bpe_vocab_scale.py
+     PYTHONPATH=/root/repo python examples/bpe_vocab_scale.py --big
+       (r9 / VERDICT r8 item 3: 4,096-merge batched training at
+        k_per_round=256 — s/merge and rounds/merge as the pair table
+        thins; skips the encode sweeps)
 """
 
 from __future__ import annotations
 
 import json
 import random
+import sys
 import time
 
 import pyspark.sql.functions as F
@@ -63,6 +68,41 @@ def synth_docs(spark):
         ),
     )
     return spark.range(N_DOCS).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def main_big() -> None:
+    """4,096-merge batched training (k=256): the rounds/merge trend at a
+    REAL vocabulary size. Early rounds accept few merges (top candidates
+    share single-char symbols, and the non-interacting rule is
+    conservative); as symbols lengthen and the pair table thins,
+    acceptance per round climbs — the claim to measure is that total
+    rounds stay ≪ total merges end-to-end."""
+    spark = get_spark("bpe-vocab-scale-big")
+    docs = synth_docs(spark).persist()
+    print(f"# corpus: {docs.count()} docs, {N_WORDS} distinct words")
+    out: dict = {"metric": "bpe_vocab_scale_big", "unit": "sec"}
+    t0 = time.perf_counter()
+    bat = learn_bpe_merges_batched(docs, n_merges=4096, k_per_round=256, cand_m=512)
+    rows = bat.orderBy("merge_rank").collect()
+    wall = time.perf_counter() - t0
+    n_rounds = max(r.round for r in rows)
+    out["train_batched_4096"] = round(wall, 2)
+    out["batched_merges"] = len(rows)
+    out["batched_rounds"] = int(n_rounds)
+    out["rounds_per_merge"] = round(n_rounds / len(rows), 4)
+    out["s_per_merge"] = round(wall / len(rows), 4)
+    # acceptance trend: merges accepted in the first / last 10% of rounds
+    by_round: dict[int, int] = {}
+    for r in rows:
+        by_round[r.round] = by_round.get(r.round, 0) + 1
+    decile = max(1, n_rounds // 10)
+    out["accepts_first_decile_rounds"] = sum(
+        c for rd, c in by_round.items() if rd <= decile
+    )
+    out["accepts_last_decile_rounds"] = sum(
+        c for rd, c in by_round.items() if rd > n_rounds - decile
+    )
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -112,4 +152,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--big" in sys.argv:
+        main_big()
+    else:
+        main()

@@ -117,3 +117,32 @@ def test_int8_quantization_error_bound(spark):
         assert abs(r.q_sum) <= 127 * r.n_dims
         assert r.max_abs_err <= r.scale / 254.0 + 1e-9
         assert r.mse <= (r.scale / 254.0) ** 2 + 1e-9
+
+
+def test_hamming_topk_queries_external_namespace(spark):
+    """VERDICT r8 item 7: hamming_topk_queries scores an EXTERNAL query
+    table. Hand-pinned: a query identical to a corpus vector ranks it
+    first at hamming 0 (no self-exclusion across namespaces), and an
+    id-collision with a corpus row must NOT be excluded."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.similarity import hamming_topk, hamming_topk_queries
+
+    vecs = [
+        (1, [1.0] * 64),
+        (2, [-1.0] * 64),
+        (3, [1.0] * 32 + [-1.0] * 32),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    # query id 2 COLLIDES with corpus vec_id 2 but carries vec 1's pattern
+    q = spark.createDataFrame(
+        [(2, [1.0] * 64)], "query_id bigint, embedding array<double>"
+    )
+    out = {r.rank: r for r in hamming_topk_queries(emb, q, k=3).collect()}
+    assert out[1].neighbor_id == 1 and out[1].hamming == 0
+    # id-2 corpus row is present despite the id collision (64 bits differ)
+    assert out[3].neighbor_id == 2 and out[3].hamming == 64
+    assert out[2].neighbor_id == 3 and out[2].hamming == 32
+    # the in-corpus wrapper still excludes self
+    incorp = hamming_topk(emb, [2], k=3).collect()
+    assert all(r.neighbor_id != 2 for r in incorp)
