@@ -203,11 +203,23 @@ def _hamming_rank(
 
 
 def lsh_bucket_col(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """Bucket id = integer of sign bits of <vec, plane_i>."""
+    """Bucket id = integer of sign bits of <vec, plane_i>.
+
+    The plane literal is sliced to the VECTOR's length before the dot:
+    ``zip_with`` pads the shorter array with NULL, so a vector shorter
+    than the 64-dim plane used to make every product NULL, every dot
+    NULL, every sign bit 0 — ALL vectors silently collapsed into bucket
+    0 (an O(n²) candidate-join time bomb, and it starved the k-means‖
+    stratifier down to one candidate per pass). Slicing is a no-op at
+    the full plane dim, so buckets on 64-dim corpora (everything the
+    oracles compare) are bit-identical to before; shorter vectors now
+    bucket by their dim-prefix projection."""
     planes = _hyperplanes(n_planes=n_planes)
     out = F.lit(0).cast("bigint")
     for i in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        plane = F.slice(
+            F.array(*[F.lit(float(v)) for v in planes[i]]), 1, F.size(vec)
+        )
         bit = F.when(dot_fold(vec, plane) > 0.0, F.lit(1 << i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
@@ -484,6 +496,125 @@ def pq_adc_topk(
     )
 
 
+def _kmeanspar_init(
+    spark,
+    base: DataFrame,
+    k: int,
+    passes: int,
+    ell: int,
+    seed_vec: list[int],
+    _dist,
+    _lit_vec,
+) -> list[tuple[int, list[int]]]:
+    """Deterministic k-means‖ seeding over the cached (id, h, v, bucket)
+    base → [(cell, centroid_vec)] with ≤ k rows. See ``kmeans_cells``'s
+    docstring for the algorithm; this helper is the driver loop: O(passes)
+    bounded collects (≤ ℓ rows each — the same bounded-collect contract as
+    the farthest-point path's 1-row argmax), candidate weighting as one
+    broadcast-join aggregate, final top-k on the driver's ≤ 1+passes·ℓ
+    candidate list.
+
+    Each pass is LSH-STRATIFIED: at most one candidate per sign-hyperplane
+    bucket per pass (per-bucket argmax of the running min-distance, then
+    the global top-ℓ of those representatives). Plain top-ℓ selection
+    against one distance snapshot clumps — all ℓ picks land in whatever
+    region is currently farthest, and a 5-cluster corpus can finish the
+    passes with whole clusters unseeded. Near-identical vectors share a
+    bucket, so stratification caps a tight cluster's take at one candidate
+    per pass — batch diversity without per-candidate driver rounds. A
+    point already selected has running min-distance 0, so later passes
+    never re-select it (nor an exact duplicate of it)."""
+    cands: list[list[int]] = [seed_vec]  # selection order IS the candidate id
+    mind = base.select(
+        "id", "h", "v", "bucket", _dist("v", _lit_vec(seed_vec)).alias("d")
+    ).persist()
+    prev = None
+    bw = Window.partitionBy("bucket").orderBy(F.col("d").desc(), "h", "id")
+    for p in range(passes):
+        batch = (
+            mind.withColumn("brn", F.row_number().over(bw))
+            .where(F.col("brn") == 1)
+            .orderBy(F.col("d").desc(), "h", "id")
+            .limit(ell)
+            .collect()
+        )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        new_vecs = [list(r["v"]) for r in batch]
+        cands.extend(new_vecs)
+        if p < passes - 1 and new_vecs:
+            nb = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(new_vecs)], "i bigint, cv array<bigint>"
+            )
+            newd = (
+                mind.crossJoin(F.broadcast(nb))
+                .select("id", _dist("v", "cv").alias("dd"))
+                .groupBy("id")
+                .agg(F.min("dd").alias("nd"))
+            )
+            prev = mind
+            mind = (
+                mind.join(newd, "id")
+                .select("id", "h", "v", "bucket", F.least("d", "nd").alias("d"))
+                .persist()
+            )
+    if prev is not None:
+        prev.unpersist()
+    mind.unpersist()
+    # weight candidates by the points they win (argmin, ties -> earlier
+    # candidate); candidates that win nothing have no row -> weight 0
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cands)], "ci bigint, cv array<bigint>"
+    )
+    wts_rows = (
+        base.crossJoin(F.broadcast(cdf))
+        .select("id", F.struct(_dist("v", "cv").alias("dist"), F.col("ci")).alias("s"))
+        .groupBy("id")
+        .agg(F.min("s").alias("m"))
+        .groupBy(F.col("m.ci").alias("ci"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    wmap = {int(r["ci"]): int(r["w"]) for r in wts_rows}
+    # reduce to k by WEIGHTED farthest-point over the candidate list
+    # (k-means++ derandomized: next = argmax weight x sqdist-to-chosen).
+    # Plain top-k-by-weight can double-pick a heavy cluster while dropping
+    # a lighter one; weighting by distance-to-chosen picks every unseeded
+    # region first (an already-seeded cluster's duplicate rep has d ~ 0).
+    # The score multiplies the two exact integers AS DOUBLES (w then d,
+    # one IEEE rounding) because w x d can exceed 2^63 — float(w)*float(d)
+    # here mirrors CAST(w AS DOUBLE) * CAST(d AS DOUBLE) in the oracle
+    # bit-for-bit. Driver cost: O(k x |cands|) on <= 1+passes*ell rows.
+    # numpy incremental form: one O(|cands| x dim) int64 pass per chosen
+    # center (exact integer sqdists, well under 2^63 at |x| <= 0.6 x scale),
+    # so k=1024 over a few thousand candidates stays sub-second where the
+    # pure-Python pairwise greedy would be the new driver bottleneck
+    cv = np.asarray(cands, dtype=np.int64)  # (n_cands, dim)
+    wv = np.asarray([wmap.get(ci, 0) for ci in range(len(cands))], dtype=np.int64)
+    first = min(range(len(cands)), key=lambda ci: (-int(wv[ci]), ci))
+    chosen = [first]
+    picked = np.zeros(len(cands), dtype=bool)
+    picked[first] = True
+    diff = cv - cv[first]
+    dmin = np.einsum("ij,ij->i", diff, diff)  # running min sqdist to chosen
+    while len(chosen) < min(k, len(cands)):
+        best_key = None
+        best_ci = None
+        for ci in range(len(cands)):
+            if picked[ci]:
+                continue
+            score = float(wv[ci]) * float(dmin[ci])
+            key = (-score, -int(wv[ci]), ci)
+            if best_key is None or key < best_key:
+                best_key, best_ci = key, ci
+        chosen.append(best_ci)
+        picked[best_ci] = True
+        diff = cv - cv[best_ci]
+        dmin = np.minimum(dmin, np.einsum("ij,ij->i", diff, diff))
+    return [(t, cands[c]) for t, c in enumerate(chosen)]
+
+
 def kmeans_cells(
     embeddings: DataFrame,
     k: int = 8,
@@ -491,6 +622,9 @@ def kmeans_cells(
     scale: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "farthest",
+    init_passes: int = 2,
+    oversample: int | None = None,
 ) -> DataFrame:
     """Deterministic distributed Lloyd k-means → (id, cell): the trained
     version of ``ivf_assign``'s seed centroids, and the engine's
@@ -517,7 +651,30 @@ def kmeans_cells(
     centroid update posexplodes the assigned vectors and aggregates
     (cell,pos) — a bounded k·dim-key shuffle. Lineage grows linearly with
     iters; callers running many iterations should localCheckpoint between
-    rounds (see functions.dedup.connected_components)."""
+    rounds (see functions.dedup.connected_components).
+
+    ``init`` picks the seeding strategy (VERDICT r8 item 4):
+
+    - ``"farthest"`` (default): deterministic farthest-point traversal —
+      k−1 SEQUENTIAL driver rounds. Right at small k; at the k ≳ 1024
+      cells real SemDeDup/prototype runs use, the per-round job floor
+      makes init itself the bottleneck.
+    - ``"parallel"``: deterministic k-means‖ (Bahmani et al. 2012,
+      derandomized): ``init_passes`` oversampling passes each take up to
+      ``oversample`` (default 2k) points with the LARGEST running
+      min-distance to the candidate set (ties (hash, id) — the hard
+      top-cost analog of cost-proportional sampling), LSH-STRATIFIED to
+      at most one candidate per sign-hyperplane bucket per pass (batch
+      diversity: a tight cluster cannot absorb the whole pass); the
+      running min-distance updates through ONE broadcast-join aggregate
+      per pass; candidates are then weighted by how many points they win
+      (argmin, ties to the earlier candidate) and reduced to k by a
+      driver-side WEIGHTED farthest-point pass over the tiny candidate
+      list (k-means++ derandomized: next = argmax weight × sqdist to the
+      chosen set, ties (weight, selection order)). Driver rounds:
+      O(init_passes), not O(k) — 2 passes seed k=64 as cheaply as k=8.
+      A corpus with fewer distinct candidates than k seeds fewer cells
+      (same disappearing-cell contract as Lloyd itself)."""
     qv = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
     )
@@ -565,29 +722,47 @@ def kmeans_cells(
     seed_rows = base.orderBy("h", "id").limit(1).select("v").collect()
     if not seed_rows:  # empty corpus: empty assignment, same as before
         return spark.createDataFrame([], "id bigint, cell bigint")
-    cent_rows = [(0, list(seed_rows[0]["v"]))]
-    mind = base.select(
-        "id", "h", "v", _dist("v", _lit_vec(cent_rows[0][1])).alias("d")
-    ).persist()
-    prev = None  # round t-1's state: unpersist only AFTER round t's
-    # far.collect() has materialized round t's cache FROM it (releasing
-    # earlier would force a from-scratch recompute); peak cache is then
-    # 2 × corpus (id, h, v, d) rows, not k ×
-    for t in range(1, k):
-        far = mind.orderBy(F.col("d").desc(), "h", "id").limit(1).collect()[0]
+    if init == "parallel":
+        # the parallel init needs the LSH stratification bucket, computed
+        # from the FLOAT vector (the same sign-hyperplane bucket the LSH
+        # family uses, so the oracle twin reuses the proven _BUCKET_SQL)
+        pbase = embeddings.select(
+            F.col(id_col).alias("id"),
+            qv.alias("v"),
+            lehmer_hash_col(F.col(id_col)).alias("h"),
+            lsh_bucket_col(F.col(vec_col)).alias("bucket"),
+        ).cache()
+        cent_rows = _kmeanspar_init(
+            spark, pbase, k, init_passes, oversample or 2 * k,
+            list(seed_rows[0]["v"]), _dist, _lit_vec,
+        )
+        pbase.unpersist()
+    elif init == "farthest":
+        cent_rows = [(0, list(seed_rows[0]["v"]))]
+        mind = base.select(
+            "id", "h", "v", _dist("v", _lit_vec(cent_rows[0][1])).alias("d")
+        ).persist()
+        prev = None  # round t-1's state: unpersist only AFTER round t's
+        # far.collect() has materialized round t's cache FROM it (releasing
+        # earlier would force a from-scratch recompute); peak cache is then
+        # 2 × corpus (id, h, v, d) rows, not k ×
+        for t in range(1, k):
+            far = mind.orderBy(F.col("d").desc(), "h", "id").limit(1).collect()[0]
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            cent_rows.append((t, list(far["v"])))
+            if t < k - 1:  # last round's min-dist state has no consumer
+                prev = mind
+                mind = mind.select(
+                    "id", "h", "v",
+                    F.least(F.col("d"), _dist("v", _lit_vec(far["v"]))).alias("d"),
+                ).persist()
         if prev is not None:
             prev.unpersist()
-            prev = None
-        cent_rows.append((t, list(far["v"])))
-        if t < k - 1:  # last round's min-dist state has no consumer
-            prev = mind
-            mind = mind.select(
-                "id", "h", "v",
-                F.least(F.col("d"), _dist("v", _lit_vec(far["v"]))).alias("d"),
-            ).persist()
-    if prev is not None:
-        prev.unpersist()
-    mind.unpersist()
+        mind.unpersist()
+    else:
+        raise ValueError(f"unknown init {init!r}: use 'farthest' or 'parallel'")
     cents = spark.createDataFrame(cent_rows, "cell bigint, cv array<bigint>")
 
     def _assign(cents: DataFrame) -> DataFrame:

@@ -103,6 +103,15 @@ CHANGED_THIS_ROUND: list[str] = [
     # checkpoint cadence in the batched trainer is now merge-count-bounded
     # (k=256-safe lineage segments); values pinned unchanged
     "doc_bpe_merges_batched",
+    # NEW in r9: k-means|| oversampled init (VERDICT r8 item 4)
+    "embedding_kmeanspar_cells",
+    # lsh_bucket_col now slices the plane literal to the vector length
+    # (no-op at the oracle-facing dim 64 — values pinned unchanged; fixes
+    # the all-in-bucket-0 collapse on shorter vectors)
+    "embedding_lsh_topk",
+    "embedding_neardup_pairs",
+    "embedding_semantic_dedup",
+    "embedding_lsh_recall",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -277,32 +277,61 @@ _KM_ITERS = 2
 _KM_SCALE = 10_000
 
 
+# integer squared-L2 between a point alias q and a centroid alias c
+_KM_DIST = (
+    "CAST(list_sum(list_transform(range(1, len(q.v) + 1), "
+    "i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT)"
+)
+
+
+def _km_assign(name: str, cents: str) -> str:
+    return f"""{name} AS (
+  SELECT id, v, cell FROM (
+    SELECT q.id, q.v, c.cell,
+           row_number() OVER (PARTITION BY q.id ORDER BY {_KM_DIST}, c.cell) AS rn
+    FROM qv q CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+
+def _km_qv_cte(scale: int, with_bucket: bool = False) -> str:
+    h = lehmer_hash_sql("vec_id")
+    bucket = f",\n         {_BUCKET_SQL} AS bucket" if with_bucket else ""
+    return f"""qv AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v,
+         {h} AS h{bucket}
+  FROM embeddings
+)"""
+
+
+def _km_lloyd_tail(prev: str, iters: int) -> str:
+    """Lloyd assign/update CTE chain from init-centroid CTE ``prev`` to the
+    final SELECT (shared by the farthest-point and k-means‖ oracles)."""
+    sql = ""
+    for t in range(1, iters + 1):
+        sql += ",\n" + _km_assign(f"a{t}", prev)
+        sql += f""",
+c{t} AS (
+  SELECT cell, list(c ORDER BY pos) AS cv FROM (
+    SELECT cell, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS c FROM (
+      SELECT cell, pos, v[pos] AS val FROM (
+        SELECT cell, v, unnest(range(1, len(v) + 1)) AS pos FROM a{t}
+      )
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+)"""
+        prev = f"c{t}"
+    sql += ",\n" + _km_assign("afinal", prev)
+    return sql + "\nSELECT id, cell FROM afinal"
+
+
 def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
     """Unrolled Lloyd iterations as chained CTEs — the SQL twin of
     ``kmeans_cells``'s driver loop. All-integer math (quantized vectors,
     integer squared-L2, floor(sum/count) centroids) makes every iteration
     bit-exact across engines, so the final assignment hash-matches."""
-    dist = (
-        "CAST(list_sum(list_transform(range(1, len(q.v) + 1), "
-        "i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT)"
-    )
-
-    def assign(name: str, cents: str) -> str:
-        return f"""{name} AS (
-  SELECT id, v, cell FROM (
-    SELECT q.id, q.v, c.cell,
-           row_number() OVER (PARTITION BY q.id ORDER BY {dist}, c.cell) AS rn
-    FROM qv q CROSS JOIN {cents} c
-  ) WHERE rn = 1
-)"""
-
-    h = lehmer_hash_sql("vec_id")
-    sql = f"""WITH qv AS (
-  SELECT vec_id AS id,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v,
-         {h} AS h
-  FROM embeddings
-),
+    sql = f"""WITH {_km_qv_cte(scale)},
 cu0 AS (
   SELECT CAST(0 AS BIGINT) AS cell, v AS cv
   FROM (SELECT v FROM qv ORDER BY h, id LIMIT 1)
@@ -316,28 +345,112 @@ cu{t} AS (
   UNION ALL
   SELECT CAST({t} AS BIGINT) AS cell, v AS cv FROM (
     SELECT q.id, q.v, q.h,
-           min({dist}) AS d
+           min({_KM_DIST}) AS d
     FROM qv q CROSS JOIN cu{t - 1} c
     GROUP BY q.id, q.v, q.h
     ORDER BY d DESC, q.h, q.id LIMIT 1
   )
 )"""
-    prev = f"cu{k - 1}"
-    for t in range(1, iters + 1):
-        sql += ",\n" + assign(f"a{t}", prev)
-        sql += f""",
-c{t} AS (
-  SELECT cell, list(c ORDER BY pos) AS cv FROM (
-    SELECT cell, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS c FROM (
-      SELECT cell, pos, v[pos] AS val FROM (
-        SELECT cell, v, unnest(range(1, len(v) + 1)) AS pos FROM a{t}
-      )
-    ) GROUP BY cell, pos
-  ) GROUP BY cell
+    return sql + _km_lloyd_tail(f"cu{k - 1}", iters)
+
+
+def _kmeanspar_oracle(k: int, iters: int, scale: int, passes: int, ell: int) -> str:
+    """k-means‖ init (deterministic top-cost oversampling) + the shared
+    Lloyd tail — the SQL twin of ``kmeans_cells(init='parallel')``. Each
+    pass p materializes the running min-distance table d{p} and takes the
+    ``ell`` largest (d DESC, h, id); candidate ids are the Spark side's
+    selection order (seed 0, then compact per-pass row numbers). Weights
+    count argmin wins (ties to the earlier candidate); the k heaviest
+    (w DESC, ci) become init cells 0..k-1."""
+    # distance between point alias p2 and candidate batch alias b
+    bdist = (
+        "CAST(list_sum(list_transform(range(1, len(p2.v) + 1), "
+        "i -> (p2.v[i] - b.v[i]) * (p2.v[i] - b.v[i]))) AS BIGINT)"
+    )
+    sql = f"""WITH {_km_qv_cte(scale, with_bucket=True)},
+s0 AS MATERIALIZED (SELECT v AS cv FROM qv ORDER BY h, id LIMIT 1),
+d0 AS MATERIALIZED (
+  SELECT q.id, q.h, q.v, q.bucket,
+         CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+              i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM qv q CROSS JOIN s0 c
 )"""
-        prev = f"c{t}"
-    sql += ",\n" + assign("afinal", prev)
-    return sql + "\nSELECT id, cell FROM afinal"
+    for p in range(passes):
+        # LSH-stratified pass: one representative per bucket (argmax running
+        # min-distance), then the global top-ell of the representatives
+        sql += f""",
+b{p + 1} AS MATERIALIZED (
+  SELECT id, v, row_number() OVER (ORDER BY d DESC, h, id) AS r
+  FROM (
+    SELECT id, h, v, d,
+           row_number() OVER (PARTITION BY bucket ORDER BY d DESC, h, id) AS brn
+    FROM d{p}
+  ) WHERE brn = 1
+  ORDER BY d DESC, h, id LIMIT {ell}
+)"""
+        if p < passes - 1:
+            sql += f""",
+d{p + 1} AS MATERIALIZED (
+  SELECT p1.id, p1.h, p1.v, p1.bucket, least(p1.d, m.nd) AS d
+  FROM d{p} p1 JOIN (
+    SELECT p2.id, min({bdist}) AS nd
+    FROM d{p} p2 CROSS JOIN b{p + 1} b GROUP BY p2.id
+  ) m ON p1.id = m.id
+)"""
+    # candidate ids: seed 0, then each pass's rows numbered compactly after
+    # all earlier candidates (coalesce(max(r)) handles a short batch)
+    cand_unions = ["SELECT CAST(0 AS BIGINT) AS ci, cv FROM s0"]
+    offset_expr = "0"
+    for p in range(passes):
+        cand_unions.append(
+            f"SELECT CAST({offset_expr} + r AS BIGINT) AS ci, v AS cv FROM b{p + 1}"
+        )
+        offset_expr += f" + (SELECT coalesce(max(r), 0) FROM b{p + 1})"
+    cand_body = "\n  UNION ALL\n  ".join(cand_unions)
+    # candidate-to-candidate integer sqdist (c = unchosen, ch = chosen)
+    cdist = (
+        "CAST(list_sum(list_transform(range(1, len(c.cv) + 1), "
+        "i -> (c.cv[i] - ch.cv[i]) * (c.cv[i] - ch.cv[i]))) AS BIGINT)"
+    )
+    sql += f""",
+cands AS MATERIALIZED (
+  {cand_body}
+),
+wts AS MATERIALIZED (
+  SELECT ci, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT q.id, c.ci,
+           row_number() OVER (PARTITION BY q.id ORDER BY {_KM_DIST}, c.ci) AS rn
+    FROM qv q CROSS JOIN cands c
+  ) WHERE rn = 1 GROUP BY ci
+),
+cw AS MATERIALIZED (
+  SELECT c.ci, c.cv, CAST(coalesce(w.w, 0) AS BIGINT) AS w
+  FROM cands c LEFT JOIN wts w ON c.ci = w.ci
+),
+ch0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS cell, ci, cv
+  FROM (SELECT ci, cv FROM cw ORDER BY w DESC, ci LIMIT 1)
+)"""
+    # weighted farthest-point reduction to k init cells: step t picks the
+    # unchosen candidate maximizing CAST(w AS DOUBLE) * CAST(min sqdist to
+    # the chosen set AS DOUBLE) — the exact float the Spark driver computes
+    for t in range(1, k):
+        sql += f""",
+ch{t} AS MATERIALIZED (
+  SELECT * FROM ch{t - 1}
+  UNION ALL
+  SELECT CAST({t} AS BIGINT) AS cell, ci, cv FROM (
+    SELECT c.ci, c.cv, c.w,
+           CAST(c.w AS DOUBLE) * CAST(min({cdist}) AS DOUBLE) AS score
+    FROM cw c CROSS JOIN ch{t - 1} ch
+    WHERE c.ci NOT IN (SELECT ci FROM ch{t - 1})
+    GROUP BY c.ci, c.cv, c.w
+    ORDER BY score DESC, c.w DESC, c.ci ASC LIMIT 1
+  )
+)"""
+    sql += f""",
+init AS (SELECT cell, cv FROM ch{k - 1})"""
+    return sql + _km_lloyd_tail("init", iters)
 
 
 @register(
@@ -350,6 +463,39 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmeans_cells(
         load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+
+
+# --- k-means‖ (oversampled) init: O(passes) driver rounds, not O(k) ---------
+
+_KMP_PASSES = 2
+_KMP_ELL = 16  # oversample = 2k
+
+
+@register(
+    "embedding_kmeanspar_cells",
+    _kmeanspar_oracle(_KM_K, _KM_ITERS, _KM_SCALE, _KMP_PASSES, _KMP_ELL),
+    "k-means with deterministic k-means|| oversampled init (2 passes seed any k)",
+)
+def embedding_kmeanspar_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r8 item 4: farthest-point init costs k−1 sequential driver
+    rounds — fine at k=8, the bottleneck at the k ≳ 1024 cells real
+    SemDeDup/prototype runs use. k-means‖ (Bahmani et al. 2012,
+    derandomized to top-cost selection) seeds with O(init_passes) rounds:
+    each pass takes the 2k points with the largest running min-distance,
+    updates the running distance through one broadcast-join aggregate,
+    then the k heaviest candidates (by argmin wins) become the init
+    centroids. Same all-integer contract, unrolled SQL twin."""
+    from duckpipe_spark.functions.similarity import kmeans_cells
+
+    return kmeans_cells(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_KM_K,
+        iters=_KM_ITERS,
+        scale=_KM_SCALE,
+        init="parallel",
+        init_passes=_KMP_PASSES,
+        oversample=_KMP_ELL,
     )
 
 

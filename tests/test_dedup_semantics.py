@@ -210,6 +210,34 @@ def test_kmeans_recovers_planted_clusters(spark, planted_vectors):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_kmeanspar_init_recovers_planted_clusters(spark, planted_vectors):
+    """VERDICT r8 item 4: the k-means‖ init (2 oversampling passes instead
+    of k−1 farthest-point rounds) must ALSO recover the planted partition
+    on well-separated clusters — the oversampled candidate set covers
+    every cluster, and the weight-based reduction keeps one seed in each.
+    Same totality + determinism contract as the farthest-point path."""
+    from duckpipe_spark.functions.similarity import kmeans_cells
+
+    got = kmeans_cells(
+        planted_vectors, k=5, iters=4, init="parallel", init_passes=2
+    ).collect()
+    assert len(got) == 100 and len({r["id"] for r in got}) == 100
+    labels = {r["vec_id"]: r["label"] for r in planted_vectors.select("vec_id", "label").collect()}
+    cell_to_labels: dict[int, set] = {}
+    for r in got:
+        cell_to_labels.setdefault(r["cell"], set()).add(labels[r["id"]])
+    assert all(len(s) == 1 for s in cell_to_labels.values()), cell_to_labels
+    assert len(cell_to_labels) == 5
+    again = kmeans_cells(
+        planted_vectors, k=5, iters=4, init="parallel", init_passes=2
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="init"):
+        kmeans_cells(planted_vectors, k=5, init="bogus")
+
+
 def test_pq_codes_total_and_adc_finds_exact_twin(spark, planted_vectors):
     """PQ codes must cover every (vector, subspace) exactly once and be
     deterministic; ADC distance to an exact duplicate is 0, so the twin
