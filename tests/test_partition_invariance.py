@@ -499,7 +499,48 @@ def op_maxmatch_encode(spark, scramble):
     return maxmatch_encode_ids(docs, bpe_vocab_ids(docs, merges))
 
 
+def op_kmeanspar(spark, scramble):
+    from duckpipe_spark.functions.similarity import kmeans_cells
+
+    return kmeans_cells(scramble(_embs(spark)), init="parallel", init_passes=2)
+
+
+def op_hamming_external(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.similarity import hamming_topk_queries
+
+    emb = scramble(_embs(spark))
+    q = emb.where(F.col("vec_id") % 97 == 1).select(
+        (F.col("vec_id") + 7).alias("query_id"), "embedding"
+    )
+    return hamming_topk_queries(emb, q, k=4)
+
+
+def op_lm_pruned(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import lm_quality_score
+
+    return lm_quality_score(
+        scramble(_docs(spark)), F.col("lang") == "en", min_count=2
+    )
+
+
+def op_dsir_serve(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import dsir_score_with_model, dsir_train
+
+    docs = scramble(_docs(spark))
+    return dsir_score_with_model(docs, dsir_train(docs, F.col("lang") == "en"))
+
+
 _OPS = [
+    op_kmeanspar,
+    op_hamming_external,
+    op_lm_pruned,
+    op_dsir_serve,
     op_maxmatch_encode,
     op_hamming_topk,
     op_length_bucketed_pack,
