@@ -576,3 +576,25 @@ def test_hamming_topk_no_smj_single_exchange(spark):
     assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0
     assert a.exchanges == 1, a.text
     assert a.python_stages == 0
+
+
+def test_hamming_external_no_smj_single_exchange(spark):
+    """embedding_hamming_external_topk: same shape as the in-corpus pin —
+    the external query batch broadcasts (BNLJ crossJoin), the only
+    exchange is the per-query rank window; no SMJ, no Python."""
+    with no_aqe(spark):
+        a = audit_plan(_q("embedding_hamming_external_topk")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0
+    assert a.exchanges == 1, a.text
+    assert a.python_stages == 0
+
+
+def test_lm_serve_scores_is_broadcast_projection(spark):
+    """doc_lm_serve_scores: the serve path is a projection over a 1-row
+    broadcast model — no SMJ/SHJ against the corpus, no Python, and no
+    corpus-keyed exchange on the scoring side (the exchanges present
+    belong to the TRAIN aggregates that build the model row)."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_lm_serve_scores")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0, a.text
+    assert a.python_stages == 0
