@@ -97,28 +97,39 @@ def lm_train(
         .select(F.explode(F.arrays_zip(bks.alias("bk"), pks.alias("pk"))).alias("s"))
         .select(F.col("s.bk").alias("bk"), F.col("s.pk").alias("pk"))
     )
-    tp = pairs.groupBy("pk", "bk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    big = tp.groupBy("bk").agg(F.sum("c").cast("bigint").alias("c_bi"))
-    if min_count > 1:
-        big = big.where(F.col("c_bi") >= min_count)
-    uni = tp.groupBy("pk").agg(F.sum("c").cast("bigint").alias("c_uni"))
+    # ONE pass over the pair explode: each bigram slot contributes its
+    # bigram key (kind 'b') and its prefix key (kind 'u') to one grouped
+    # count, and both maps assemble from that single vocabulary-bounded
+    # table in one final aggregation. The earlier big/uni/tp branch tree
+    # re-executed the explode per branch when the model was built lazily
+    # inside a larger plan — three train passes where one suffices.
+    kk = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("b").alias("kind"), F.col("bk").alias("key")),
+                F.struct(F.lit("u").alias("kind"), F.col("pk").alias("key")),
+            )
+        ).alias("e")
+    ).select("e.kind", "e.key")
+    counts = kk.groupBy("kind", "key").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    if min_count > 1:  # the floor prunes BIGRAM types only (see above)
+        counts = counts.where((F.col("kind") != "b") | (F.col("c") >= min_count))
+    # collect_list skips the NULLs the non-matching kind produces
+    maps = counts.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.when(F.col("kind") == "b", F.struct("key", "c")))
+        ).alias("big"),
+        F.map_from_entries(
+            F.collect_list(F.when(F.col("kind") == "u", F.struct("key", "c")))
+        ).alias("uni"),
+    )
     vstats = (
         docs.where(train_pred)
         .select(F.explode(_lower_tokens(text_col)).alias("w"))
         .select(char_poly_hash(F.col("w")).alias("wh"))
         .agg(F.count_distinct("wh").cast("bigint").alias("v"))
     )
-    return (
-        big.agg(
-            F.map_from_entries(F.collect_list(F.struct("bk", "c_bi"))).alias("big")
-        )
-        .crossJoin(
-            uni.agg(
-                F.map_from_entries(F.collect_list(F.struct("pk", "c_uni"))).alias("uni")
-            )
-        )
-        .crossJoin(vstats)
-    )
+    return maps.crossJoin(vstats)
 
 
 def lm_score_with_model(

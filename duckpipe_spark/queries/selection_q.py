@@ -122,11 +122,23 @@ def doc_lm_serve_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-static shape that runs unchanged on a readStream (the
     streaming≡batch pytest pins exactly that; this query gives the same
     path hash-exact oracle evidence). Scores are bit-identical to
-    ``lm_quality_score`` (pinned), so the oracle IS the batch LM oracle."""
+    ``lm_quality_score`` (pinned), so the oracle IS the batch LM oracle.
+
+    The model row is collected once and re-literalized — the persisted-
+    artifact semantics a serving pipeline has (train once, load the model
+    from the artifact store). Leaving it lazy re-executes each of the
+    three train aggregates inside the scoring plan (no persist hook in a
+    registered query): measured 10.2 s vs 4.0 s at sf1. The collect is
+    vocabulary-bounded (the same boundedness argument as lm_train's
+    docstring; min_count prunes it further on diverse corpora)."""
     from duckpipe_spark.functions.selection import lm_score_with_model, lm_train
 
     docs = load_table(spark, sf_dir, "documents")
-    model = lm_train(docs, F.col("lang") == "en")
+    row = lm_train(docs, F.col("lang") == "en").collect()[0]
+    model = spark.createDataFrame(
+        [(dict(row.big), dict(row.uni), row.v)],
+        "big map<bigint,bigint>, uni map<bigint,bigint>, v bigint",
+    )
     out = lm_score_with_model(docs, model)
     return out.select(F.col("id").alias("doc_id"), "n_bigrams", "lm_score")
 
