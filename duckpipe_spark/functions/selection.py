@@ -585,3 +585,120 @@ def prototype_prune(
             "is_kept"
         ),
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax-style (Chung et al., 2023) per-language token budgets →
+    (lang, avail_tokens, cap_tokens, alloc_tokens, epochs).
+
+    Multilingual pretraining wants language balance without repeating a
+    low-resource language into memorization: allocate a total token
+    ``budget`` as UNIFORMLY as possible across languages, subject to each
+    language's cap of ``max_epochs`` x its available tokens. That is
+    exact water-filling, and it has a closed form over the per-language
+    totals: sort languages by cap ascending; language j (1-based, n langs,
+    exclusive running cap prefix P_j) is CAPPED iff
+
+        cap_j * (n - j + 1) <= budget - P_j
+
+    (it cannot absorb an equal share of what remains, so it takes its
+    whole cap; the capped set is a prefix of the sort by monotonicity).
+    Every uncapped language gets the common water level
+    (budget - sum of capped caps) / (n - #capped). The capped test is
+    pure integer arithmetic and the level is ONE terminal division of
+    exact integers, so both engines produce identical doubles (rounded
+    6 dp). If budget >= total cap, every language is capped and the
+    allocation is just the caps.
+
+    Scale shape: one map-combinable groupBy over the corpus to the
+    per-language totals; everything after runs on a LANGUAGE-cardinality
+    table (unpartitioned windows over tens of rows — deliberate and
+    bounded, same class as doc_quality_calibration's report window)."""
+    n_tok = F.size(_lower_tokens(text_col)).cast("bigint")
+    avail = (
+        docs.groupBy(F.col(strata_col).alias("lang"))
+        .agg(F.sum(n_tok).cast("bigint").alias("avail"))
+        .select("lang", "avail", (F.col("avail") * max_epochs).alias("cap"))
+    )
+    w = Window.orderBy(F.col("cap").asc(), F.col("lang").asc())
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = avail.select(
+        "lang", "avail", "cap",
+        F.row_number().over(w).alias("j"),
+        F.coalesce(F.sum("cap").over(wp), F.lit(0)).cast("bigint").alias("prefix"),
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    capped = (F.col("cap") * (F.col("n") - F.col("j") + 1)) <= (budget - F.col("prefix"))
+    flagged = ranked.crossJoin(F.broadcast(tot)).select(
+        "lang", "avail", "cap", "n", capped.alias("is_capped")
+    )
+    caps = flagged.agg(
+        F.sum(F.when(F.col("is_capped"), F.col("cap")).otherwise(0))
+        .cast("bigint").alias("capped_sum"),
+        F.sum(F.when(F.col("is_capped"), 1).otherwise(0)).cast("bigint").alias("k"),
+    )
+    level = (F.lit(float(budget)) - F.col("capped_sum").cast("double")) / (
+        F.col("n") - F.col("k")
+    ).cast("double")
+    alloc = F.when(F.col("is_capped"), F.col("cap").cast("double")).otherwise(level)
+    return (
+        flagged.crossJoin(F.broadcast(caps))
+        .select(
+            "lang",
+            F.col("avail").alias("avail_tokens"),
+            F.col("cap").alias("cap_tokens"),
+            F.round(alloc, 6).alias("alloc_tokens"),
+            F.round(alloc / F.col("avail").cast("double"), 6).alias("epochs"),
+        )
+    )
+
+
+def score_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact tie-corrected AUC (Mann-Whitney U) of ``score_col`` as a
+    ranker for the binary ``label_col`` → ONE row (n_pos, n_neg, auc).
+
+    The eval a filter owner runs before trusting a cheap score as a gate:
+    AUC = P(random positive outranks random negative), ties at half
+    credit. Computed from average ranks without any float rank math:
+    group by score value; a group with m rows (mp positive) and c rows
+    below it contributes mp·(2c + m + 1) to TWICE the positive rank sum;
+
+        AUC = (sum contrib − n_pos·(n_pos + 1)) / (2·n_pos·n_neg)
+
+    — every term an exact integer, one terminal division (rounded 6 dp),
+    so the result is engine-portable even with heavy ties. Grouping keys
+    are the score doubles themselves; both engines must produce
+    identical score bits, which every score op in this module guarantees.
+
+    Scale shape: one groupBy on score (bounded by distinct score values),
+    one ordered window over that grouped table, one global sum. The
+    unpartitioned window is over score-DISTINCT rows, not the corpus."""
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
+        .cast("bigint").alias("mp"),
+    )
+    w = Window.orderBy(F.col("s").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    c = F.coalesce(F.sum("m").over(w), F.lit(0)).cast("bigint")
+    contrib = g.select(
+        "m", "mp", (F.col("mp") * (2 * c + F.col("m") + 1)).alias("contrib")
+    )
+    agg = contrib.agg(
+        F.sum("contrib").cast("bigint").alias("rs2"),
+        F.sum("mp").cast("bigint").alias("n_pos"),
+        F.sum(F.col("m") - F.col("mp")).cast("bigint").alias("n_neg"),
+    )
+    auc = (F.col("rs2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double") / (
+        (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+    )
+    return agg.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))

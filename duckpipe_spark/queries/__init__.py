@@ -112,6 +112,9 @@ CHANGED_THIS_ROUND: list[str] = [
     "embedding_neardup_pairs",
     "embedding_semantic_dedup",
     "embedding_lsh_recall",
+    # NEW in r9 (late): UniMax per-language budgets + exact LM-score AUC
+    "lang_unimax_budgets",
+    "doc_lm_auc",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -505,3 +505,116 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("qp").cast("double") / (n * 3)).alias("mean_quality"),
         )
     )
+
+
+# --- UniMax per-language token budgets (water-filling under an epoch cap) -----
+
+_UNIMAX_BUDGET = 500_000
+_UNIMAX_EPOCHS = 4
+
+_UNIMAX_ORACLE = f"""
+WITH avail AS (
+  SELECT lang,
+         CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS avail
+  FROM documents GROUP BY lang
+),
+ranked AS (
+  SELECT lang, avail, avail * {_UNIMAX_EPOCHS} AS cap,
+         row_number() OVER (ORDER BY avail * {_UNIMAX_EPOCHS} ASC, lang ASC) AS j,
+         coalesce(sum(avail * {_UNIMAX_EPOCHS}) OVER (
+           ORDER BY avail * {_UNIMAX_EPOCHS} ASC, lang ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+         count(*) OVER () AS n
+  FROM avail
+),
+flagged AS (
+  SELECT *, (cap * (n - j + 1) <= {_UNIMAX_BUDGET} - prefix) AS is_capped FROM ranked
+),
+caps AS (
+  SELECT CAST(sum(CASE WHEN is_capped THEN cap ELSE 0 END) AS BIGINT) AS capped_sum,
+         CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM flagged
+)
+SELECT lang, avail AS avail_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+       round(CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+             ELSE (CAST({_UNIMAX_BUDGET} AS DOUBLE) - CAST(capped_sum AS DOUBLE))
+                  / CAST(n - k AS DOUBLE) END, 6) AS alloc_tokens,
+       round((CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+             ELSE (CAST({_UNIMAX_BUDGET} AS DOUBLE) - CAST(capped_sum AS DOUBLE))
+                  / CAST(n - k AS DOUBLE) END) / CAST(avail AS DOUBLE), 6) AS epochs
+FROM flagged CROSS JOIN caps
+"""
+
+
+@register(
+    "lang_unimax_budgets",
+    _UNIMAX_ORACLE,
+    "UniMax water-filling: per-language token budgets under a max-epochs cap",
+)
+def lang_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual budget DECISION (UniMax, Chung et al. 2023):
+    spread the token budget as uniformly as languages allow, capping each
+    at max_epochs x its available tokens. Closed-form water-filling over
+    the per-language totals — integer capped test, one terminal division
+    (see functions/selection.py)."""
+    from duckpipe_spark.functions.selection import unimax_allocation
+
+    return unimax_allocation(
+        load_table(spark, sf_dir, "documents"),
+        budget=_UNIMAX_BUDGET,
+        max_epochs=_UNIMAX_EPOCHS,
+    )
+
+
+# --- exact AUC of the LM score against the language pseudo-label --------------
+
+_AUC_ORACLE = f"""
+WITH {_LM_CTES},
+lab AS (
+  SELECT lm.doc_id, lm.lm_score AS s, (d.lang = 'en') AS y
+  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+),
+g AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS mp
+  FROM lab GROUP BY s
+),
+contrib AS (
+  SELECT m, mp,
+         mp * (2 * coalesce(sum(m) OVER (ORDER BY s ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + m + 1) AS contrib
+  FROM g
+),
+agg AS (
+  SELECT CAST(sum(contrib) AS BIGINT) AS rs2,
+         CAST(sum(mp) AS BIGINT) AS n_pos,
+         CAST(sum(m - mp) AS BIGINT) AS n_neg
+  FROM contrib
+)
+SELECT n_pos, n_neg,
+       round(CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+FROM agg
+"""
+
+
+@register(
+    "doc_lm_auc",
+    _AUC_ORACLE,
+    "exact tie-corrected AUC: does the en-trained LM score rank en docs first?",
+)
+def doc_lm_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval for the cheap LM gate: exact Mann-Whitney AUC
+    of the lm_score against the (lang = 'en') pseudo-label — the LM is
+    trained ON the en slice, so an AUC near 0.5 would mean the gate
+    cannot even find its own training domain. Integer rank sums with
+    half-credit ties, one terminal division (see score_auc)."""
+    from duckpipe_spark.functions.selection import lm_quality_score, score_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lm_quality_score(docs, F.col("lang") == "en")
+    lab = scores.join(
+        docs.select(F.col("doc_id").alias("id"), (F.col("lang") == "en").alias("y")),
+        "id",
+    )
+    return score_auc(lab, label_col="y", score_col="lm_score")

@@ -536,7 +536,29 @@ def op_dsir_serve(spark, scramble):
     return dsir_score_with_model(docs, dsir_train(docs, F.col("lang") == "en"))
 
 
+def op_unimax(spark, scramble):
+    from duckpipe_spark.functions.selection import unimax_allocation
+
+    return unimax_allocation(scramble(_docs(spark)), budget=100_000, max_epochs=3)
+
+
+def op_score_auc(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import lm_quality_score, score_auc
+
+    docs = scramble(_docs(spark))
+    scores = lm_quality_score(docs, F.col("lang") == "en")
+    lab = scores.join(
+        docs.select(F.col("doc_id").alias("id"), (F.col("lang") == "en").alias("y")),
+        "id",
+    )
+    return score_auc(lab, label_col="y", score_col="lm_score")
+
+
 _OPS = [
+    op_unimax,
+    op_score_auc,
     op_kmeanspar,
     op_hamming_external,
     op_lm_pruned,

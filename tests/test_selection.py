@@ -283,3 +283,59 @@ def test_dsir_model_scoring_agrees_with_batch(spark):
     for k in a:
         assert a[k].n_tokens == b[k].n_tokens
         assert abs(a[k].dsir_score - b[k].dsir_score) <= 1e-6, k
+
+
+def test_unimax_water_filling_hand_case(spark):
+    """Hand-computed water-filling: avail = {a: 10, b: 100, c: 1000},
+    E=2 -> caps {20, 200, 2000}, budget 600. Sorted asc: a capped
+    (20*3 <= 600-0), b capped (200*2 <= 600-20), c uncapped ->
+    level = (600-220)/1 = 380. Epochs: a=2.0, b=2.0, c=0.38."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.selection import unimax_allocation
+
+    rows = []
+    did = 0
+    for lang, toks in (("a", 10), ("b", 100), ("c", 1000)):
+        rows.append((did, " ".join(["w"] * toks), lang))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.lang: r for r in unimax_allocation(docs, budget=600, max_epochs=2).collect()}
+    assert out["a"].cap_tokens == 20 and out["a"].alloc_tokens == 20.0
+    assert out["b"].cap_tokens == 200 and out["b"].alloc_tokens == 200.0
+    assert out["c"].alloc_tokens == 380.0
+    assert out["a"].epochs == 2.0 and out["b"].epochs == 2.0
+    assert abs(out["c"].epochs - 0.38) < 1e-9
+    # budget exceeding total cap: everyone capped at E x avail
+    out2 = {r.lang: r for r in unimax_allocation(docs, budget=10**9, max_epochs=2).collect()}
+    assert all(out2[lang].alloc_tokens == out2[lang].cap_tokens for lang in out2)
+
+
+def test_score_auc_hand_cases(spark):
+    """Perfect separation -> 1.0; anti-separation -> 0.0; all-tied -> 0.5;
+    a mixed tie gets half credit (exact Mann-Whitney)."""
+    from duckpipe_spark.functions.selection import score_auc
+
+    def auc(rows):
+        df = spark.createDataFrame(rows, "id bigint, score double, y boolean")
+        return score_auc(df, label_col="y", score_col="score").collect()[0]
+
+    r = auc([(1, 1.0, True), (2, 2.0, True), (3, 0.5, False), (4, 0.1, False)])
+    assert r.auc == 1.0 and r.n_pos == 2 and r.n_neg == 2
+    assert auc([(1, 0.1, True), (2, 0.2, True), (3, 5.0, False), (4, 9.0, False)]).auc == 0.0
+    assert auc([(1, 3.0, True), (2, 3.0, True), (3, 3.0, False), (4, 3.0, False)]).auc == 0.5
+    # pos at 2.0, neg at {1.0, 2.0}: beats one outright, ties the other -> 0.75
+    assert auc([(1, 2.0, True), (2, 1.0, False), (3, 2.0, False)]).auc == 0.75
+
+
+def test_lm_auc_finds_its_training_domain(spark):
+    """The registered doc_lm_auc semantics: an en-trained LM must rank en
+    docs above non-en far better than chance on the fixture corpus
+    (measured 0.89 at sf0.001 — the synthetic langs share vocabulary, so
+    perfect separation is not expected; chance would be 0.5)."""
+    from duckpipe_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    r = REGISTRY["doc_lm_auc"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_pos > 0 and r.n_neg > 0
+    assert r.auc > 0.8, r.auc
