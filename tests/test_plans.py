@@ -598,3 +598,25 @@ def test_lm_serve_scores_is_broadcast_projection(spark):
         a = audit_plan(_q("doc_lm_serve_scores")(spark, SF_SMOKE))
     assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0, a.text
     assert a.python_stages == 0
+
+
+def test_unimax_single_corpus_exchange(spark):
+    """lang_unimax_budgets: the corpus contributes ONE map-combinable
+    groupBy; the water-filling windows run on the language-cardinality
+    table. No SMJ, no Python."""
+    with no_aqe(spark):
+        a = audit_plan(_q("lang_unimax_budgets")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0, a.text
+    assert a.python_stages == 0
+    # partial agg on the scan side must exist (map-side combine)
+    assert "partial" in a.text.lower()
+
+
+def test_score_auc_groups_before_window(spark):
+    """doc_lm_auc: the rank window runs over score-DISTINCT rows (the
+    groupBy collapses the corpus first), never over per-doc rows; no SMJ
+    against the corpus, no Python."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_lm_auc")(spark, SF_SMOKE))
+    assert a.python_stages == 0
+    assert a.sort_merge_joins == 0, a.text
