@@ -643,11 +643,6 @@ def _encode_with_word_table(
     Join misses ('' and SEP-bearing tokens) fall back to per-char ids —
     single-char vocab entries are exactly the alphabet, so this matches
     the chain impl's char path bit-for-bit."""
-    from pyspark.sql import Window
-
-    t = docs.select(
-        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("wpos", "w")
-    )
     char_map = {s: i for s, i in vocab.items() if len(s) == 1}
     if char_map:
         cmap = F.create_map(*[F.lit(x) for kv in char_map.items() for x in kv])
@@ -660,6 +655,25 @@ def _encode_with_word_table(
             F.filter(F.split("w", ""), lambda c: c != ""),
             lambda c: F.lit(0).cast("bigint"),
         )
+    return _stitch_word_ids(docs, wt, char_ids, text_col, id_col)
+
+
+def _stitch_word_ids(
+    docs: DataFrame,
+    wt: DataFrame,
+    char_ids: Column,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The corpus half of a word-table encode: token posexplode →
+    broadcast (w → ids) join (misses take the caller's ``char_ids``
+    fallback array built from column ``w``) → one doc-key window for
+    global symbol offsets → posexplode to (id, pos, token_id)."""
+    from pyspark.sql import Window
+
+    t = docs.select(
+        F.col(id_col), F.posexplode(tokens_col(F.col(text_col))).alias("wpos", "w")
+    )
     step = t.join(F.broadcast(wt), "w", "left").select(
         id_col, "wpos", F.coalesce(F.col("ids"), char_ids).alias("_ids")
     )
@@ -678,3 +692,96 @@ def _encode_with_word_table(
         (F.col("_off") + F.col("i")).cast("bigint").alias("pos"),
         F.col("tid").cast("bigint").alias("token_id"),
     )
+
+
+def utf8_byte_ids_col(s: Column) -> Column:
+    """UTF-8 byte ids of a string column: byte value + 1, so the ids
+    occupy 1..256 (id 0 stays unused — nothing is OOV under byte
+    fallback). Hex-pair decomposition, pure column math, no UDF; ''
+    yields an empty array (the descending-sequence guard)."""
+    h = F.hex(F.encode(s, "UTF-8"))
+    n = (F.length(h) / 2).cast("int")
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: (
+            F.conv(F.substring(h, i * 2 - 1, F.lit(2)), 16, 10).cast("bigint") + 1
+        ),
+    )
+
+
+def bpe_vocab_ids_bytes(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Byte-fallback vocabulary: ids 1..256 are reserved for the raw
+    UTF-8 bytes (byte b → id b+1), alphabet chars and merge products
+    shift up by 256 — the convention real tokenizers ship (GPT-2/BPE
+    vocabularies carry 256 byte tokens) so EVERY input encodes
+    losslessly: a character outside the training alphabet becomes its
+    byte ids instead of a lossy OOV 0."""
+    return {s: i + 256 for s, i in bpe_vocab_ids(docs, merges, text_col).items()}
+
+
+def bpe_encode_ids_bytes(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: dict[str, int] | None = None,
+) -> DataFrame:
+    """Byte-fallback BPE encode → (id_col, pos, token_id): the join-impl
+    word-table encode (vocabulary-bounded merge replay, broadcast word
+    join, one doc-key window — same scale shape as ``bpe_encode_ids``)
+    except that a symbol missing from ``vocab`` expands into its UTF-8
+    byte ids (1..256) instead of collapsing to OOV 0, so the id stream
+    is lossless for ANY input text. ``vocab`` should come from
+    ``bpe_vocab_ids_bytes`` on the TRAINING corpus; serving data may
+    contain arbitrary unseen characters."""
+    merges = _collect_merges(merges)
+    if vocab is None:
+        vocab = bpe_vocab_ids_bytes(docs, merges, text_col)
+    spark = docs.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(s, i) for s, i in vocab.items()], "sym string, id bigint"
+    )
+    wt0 = bpe_word_symbols_table(docs, merges, text_col)
+    exploded = wt0.select("w", F.posexplode(symbols_col(F.col("s"))).alias("p", "sym"))
+    per_sym = F.when(F.col("id").isNotNull(), F.array(F.col("id"))).otherwise(
+        utf8_byte_ids_col(F.col("sym"))
+    )
+    wt = (
+        exploded.join(F.broadcast(vocab_df), "sym", "left")
+        .select("w", "p", per_sym.alias("sids"))
+        .groupBy("w")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "sids"))),
+                    lambda s: s["sids"],
+                )
+            ).alias("ids")
+        )
+    )
+    char_map = {s: i for s, i in vocab.items() if len(s) == 1}
+    cmap = (
+        F.create_map(*[F.lit(x) for kv in char_map.items() for x in kv])
+        if char_map
+        else F.create_map().cast("map<string,bigint>")
+    )
+    char_ids = F.flatten(
+        F.transform(
+            F.filter(F.split("w", ""), lambda c: c != ""),
+            lambda c: F.coalesce(
+                F.when(
+                    F.element_at(cmap, c).isNotNull(),
+                    F.array(F.element_at(cmap, c)),
+                ),
+                utf8_byte_ids_col(c),
+            ),
+        )
+    )
+    return _stitch_word_ids(docs, wt, char_ids, text_col, id_col)

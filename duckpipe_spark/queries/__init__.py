@@ -115,6 +115,8 @@ CHANGED_THIS_ROUND: list[str] = [
     # NEW in r9 (late): UniMax per-language budgets + exact LM-score AUC
     "lang_unimax_budgets",
     "doc_lm_auc",
+    # NEW in r9 (late): lossless byte-fallback encode (serving drift shape)
+    "doc_bpe_bytefallback",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -661,3 +661,87 @@ def doc_maxmatch_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = trained_merges(spark, sf_dir)
     vocab = bpe_vocab_ids(docs, merges)
     return maxmatch_encode_ids(docs, vocab)
+
+
+# --- byte-fallback encode: lossless ids for ANY input (serving shape) --------
+
+# injected per-doc suffix: one extra token mixing an in-alphabet char with
+# two characters the training corpus never saw ('§' = C2 A7, 'ß' = C3 9F) —
+# the serve-time drift byte fallback exists for
+_BF_INJECT = " x§ß"
+
+# hex-pair -> byte id (+1) as a SQL lambda over hex(encode(sym))
+_BF_HEX = "hex(encode({s}))"
+_BF_BYTES = (
+    "list_transform(range(1, CAST(length(" + _BF_HEX + ") / 2 AS BIGINT) + 1), "
+    "i -> CAST(16 * (strpos('0123456789ABCDEF', substr(" + _BF_HEX + ", CAST(2*i-1 AS INT), 1)) - 1) "
+    "+ (strpos('0123456789ABCDEF', substr(" + _BF_HEX + ", CAST(2*i AS INT), 1)) - 1) + 1 AS BIGINT))"
+)
+
+
+def _bytefallback_oracle(n_merges: int) -> str:
+    tops = ", ".join(
+        f"(SELECT lhs AS l{r}, rhs AS r{r} FROM top{r})" for r in range(1, n_merges + 1)
+    )
+    chain = f"{_S} || array_to_string(string_split(tk, ''), {_S}||{_S}) || {_S}"
+    for r in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, {_S}||l{r}||{_S}||{_S}||r{r}||{_S}, {_S}||l{r}||r{r}||{_S})"
+        )
+    bytes_of = _BF_BYTES.format(s="e2.sym")
+    return f"""WITH {_vocab_enc_ctes(n_merges)},
+enc2 AS (
+  SELECT doc_id,
+    flatten(list_transform(t, tk -> CASE WHEN contains(tk, {_S})
+        THEN string_split(tk, '')
+        ELSE list_filter(string_split({chain}, {_S}), x -> x <> '') END)) AS syms
+  FROM (SELECT doc_id, string_split_regex(trim(text || '{_BF_INJECT}'), '\\s+') AS t
+        FROM documents), {tops}
+),
+e2 AS (
+  SELECT doc_id, CAST(unnest(range(len(syms))) AS BIGINT) AS spos, unnest(syms) AS sym
+  FROM enc2
+),
+sids AS (
+  SELECT e2.doc_id, e2.spos,
+         CASE WHEN v.id IS NOT NULL THEN [CAST(v.id + 256 AS BIGINT)]
+              ELSE {bytes_of} END AS ids
+  FROM e2 LEFT JOIN vocab v ON e2.sym = v.sym
+),
+offs AS (
+  SELECT doc_id, spos, ids,
+         coalesce(sum(len(ids)) OVER (PARTITION BY doc_id ORDER BY spos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM sids
+)
+SELECT doc_id, CAST(off + i - 1 AS BIGINT) AS pos, CAST(ids[i] AS BIGINT) AS token_id
+FROM (SELECT doc_id, off, ids, unnest(range(1, len(ids) + 1)) AS i FROM offs)
+"""
+
+
+@register(
+    "doc_bpe_bytefallback",
+    _bytefallback_oracle(N_MERGES),
+    "byte-fallback BPE encode: train-unseen chars become UTF-8 byte ids, never OOV 0",
+)
+def doc_bpe_bytefallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the tokenizer contract: the vocabulary (byte
+    ids 1..256, then alphabet + merge products shifted by 256) is trained
+    on the ORIGINAL corpus, but the encoded text carries a per-doc
+    injected token mixing an in-alphabet char with two characters the
+    training corpus never saw — the drift every deployed tokenizer meets.
+    Every unseen character encodes to its UTF-8 byte ids (id stream is
+    lossless; nothing maps to OOV 0). Same scale shape as the join-impl
+    encode: vocabulary-bounded merge replay + broadcast word join + one
+    doc-key window."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.bpe import bpe_encode_ids_bytes, bpe_vocab_ids_bytes
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = trained_merges(spark, sf_dir)
+    vocab = bpe_vocab_ids_bytes(docs, merges)
+    injected = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_BF_INJECT)).alias("text")
+    )
+    return bpe_encode_ids_bytes(injected, merges, vocab=vocab)

@@ -572,3 +572,33 @@ def test_trained_merges_artifact_equals_fresh_training(spark):
     fresh = learn_bpe_merges(load_table(spark, SF_SMOKE, "documents"), n_merges=8)
     rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert rows(a) == rows(b) == rows(fresh)
+
+
+def test_bytefallback_encodes_unseen_chars_losslessly(spark):
+    """Byte-fallback contract: a vocab trained WITHOUT '§'/'ß' encodes
+    them as UTF-8 byte ids (value+1, ids <= 256), known symbols shift by
+    256, and NOTHING maps to OOV 0 — the id stream is lossless. Byte ids
+    decode back to the exact characters."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.bpe import (
+        bpe_encode_ids_bytes,
+        bpe_vocab_ids_bytes,
+        learn_bpe_merges,
+    )
+
+    train = spark.createDataFrame([(1, "ab ab cd")], "doc_id bigint, text string")
+    merges = learn_bpe_merges(train, n_merges=2)
+    vocab = bpe_vocab_ids_bytes(train, merges)
+    assert min(vocab.values()) == 257, "alphabet must start after the byte block"
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab x§ß")], "doc_id bigint, text string"
+    )
+    out = bpe_encode_ids_bytes(docs, merges, vocab=vocab).orderBy("doc_id", "pos").collect()
+    assert all(r.token_id != 0 for r in out)
+    ids2 = [r.token_id for r in out if r.doc_id == 2]
+    # 'ab' -> merged symbol id; 'x' unseen ASCII -> 121; '§' -> C2 A7 ->
+    # (195, 168); 'ß' -> C3 9F -> (196, 160)
+    assert ids2 == [vocab["ab"], 121, 195, 168, 196, 160], ids2
+    # byte ids invert: bytes((id-1) for byte ids) decodes to the chars
+    assert bytes([194, 167]).decode() == "§" and bytes([195, 159]).decode() == "ß"

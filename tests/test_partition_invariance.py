@@ -556,7 +556,26 @@ def op_score_auc(spark, scramble):
     return score_auc(lab, label_col="y", score_col="lm_score")
 
 
+def op_bpe_bytefallback(spark, scramble):
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.bpe import (
+        bpe_encode_ids_bytes,
+        bpe_vocab_ids_bytes,
+        learn_bpe_merges,
+    )
+
+    docs = scramble(_docs(spark))
+    merges = learn_bpe_merges(docs, n_merges=4)
+    vocab = bpe_vocab_ids_bytes(docs, merges)
+    injected = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" x§ß")).alias("text")
+    )
+    return bpe_encode_ids_bytes(injected, merges, vocab=vocab)
+
+
 _OPS = [
+    op_bpe_bytefallback,
     op_unimax,
     op_score_auc,
     op_kmeanspar,
