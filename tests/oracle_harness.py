@@ -95,6 +95,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", names: list[str] | None = None):
 
 
 if __name__ == "__main__":
+    import os
     import sys
 
-    main(names=sys.argv[1:] or None)
+    main(
+        sf_dir=os.environ.get("SPARK_GRAFT_HARNESS_SF_DIR", "/root/testdata/sf0.01"),
+        names=sys.argv[1:] or None,
+    )
