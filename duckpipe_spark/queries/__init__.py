@@ -65,15 +65,19 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #   events_hourly_rollup, geo_elevation_pipeline, image_decode_jpeg,
 #   lang_top_bigrams, lineitem_price_quantiles, orders_bloom_blocklist,
 #   parts_triangle_counts, sessionize_users, video_frame_sample.
-# r10 window plan: those 9 lead, then queries NEW/changed in r9 that missed
-# this window (see CHANGED_THIS_ROUND below — r9 additions such as the
-# pruned-LM, serve-path, external-hamming and kmeans|| queries, plus the
-# BPE-family queries whose wrappers now consume the session-memoized
-# trained-merges artifact: doc_bpe_token_counts / doc_bpe_encoded /
-# doc_bpe_pack were r8-attested and are NOT re-windowed here to keep the
-# published composition — their values are pinned unchanged and they carry
-# local sf0.01 differential evidence), then the r7 cohort (latest green r7,
-# 44 queries) alphabetically as slots allow.
+# r10 window plan: those 9 lead, then the 8 queries NEW in r9 (registered
+# after this window froze, so never driver-attested): doc_lm_quality_pruned,
+# doc_lm_serve_scores, doc_dsir_serve_scores, embedding_hamming_external_topk,
+# embedding_kmeanspar_cells, lang_unimax_budgets, doc_lm_auc,
+# doc_bpe_bytefallback; then the r9-changed-but-not-windowed re-attests
+# (doc_bpe_merges, doc_bpe_merges_batched, doc_bpe_token_counts,
+# doc_bpe_encoded, doc_bpe_pack — trained-merges artifact + checkpoint
+# cadence, values pinned unchanged; embedding_lsh_topk,
+# embedding_neardup_pairs, embedding_semantic_dedup, embedding_lsh_recall —
+# lsh_bucket_col plane-slice, values pinned unchanged; all 21 r9-changed
+# queries verified hash-exact at sf0.1 this round, 10x the gate scale);
+# the remaining ~19 slots go to the r7 cohort (latest green r7, 44 queries)
+# alphabetically.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
 # sf0.01 differential run (tests/test_queries_oracle.py::
