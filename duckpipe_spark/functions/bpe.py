@@ -785,3 +785,43 @@ def bpe_encode_ids_bytes(
         )
     )
     return _stitch_word_ids(docs, wt, char_ids, text_col, id_col)
+
+
+def save_tokenizer(
+    merges: DataFrame | list[tuple[str, str]],
+    vocab: dict[str, int],
+    path: str,
+    spark=None,
+) -> None:
+    """Persist a trained tokenizer as a two-table parquet artifact:
+    ``<path>/merges.parquet`` (merge_rank, lhs, rhs) and
+    ``<path>/vocab.parquet`` (sym, id) — the durable form of the
+    train/serve split (SCALE.md §8): train once on the cluster, ship the
+    artifact, and every serving job (batch or readStream) loads it
+    without touching the training corpus. Both tables are
+    vocabulary-bounded; the write is a driver-side single file each."""
+    if isinstance(merges, DataFrame):
+        spark = spark or merges.sparkSession
+        mrows = [(int(r.merge_rank), r.lhs, r.rhs) for r in merges.orderBy("merge_rank").collect()]
+    else:
+        if spark is None:
+            raise ValueError("save_tokenizer needs spark= when merges is a list")
+        mrows = [(i + 1, lhs, rhs) for i, (lhs, rhs) in enumerate(merges)]
+    spark.createDataFrame(
+        mrows, "merge_rank bigint, lhs string, rhs string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges.parquet")
+    spark.createDataFrame(
+        [(s, int(i)) for s, i in vocab.items()], "sym string, id bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab.parquet")
+
+
+def load_tokenizer(spark, path: str) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Load a ``save_tokenizer`` artifact → (merges list in rank order,
+    vocab dict). Bounded driver collects (the artifact IS bounded); the
+    returned values plug straight into ``bpe_encode_ids(…, vocab=…)`` /
+    ``bpe_encode_ids_bytes`` / ``maxmatch_encode_ids`` — including on a
+    streaming DataFrame, where deriving either from the stream is
+    impossible by construction."""
+    mrows = spark.read.parquet(f"{path}/merges.parquet").orderBy("merge_rank").collect()
+    vrows = spark.read.parquet(f"{path}/vocab.parquet").collect()
+    return [(r.lhs, r.rhs) for r in mrows], {r.sym: int(r.id) for r in vrows}

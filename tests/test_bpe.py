@@ -602,3 +602,30 @@ def test_bytefallback_encodes_unseen_chars_losslessly(spark):
     assert ids2 == [vocab["ab"], 121, 195, 168, 196, 160], ids2
     # byte ids invert: bytes((id-1) for byte ids) decodes to the chars
     assert bytes([194, 167]).decode() == "§" and bytes([195, 159]).decode() == "ß"
+
+
+def test_tokenizer_artifact_round_trip(spark, tmp_path):
+    """save_tokenizer/load_tokenizer: the persisted artifact reproduces
+    the exact merge order and vocab ids, and an encode through the loaded
+    artifact is bit-identical to one through the in-session objects."""
+    from duckpipe_spark.functions.bpe import (
+        bpe_encode_ids,
+        bpe_vocab_ids,
+        learn_bpe_merges,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd ab"), (2, "cd cd ab")], "doc_id bigint, text string"
+    )
+    merges = learn_bpe_merges(docs, n_merges=3)
+    vocab = bpe_vocab_ids(docs, merges)
+    p = str(tmp_path / "tok")
+    save_tokenizer(merges, vocab, p)
+    m2, v2 = load_tokenizer(spark, p)
+    assert m2 == [(r.lhs, r.rhs) for r in merges.orderBy("merge_rank").collect()]
+    assert v2 == vocab
+    a = sorted(tuple(r) for r in bpe_encode_ids(docs, merges, vocab=vocab).collect())
+    b = sorted(tuple(r) for r in bpe_encode_ids(docs, m2, vocab=v2).collect())
+    assert a == b
