@@ -370,6 +370,7 @@ def curation_pipeline(
     stage_handles: list | None = None,
     lm_min_score: float | None = None,
     lm_train_pred: Column | None = None,
+    election: str = "min_id",
 ) -> DataFrame:
     """The END-TO-END curation pipeline a training-data run executes, as one
     lazy composition (VERDICT r6 item 3 — the integration shape that catches
@@ -472,10 +473,38 @@ def curation_pipeline(
         )
         gated = gated.join(keep, id_col, "left_semi")
 
-    # 2. exact dedup: keep the canonical (min) id per normalized fingerprint
-    canon = exact_dedup_groups(gated, text_col, id_col).select(
-        F.col("canonical_id").alias(id_col)
-    )
+    # 2. exact dedup: one survivor per normalized fingerprint. election
+    # picks WHICH one: "min_id" (the default first-occurrence convention)
+    # or "keep_best" (highest quality points, then token count, then min
+    # id — dedup_keep_best's decision applied inside the pipeline, so the
+    # survivor that feeds every downstream stage is the best copy, not
+    # the earliest). The keep-best window partitions by the 16-byte
+    # fingerprint — same shuffle class as the min-id groupBy.
+    if election == "keep_best":
+        from pyspark.sql import Window
+
+        from duckpipe_spark.functions.dedup import fingerprint_col
+
+        scored = gated.select(
+            F.col(id_col),
+            fingerprint_col(F.col(text_col)).alias("_fp"),
+            quality_points_col(F.col(text_col)).cast("bigint").alias("_qp"),
+            F.size(tokens_col(F.col(text_col))).cast("bigint").alias("_nt"),
+        )
+        ew = Window.partitionBy("_fp").orderBy(
+            F.col("_qp").desc(), F.col("_nt").desc(), F.col(id_col).asc()
+        )
+        canon = (
+            scored.withColumn("_rn", F.row_number().over(ew))
+            .where(F.col("_rn") == 1)
+            .select(id_col)
+        )
+    elif election == "min_id":
+        canon = exact_dedup_groups(gated, text_col, id_col).select(
+            F.col("canonical_id").alias(id_col)
+        )
+    else:
+        raise ValueError(f"unknown election {election!r}: use 'min_id' or 'keep_best'")
     uniq = _persist(gated.join(canon, id_col, "left_semi"))
 
     # 2.5 (optional) SemDeDup: LSH-bucketed cosine closure over the

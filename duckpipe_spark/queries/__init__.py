@@ -121,6 +121,8 @@ CHANGED_THIS_ROUND: list[str] = [
     "doc_lm_auc",
     # NEW in r9 (late): lossless byte-fallback encode (serving drift shape)
     "doc_bpe_bytefallback",
+    # NEW in r9 (late): keep-best election inside the curation pipeline
+    "doc_curation_keepbest",
 ]
 
 base.DRIVER_ORDER[:] = [

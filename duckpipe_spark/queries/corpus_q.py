@@ -353,10 +353,39 @@ lgated AS (
 )"""
 
 
-def _pipeline_oracle(lm_min_score: float | None = None) -> str:
+def _pipeline_oracle(
+    lm_min_score: float | None = None, election: str = "min_id"
+) -> str:
     lm_block = "" if lm_min_score is None else _lm_gate_ctes(lm_min_score)
     src = "gated" if lm_min_score is None else "lgated"
     gated_kw = "gated AS (" if lm_min_score is None else "gated AS MATERIALIZED ("
+    if election == "keep_best":
+        # dedup_keep_best's decision at the exact-dup stage: recompute the
+        # quality points + token count from the survivor candidates' text
+        # (exactly what the Spark branch does) and take the window top-1
+        canon = f"""canon AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+      ORDER BY
+        ((CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+         + (CASE WHEN (CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN (CAST(length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                       / length(text)) <= 0.1
+                 THEN 1 ELSE 0 END)) DESC,
+        len(string_split_regex(trim(text), '\\s+')) DESC,
+        doc_id ASC) AS rn
+    FROM {src}
+  ) WHERE rn = 1
+)"""
+    else:
+        canon = f"""canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM {src}
+  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+)"""
     return f"""
 WITH q AS (
   SELECT doc_id, text, lang,
@@ -374,11 +403,7 @@ WITH q AS (
        + (CASE WHEN avg_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)
        + (CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END)) >= {_PIPE_MIN_POINTS}
 ){lm_block},
-canon AS (
-  SELECT min(doc_id) AS doc_id
-  FROM {src}
-  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-),
+{canon},
 uniq AS (SELECT g.doc_id, g.text, g.lang FROM {src} g JOIN canon USING (doc_id)),{_PIPELINE_REST}"""
 
 
@@ -877,4 +902,35 @@ def doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("qp").cast("double") / (n * 3)).alias("avg_quality"),
         F.sum(F.when(F.col("fpc") > 1, 1).otherwise(0)).cast("bigint").alias("n_exact_dup_docs"),
         (F.sum(F.when(F.col("fpc") > 1, 1).otherwise(0)).cast("double") / n).alias("dup_frac"),
+    )
+
+
+@register(
+    "doc_curation_keepbest",
+    _pipeline_oracle(election="keep_best"),
+    "curation pipeline with keep-BEST exact-dup election (quality decides the survivor)",
+)
+def doc_curation_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`doc_curation_pipeline` with ``election='keep_best'``: the
+    exact-dup stage keeps the highest-quality copy (quality points, then
+    token count, then min id) instead of the min-id first occurrence —
+    dedup_keep_best's decision INSIDE the integration chain, so every
+    downstream stage (span election, decontamination, mixture, shards)
+    sees the shifted survivor set. The cross-stage contract this pins:
+    a different exact-dup survivor changes the global span
+    first-occurrence election, which changes clean_fp for OTHER docs —
+    no single-operator query exercises that coupling."""
+    from duckpipe_spark.functions.corpus import curation_pipeline
+
+    return curation_pipeline(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=_PIPE_MIN_TOKENS,
+        min_points=_PIPE_MIN_POINTS,
+        span_window=_PIPE_SPAN_W,
+        decontam_k=_PIPE_DECON_K,
+        bench_bucket_min=_PIPE_BENCH_MIN,
+        max_contamination=_PIPE_MAX_CONTAM,
+        mix_weights=_PIPE_WEIGHTS,
+        n_shards=_PIPE_SHARDS,
+        election="keep_best",
     )

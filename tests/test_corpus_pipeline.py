@@ -363,3 +363,44 @@ class TestStripBoilerplateLines:
         got = {r.doc_id: r.asDict() for r in strip_boilerplate_lines(docs, min_docs=3).collect()}
         assert got[1]["clean_text"] == "" and got[1]["n_stripped"] == 1
         assert got[3]["clean_text"] == "own"
+
+
+def test_keep_best_election_shifts_exact_dup_survivor(spark):
+    """election='keep_best' picks the higher-QUALITY copy of an exact
+    duplicate, not the min id. Two copies share normalized text (same
+    fingerprint); the LOWER id is punctuation-dense (punct/len > 0.1 —
+    loses that quality point) while the HIGHER id pads the same content
+    with extra whitespace, diluting punct/len under the threshold. min_id
+    keeps doc 1; keep_best must keep doc 2 — and every downstream stage
+    sees the shifted survivor."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.corpus import curation_pipeline
+    from duckpipe_spark.functions.text import quality_points_col
+
+    words = " ".join(f"w{i}," for i in range(30))  # one comma per word
+    dup_lo = words                         # punct ratio ~1/4 > 0.1
+    dup_hi = words.replace(" ", " " * 12)  # same tokens, diluted ratio
+    # ids 2/3/4 all hash into the decontamination TRAIN split
+    # (lehmer(id) %% 100 < 90) so the bench-split drop cannot mask the
+    # election difference (id 1 lands in the bench split)
+    docs = spark.createDataFrame(
+        [(2, dup_lo, "en"), (3, dup_hi, "en"),
+         (4, "a totally different clean document body with plenty of words here", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    qp = {r.doc_id: r.q for r in docs.select(
+        "doc_id", quality_points_col(F.col("text")).alias("q")).collect()}
+    assert qp[3] > qp[2], qp  # the planted quality asymmetry holds
+    kw = dict(min_tokens=5, min_points=2, span_window=10, decontam_k=5,
+              bench_bucket_min=90, max_contamination=1.0,
+              mix_weights={"en": 1}, n_shards=1, persist_stages=False)
+    min_ids = {r.doc_id for r in curation_pipeline(docs, **kw).collect()}
+    best_ids = {r.doc_id for r in curation_pipeline(docs, election="keep_best", **kw).collect()}
+    assert 2 in min_ids and 3 not in min_ids
+    assert 3 in best_ids and 2 not in best_ids
+    assert 4 in min_ids and 4 in best_ids
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="election"):
+        curation_pipeline(docs, election="bogus", **kw).collect()
