@@ -65,11 +65,12 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 #   events_hourly_rollup, geo_elevation_pipeline, image_decode_jpeg,
 #   lang_top_bigrams, lineitem_price_quantiles, orders_bloom_blocklist,
 #   parts_triangle_counts, sessionize_users, video_frame_sample.
-# r10 window plan: those 9 lead, then the 8 queries NEW in r9 (registered
+# r10 window plan: those 9 lead, then the 9 queries NEW in r9 (registered
 # after this window froze, so never driver-attested): doc_lm_quality_pruned,
 # doc_lm_serve_scores, doc_dsir_serve_scores, embedding_hamming_external_topk,
 # embedding_kmeanspar_cells, lang_unimax_budgets, doc_lm_auc,
-# doc_bpe_bytefallback; then the r9-changed-but-not-windowed re-attests
+# doc_bpe_bytefallback, doc_curation_keepbest; then the
+# r9-changed-but-not-windowed re-attests
 # (doc_bpe_merges, doc_bpe_merges_batched, doc_bpe_token_counts,
 # doc_bpe_encoded, doc_bpe_pack — trained-merges artifact + checkpoint
 # cadence, values pinned unchanged; embedding_lsh_topk,

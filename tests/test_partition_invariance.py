@@ -556,6 +556,12 @@ def op_score_auc(spark, scramble):
     return score_auc(lab, label_col="y", score_col="lm_score")
 
 
+def op_curation_keepbest(spark, scramble):
+    from duckpipe_spark.functions.corpus import curation_pipeline
+
+    return curation_pipeline(scramble(_docs(spark)), election="keep_best")
+
+
 def op_bpe_bytefallback(spark, scramble):
     import pyspark.sql.functions as F
 
@@ -575,6 +581,7 @@ def op_bpe_bytefallback(spark, scramble):
 
 
 _OPS = [
+    op_curation_keepbest,
     op_bpe_bytefallback,
     op_unimax,
     op_score_auc,
