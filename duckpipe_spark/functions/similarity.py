@@ -21,6 +21,10 @@ from pyspark.sql import Column, DataFrame, Window
 
 N_PLANES = 8  # default — small fixtures and the static oracle SQL pin this
 MAX_PLANES = 24
+# measured farthest-vs-parallel init crossover (BASELINE §22.3: linear-in-k
+# farthest meets flat k-means‖ at k≈24 on the sf0.1 rig) — `init="auto"`
+# switches strategy here
+KMEANS_INIT_CROSSOVER_K = 24
 TARGET_BUCKET_ROWS = 1024  # expected rows per LSH bucket the auto path aims for
 _DIM = 64
 
@@ -77,6 +81,37 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_fold(a, b) / F.sqrt(norm2_fold(a) * norm2_fold(b))
 
 
+def _topk_per_query(scored: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Two-phase per-query top-k over a (query_id, ...) pair stream
+    (VERDICT r9 item 2). A single ``Window.partitionBy("query_id")`` over
+    the corpus×queries stream sends ~n_corpus rows PER QUERY into exactly
+    n_queries reducer tasks — at scale each task sorts the full corpus and
+    parallelism collapses to |queries|. Instead:
+
+    phase 1 — rank within (query_id, INPUT partition): the exchange spreads
+    the same row volume over n_partitions × n_queries reducers, each sorting
+    only its corpus slice; keep the local top-k. Any globally-top-k row has
+    at most k−1 rows above it even within its own partition, so phase-1
+    survivors are a superset of the answer for EVERY partitioning of the
+    input — values are partition-count invariant.
+
+    phase 2 — the global per-query window now ranks only
+    n_partitions × k rows per query (TakeOrdered-sized), with the same total
+    order (ties broken on neighbor id) so results are bit-identical to the
+    single-window form. ``spark_partition_id`` is read BEFORE any exchange,
+    i.e. on the corpus scan side of the broadcast join."""
+    w_local = Window.partitionBy("query_id", "_pid").orderBy(*order_cols)
+    w_global = Window.partitionBy("query_id").orderBy(*order_cols)
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(w_local))
+        .where(F.col("_lrank") <= k)
+        .drop("_pid", "_lrank")
+        .withColumn("rank", F.row_number().over(w_global).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -85,19 +120,19 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k per query vector (excluding self), deterministic
-    ranking on (rounded cosine desc, neighbor id asc)."""
+    ranking on (rounded cosine desc, neighbor id asc). Rank stage is the
+    two-phase per-partition top-k (``_topk_per_query``) so no task ever
+    sorts the whole corpus."""
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     pairs = embeddings.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("query_id"))
     cos = F.round(cosine_col(F.col("qvec"), F.col(vec_col)), 6)
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        pairs.select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos")
+    scored = pairs.select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+    ranked = _topk_per_query(
+        scored, [F.col("cos").desc(), F.col("neighbor_id").asc()], k
     )
+    return ranked.select("query_id", "rank", "neighbor_id", "cos")
 
 
 def sign_pack_cols(vec: Column, dim: int = 64) -> tuple[Column, Column]:
@@ -183,7 +218,8 @@ def _hamming_rank(
 ) -> DataFrame:
     """Shared core: broadcast the (query_id, q0, q1) batch across the
     packed corpus codes, rank by (xor-popcount hamming asc, neighbor id
-    asc), keep top-k per query."""
+    asc), keep top-k per query via the two-phase partial rank
+    (``_topk_per_query`` — no task ever sorts the whole corpus)."""
     ham = (
         F.bit_count(F.col("h0").bitwiseXOR(F.col("q0")))
         + F.bit_count(F.col("h1").bitwiseXOR(F.col("q1")))
@@ -191,15 +227,13 @@ def _hamming_rank(
     pairs = codes.crossJoin(F.broadcast(q))
     if exclude_same_id:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    scored = pairs.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), ham.alias("hamming")
     )
-    return (
-        pairs.select("query_id", F.col(id_col).alias("neighbor_id"), ham.alias("hamming"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "hamming")
+    ranked = _topk_per_query(
+        scored, [F.col("hamming").asc(), F.col("neighbor_id").asc()], k
     )
+    return ranked.select("query_id", "rank", "neighbor_id", "hamming")
 
 
 def lsh_bucket_col(vec: Column, n_planes: int = N_PLANES) -> Column:
@@ -213,18 +247,30 @@ def lsh_bucket_col(vec: Column, n_planes: int = N_PLANES) -> Column:
     stratifier down to one candidate per pass). Slicing is a no-op at
     the full plane dim, so buckets on 64-dim corpora (everything the
     oracles compare) are bit-identical to before; shorter vectors now
-    bucket by their dim-prefix projection."""
+    bucket by their dim-prefix projection.
+
+    ADVICE r9 item 1 hardening — the fix above was one-sided:
+
+    - a vector LONGER than the plane made ``zip_with`` pad the PLANE with
+      NULL (same all-in-bucket-0 collapse, other direction) → both sides
+      are now sliced to ``least(size(vec), plane_dim)``, so longer vectors
+      bucket by their first plane_dim components (the only projection the
+      fixed plane matrix defines);
+    - a NULL vector made ``F.size`` return −1 and ``F.slice`` throw on the
+      negative length → NULL vectors explicitly bucket to 0 (the pre-r9
+      behavior), evaluated lazily so the slice branch never runs for them."""
     planes = _hyperplanes(n_planes=n_planes)
+    pdim = planes.shape[1]
+    vlen = F.least(F.size(vec), F.lit(pdim))
+    v = F.slice(vec, 1, vlen)
     out = F.lit(0).cast("bigint")
     for i in range(n_planes):
-        plane = F.slice(
-            F.array(*[F.lit(float(v)) for v in planes[i]]), 1, F.size(vec)
-        )
-        bit = F.when(dot_fold(vec, plane) > 0.0, F.lit(1 << i).cast("bigint")).otherwise(
+        plane = F.slice(F.array(*[F.lit(float(x)) for x in planes[i]]), 1, vlen)
+        bit = F.when(dot_fold(v, plane) > 0.0, F.lit(1 << i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         out = out + bit
-    return out
+    return F.when(vec.isNull(), F.lit(0).cast("bigint")).otherwise(out)
 
 
 def _resolve_planes(n_planes: int | None, n_rows: int | None) -> int:
@@ -674,7 +720,17 @@ def kmeans_cells(
       chosen set, ties (weight, selection order)). Driver rounds:
       O(init_passes), not O(k) — 2 passes seed k=64 as cheaply as k=8.
       A corpus with fewer distinct candidates than k seeds fewer cells
-      (same disappearing-cell contract as Lloyd itself)."""
+      (same disappearing-cell contract as Lloyd itself).
+    - ``"auto"`` (VERDICT r9 item 5): pick by the MEASURED crossover —
+      farthest-point init is linear in k (k−1 driver rounds) while
+      k-means‖ is flat (BASELINE §22.3: 19.2 s vs 11.4 s at k=64, curves
+      cross at k≈24 on the sf0.1 rig), so auto resolves to ``"farthest"``
+      for k < KMEANS_INIT_CROSSOVER_K and ``"parallel"`` at or above it.
+      The oracle-facing queries run at k=8 (auto ≡ farthest — parity
+      unchanged); real SemDeDup/prototype runs at k ≳ 1024 get the flat
+      init without opting in."""
+    if init == "auto":
+        init = "farthest" if k < KMEANS_INIT_CROSSOVER_K else "parallel"
     qv = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
     )
@@ -762,7 +818,7 @@ def kmeans_cells(
             prev.unpersist()
         mind.unpersist()
     else:
-        raise ValueError(f"unknown init {init!r}: use 'farthest' or 'parallel'")
+        raise ValueError(f"unknown init {init!r}: use 'farthest', 'parallel' or 'auto'")
     cents = spark.createDataFrame(cent_rows, "cell bigint, cv array<bigint>")
 
     def _assign(cents: DataFrame) -> DataFrame:

@@ -443,6 +443,15 @@ def op_hamming_topk(spark, scramble):
     return hamming_topk(scramble(_embs(spark)), [0, 1, 2], k=4)
 
 
+def op_brute_force_topk(spark, scramble):
+    # r10 two-phase rank: the phase-1 local top-k runs per INPUT partition,
+    # so this op is the direct proof that survivors (hence final values)
+    # do not depend on how the corpus is split
+    from duckpipe_spark.functions.similarity import brute_force_topk
+
+    return brute_force_topk(scramble(_embs(spark)), [0, 1, 2], k=4)
+
+
 def op_length_bucketed_pack(spark, scramble):
     import pyspark.sql.functions as F
 
@@ -591,6 +600,7 @@ _OPS = [
     op_dsir_serve,
     op_maxmatch_encode,
     op_hamming_topk,
+    op_brute_force_topk,
     op_length_bucketed_pack,
     op_epoch_order,
     op_corpus_report,

@@ -566,26 +566,32 @@ def test_epoch_and_length_pack_single_window_exchange(spark):
         assert a.python_stages == 0, name
 
 
-def test_hamming_topk_no_smj_single_exchange(spark):
+def test_hamming_topk_no_smj_two_phase_rank(spark):
     """embedding_hamming_topk: codes are a projection, the 5-row query
-    side broadcasts (tiny BNLJ is the intended crossJoin), the only
-    exchange is the per-query rank window. No SMJ ever touches the
-    corpus codes."""
+    side broadcasts (tiny BNLJ is the intended crossJoin), and the rank
+    stage is TWO-PHASE (VERDICT r9 item 2): a local (query_id,
+    spark_partition_id) window — n_partitions × n_queries reducers, each
+    sorting only its corpus slice — then the global per-query window over
+    the n_partitions × k survivors. Exactly two exchanges; no SMJ ever
+    touches the corpus codes."""
     with no_aqe(spark):
         a = audit_plan(_q("embedding_hamming_topk")(spark, SF_SMOKE))
     assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0
-    assert a.exchanges == 1, a.text
+    assert a.exchanges == 2, a.text
+    assert "SPARK_PARTITION_ID" in a.text.upper(), a.text
     assert a.python_stages == 0
 
 
-def test_hamming_external_no_smj_single_exchange(spark):
-    """embedding_hamming_external_topk: same shape as the in-corpus pin —
-    the external query batch broadcasts (BNLJ crossJoin), the only
-    exchange is the per-query rank window; no SMJ, no Python."""
+def test_hamming_external_no_smj_two_phase_rank(spark):
+    """embedding_hamming_external_topk: same two-phase shape as the
+    in-corpus pin — the external query batch broadcasts (BNLJ crossJoin),
+    partial per-partition rank, then the global per-query window over
+    survivors; no SMJ, no Python."""
     with no_aqe(spark):
         a = audit_plan(_q("embedding_hamming_external_topk")(spark, SF_SMOKE))
     assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0
-    assert a.exchanges == 1, a.text
+    assert a.exchanges == 2, a.text
+    assert "SPARK_PARTITION_ID" in a.text.upper(), a.text
     assert a.python_stages == 0
 
 
