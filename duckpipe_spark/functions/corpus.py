@@ -370,6 +370,7 @@ def curation_pipeline(
     stage_handles: list | None = None,
     lm_min_score: float | None = None,
     lm_train_pred: Column | None = None,
+    lm_min_count: int = 1,
     election: str = "min_id",
 ) -> DataFrame:
     """The END-TO-END curation pipeline a training-data run executes, as one
@@ -460,13 +461,22 @@ def curation_pipeline(
     # gate drops EVERYTHING (NULL >= floor is never true) — deliberate:
     # an un-trained quality gate passing documents would be the silent
     # failure; callers on non-English corpora must set lm_train_pred.
+    # ``lm_min_count`` (VERDICT r9 item 3) forwards the CCNet count-floor
+    # prune to the gate's LM: at web scale the unpruned bigram-type map
+    # grows with train-slice diversity (Zipf singleton mass), while with
+    # min_count >= 2 the broadcast is bounded by train_tokens / min_count.
+    # Surviving bigram probabilities are identical (the prune drops TYPES,
+    # never re-normalizes), so min_count only moves scores of docs that
+    # contain pruned-away bigrams (they fall back to the unseen-bigram
+    # backoff — exactly CCNet's behavior).
     if lm_min_score is not None:
         from duckpipe_spark.functions.selection import lm_quality_score
 
         if lm_train_pred is None:
             lm_train_pred = F.col(lang_col) == "en"
         scores = lm_quality_score(
-            gated, lm_train_pred, id_col=id_col, text_col=text_col
+            gated, lm_train_pred, id_col=id_col, text_col=text_col,
+            min_count=lm_min_count,
         )
         keep = scores.where(F.col("lm_score") >= lm_min_score).select(
             F.col("id").alias(id_col)

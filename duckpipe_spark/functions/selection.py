@@ -682,7 +682,13 @@ def score_auc(
 
     Scale shape: one groupBy on score (bounded by distinct score values),
     one ordered window over that grouped table, one global sum. The
-    unpartitioned window is over score-DISTINCT rows, not the corpus."""
+    unpartitioned window is over score-DISTINCT rows, not the corpus.
+
+    NULL scores are dropped up front (ADVICE r9 item 2): a NULL score
+    carries no ranking information, and the engines disagree on where it
+    would rank (Spark windows sort NULLS FIRST ascending, DuckDB's ORDER
+    BY puts them LAST) — filtering is the only placement both agree on."""
+    scored = scored.where(F.col(score_col).isNotNull())
     g = scored.groupBy(F.col(score_col).alias("s")).agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
         F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))

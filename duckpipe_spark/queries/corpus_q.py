@@ -296,7 +296,7 @@ def _pipe_decon_combine(k: int) -> str:
     return combine
 
 
-def _lm_gate_ctes(min_score: float) -> str:
+def _lm_gate_ctes(min_score: float, min_count: int = 1) -> str:
     """CCNet LM-gate stage as CTEs over ``gated`` (the quality-passed
     corpus): train the add-one bigram LM on gated's lang='en' slice,
     score every gated doc, keep score >= min_score. Mirrors
@@ -324,6 +324,7 @@ lmpairs AS MATERIALIZED (
 ),
 lmbig AS (
   SELECT bk, CAST(count(*) AS BIGINT) AS c_bi FROM lmpairs WHERE is_train GROUP BY bk
+  {f"HAVING count(*) >= {min_count}" if min_count > 1 else ""}
 ),
 lmuni AS (
   SELECT pk, CAST(count(*) AS BIGINT) AS c_uni FROM lmpairs WHERE is_train GROUP BY pk
@@ -354,9 +355,13 @@ lgated AS (
 
 
 def _pipeline_oracle(
-    lm_min_score: float | None = None, election: str = "min_id"
+    lm_min_score: float | None = None,
+    election: str = "min_id",
+    lm_min_count: int = 1,
 ) -> str:
-    lm_block = "" if lm_min_score is None else _lm_gate_ctes(lm_min_score)
+    lm_block = (
+        "" if lm_min_score is None else _lm_gate_ctes(lm_min_score, lm_min_count)
+    )
     src = "gated" if lm_min_score is None else "lgated"
     gated_kw = "gated AS (" if lm_min_score is None else "gated AS MATERIALIZED ("
     if election == "keep_best":
@@ -563,6 +568,42 @@ def doc_curation_lmgate(spark: SparkSession, sf_dir: str) -> DataFrame:
         mix_weights=_PIPE_WEIGHTS,
         n_shards=_PIPE_SHARDS,
         lm_min_score=_PIPE_LM_MIN,
+    )
+
+
+_PIPE_LM_MIN_COUNT = 2
+
+
+@register(
+    "doc_curation_lmgate_pruned",
+    _pipeline_oracle(_PIPE_LM_MIN, lm_min_count=_PIPE_LM_MIN_COUNT),
+    "curation pipeline with the count-floor-PRUNED bigram-LM gate (bounded broadcast)",
+)
+def doc_curation_lmgate_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r9 item 3: the composition that needs the bounded broadcast
+    most at 100 TB — ``doc_curation_lmgate`` with ``lm_min_count=2``
+    forwarded through ``curation_pipeline`` to the gate's LM, so the
+    broadcast bigram map is bounded by train_tokens/min_count instead of
+    growing with train-slice diversity (Zipf singleton mass). Docs whose
+    score depended on now-pruned singleton bigrams fall to the
+    unseen-bigram backoff and may cross the gate floor — so the survivor
+    set (and every downstream election) can differ from the unpruned
+    pipeline's, which is exactly the cross-stage contract this query pins
+    against the HAVING-floored oracle."""
+    from duckpipe_spark.functions.corpus import curation_pipeline
+
+    return curation_pipeline(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=_PIPE_MIN_TOKENS,
+        min_points=_PIPE_MIN_POINTS,
+        span_window=_PIPE_SPAN_W,
+        decontam_k=_PIPE_DECON_K,
+        bench_bucket_min=_PIPE_BENCH_MIN,
+        max_contamination=_PIPE_MAX_CONTAM,
+        mix_weights=_PIPE_WEIGHTS,
+        n_shards=_PIPE_SHARDS,
+        lm_min_score=_PIPE_LM_MIN,
+        lm_min_count=_PIPE_LM_MIN_COUNT,
     )
 
 

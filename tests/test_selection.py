@@ -328,6 +328,78 @@ def test_score_auc_hand_cases(spark):
     assert auc([(1, 2.0, True), (2, 1.0, False), (3, 2.0, False)]).auc == 0.75
 
 
+def test_score_auc_ignores_null_scores(spark):
+    """ADVICE r9 item 2: NULL scores carry no ranking information and the
+    engines disagree on where they'd sort (Spark windows put NULLs first
+    ascending, DuckDB's ORDER BY puts them last) — score_auc must drop
+    them, i.e. equal the AUC of the non-NULL subset, with n_pos/n_neg
+    counting only scored rows."""
+    from duckpipe_spark.functions.selection import score_auc
+
+    rows = [
+        (1, 1.0, True),
+        (2, 2.0, True),
+        (3, 0.5, False),
+        (4, 0.1, False),
+        (5, None, True),   # unscored — must not count anywhere
+        (6, None, False),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, score double, y boolean")
+    r = score_auc(df, label_col="y", score_col="score").collect()[0]
+    clean = score_auc(
+        df.where("score IS NOT NULL"), label_col="y", score_col="score"
+    ).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (clean.n_pos, clean.n_neg, clean.auc) == (2, 2, 1.0)
+
+
+def test_curation_lm_gate_min_count_contract(spark):
+    """VERDICT r9 item 3: curation_pipeline must FORWARD lm_min_count to
+    the gate's LM. Corpus built so one doc scores above the gate floor
+    only under the UNPRUNED model (its bigrams are singletons — pruning
+    sends them to the unseen-bigram backoff): with lm_min_count=1 it
+    survives, with lm_min_count=2 it drops. Also the boundedness contract:
+    the pruned broadcast map's size <= train_bigram_tokens / min_count."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.corpus import curation_pipeline
+    from duckpipe_spark.functions.selection import lm_quality_score, lm_train
+
+    # 12+ tokens (gate floor 10), quality-point-clean texts
+    common = "the cat sat on the mat and the dog sat on the mat"
+    rare = "zq xv qk jw ba ce dg fh ik lm no pr"  # 11 singleton bigram types
+    docs = spark.createDataFrame(
+        [(1, common, "en"), (2, common, "en"), (3, rare, "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    pred = F.col("lang") == "en"
+    s_full = {r.id: r.lm_score for r in lm_quality_score(docs, pred).collect()}
+    s_pruned = {
+        r.id: r.lm_score for r in lm_quality_score(docs, pred, min_count=2).collect()
+    }
+    # pick a floor between doc 3's pruned and unpruned scores
+    assert s_pruned[3] < s_full[3], (s_pruned, s_full)
+    floor = (s_pruned[3] + s_full[3]) / 2
+    kept_1 = {
+        r.doc_id
+        for r in curation_pipeline(
+            docs, lm_min_score=floor, lm_min_count=1, persist_stages=False
+        ).collect()
+    }
+    kept_2 = {
+        r.doc_id
+        for r in curation_pipeline(
+            docs, lm_min_score=floor, lm_min_count=2, persist_stages=False
+        ).collect()
+    }
+    assert 3 in kept_1 and 3 not in kept_2, (kept_1, kept_2)
+    # boundedness: |pruned big map| <= train bigram tokens / min_count
+    pruned = lm_train(docs, pred, min_count=2).collect()[0]
+    n_bigram_tokens = sum(
+        len(t.split()) - 1 for t in (common, common, rare)
+    )
+    assert len(pruned.big) <= n_bigram_tokens / 2
+
+
 def test_lm_auc_finds_its_training_domain(spark):
     """The registered doc_lm_auc semantics: an en-trained LM must rank en
     docs above non-en far better than chance on the fixture corpus
