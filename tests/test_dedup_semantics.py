@@ -238,6 +238,34 @@ def test_kmeanspar_init_recovers_planted_clusters(spark, planted_vectors):
         kmeans_cells(planted_vectors, k=5, init="bogus")
 
 
+def test_kmeans_init_auto_crossover(spark, planted_vectors):
+    """VERDICT r9 item 5: ``init="auto"`` resolves by the MEASURED
+    farthest-vs-parallel crossover (KMEANS_INIT_CROSSOVER_K = 24,
+    BASELINE §22.3): below it auto ≡ farthest (bit-identical result at
+    k=8), at/above it auto ≡ parallel (bit-identical at k=64 — k > n
+    seeds fewer cells, the same disappearing-cell contract as Lloyd)."""
+    from duckpipe_spark.functions.similarity import (
+        KMEANS_INIT_CROSSOVER_K,
+        kmeans_cells,
+    )
+
+    assert KMEANS_INIT_CROSSOVER_K == 24  # the documented §22.3 crossover
+    a8 = sorted(
+        map(tuple, kmeans_cells(planted_vectors, k=8, iters=2, init="auto").collect())
+    )
+    f8 = sorted(
+        map(tuple, kmeans_cells(planted_vectors, k=8, iters=2, init="farthest").collect())
+    )
+    assert a8 == f8
+    a64 = sorted(
+        map(tuple, kmeans_cells(planted_vectors, k=64, iters=1, init="auto").collect())
+    )
+    p64 = sorted(
+        map(tuple, kmeans_cells(planted_vectors, k=64, iters=1, init="parallel").collect())
+    )
+    assert a64 == p64
+
+
 def test_pq_codes_total_and_adc_finds_exact_twin(spark, planted_vectors):
     """PQ codes must cover every (vector, subspace) exactly once and be
     deterministic; ADC distance to an exact duplicate is 0, so the twin

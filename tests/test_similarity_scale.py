@@ -99,6 +99,57 @@ def test_doubling_corpus_keeps_pairs_subquadratic(spark, n):
     assert ratio < 3.0, f"pair growth {ratio:.2f}x on 2x corpus — not sub-quadratic"
 
 
+def test_lsh_bucket_dim_guards(spark):
+    """ADVICE r9 item 1: the r9 plane-slice fix was one-sided. Both
+    directions must hold now — a vector LONGER than the 64-dim plane
+    buckets by its first-64 projection (not NULL-collapsed into bucket 0),
+    a NULL embedding buckets to 0 explicitly (instead of throwing on
+    F.slice with size(NULL) = −1), shorter vectors keep the r9 behavior,
+    and full-dim vectors are bit-unchanged."""
+    rng = np.random.default_rng(7)
+
+    def buckets(dim: int, n: int = 64) -> list[int]:
+        vecs = rng.standard_normal((n, dim)).astype(np.float64)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(vecs)}
+        )
+        df = spark.createDataFrame(pdf)
+        return [
+            r["b"]
+            for r in df.select(
+                lsh_bucket_col(F.col("embedding")).alias("b")
+            ).collect()
+        ]
+
+    for dim in (32, 64, 96, 128):
+        bs = buckets(dim)
+        assert len(set(bs)) > 1, f"dim={dim} collapsed into one bucket: {set(bs)}"
+    # 96-dim buckets equal the first-64-components buckets (prefix projection)
+    vecs = rng.standard_normal((32, 96)).astype(np.float64)
+    full = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(32, dtype=np.int64), "embedding": list(vecs)})
+    )
+    pref = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(32, dtype=np.int64), "embedding": list(vecs[:, :64])}
+        )
+    )
+    bf = [r["b"] for r in full.select(lsh_bucket_col(F.col("embedding")).alias("b")).collect()]
+    bp = [r["b"] for r in pref.select(lsh_bucket_col(F.col("embedding")).alias("b")).collect()]
+    assert bf == bp
+    # NULL embedding: bucket 0, no exception
+    nulls = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None)], "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["b"]
+        for r in nulls.select(
+            "vec_id", lsh_bucket_col(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    assert got[2] == 0 and got[1] is not None
+
+
 def test_int8_quantization_error_bound(spark):
     """Symmetric int8 quantization: reconstruction error is bounded by
     scale/254 per element (half a quantization step), q codes stay in
