@@ -70,23 +70,25 @@ def synth_docs(spark):
     return spark.range(N_DOCS).select(F.col("id").alias("doc_id"), text.alias("text"))
 
 
-def main_big() -> None:
+def main_big(n_merges: int = 4096) -> None:
     """4,096-merge batched training (k=256): the rounds/merge trend at a
     REAL vocabulary size. Early rounds accept few merges (top candidates
     share single-char symbols, and the non-interacting rule is
     conservative); as symbols lengthen and the pair table thins,
     acceptance per round climbs — the claim to measure is that total
-    rounds stay ≪ total merges end-to-end."""
+    rounds stay ≪ total merges end-to-end. ``--merges=8192`` (VERDICT r9
+    item 4) extends the sweep past the §22.2 point to confirm
+    rounds/merge keeps falling as the vocabulary grows."""
     spark = get_spark("bpe-vocab-scale-big")
     docs = synth_docs(spark).persist()
     print(f"# corpus: {docs.count()} docs, {N_WORDS} distinct words")
     out: dict = {"metric": "bpe_vocab_scale_big", "unit": "sec"}
     t0 = time.perf_counter()
-    bat = learn_bpe_merges_batched(docs, n_merges=4096, k_per_round=256, cand_m=512)
+    bat = learn_bpe_merges_batched(docs, n_merges=n_merges, k_per_round=256, cand_m=512)
     rows = bat.orderBy("merge_rank").collect()
     wall = time.perf_counter() - t0
     n_rounds = max(r.round for r in rows)
-    out["train_batched_4096"] = round(wall, 2)
+    out[f"train_batched_{n_merges}"] = round(wall, 2)
     out["batched_merges"] = len(rows)
     out["batched_rounds"] = int(n_rounds)
     out["rounds_per_merge"] = round(n_rounds / len(rows), 4)
@@ -153,6 +155,10 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--big" in sys.argv:
-        main_big()
+        n = 4096
+        for a in sys.argv[1:]:
+            if a.startswith("--merges="):
+                n = int(a.split("=", 1)[1])
+        main_big(n)
     else:
         main()
