@@ -499,11 +499,14 @@ def bm25_topk(
     Scale shape: tf/dl are map-side-combinable aggregates of the token
     explode; df aggregates ONLY query terms (left-semi against the
     broadcast term set prunes the shuffle to matched rows); corpus-size
-    stats ride a 1-row crossJoin (never collected); the rank window
-    partitions by query_id — top-k per query is a TakeOrdered-sized
-    result, and candidate rows entering the window are only docs
-    containing ≥1 query term."""
-    from pyspark.sql import Window
+    stats ride a 1-row crossJoin (never collected); candidate rows
+    entering the rank stage are only docs containing ≥1 query term, and
+    the rank itself is the TWO-PHASE per-query top-k
+    (``similarity._topk_per_query``, r10): with a stop-word-ish query
+    term the candidate set is ~corpus-sized, and a single per-query
+    window would send it all into one reducer task — the partial
+    per-partition rank keeps every task's sort bounded by its input
+    slice."""
 
     spark = docs.sparkSession
     k1_plus_1 = k1 + 1.0
@@ -549,11 +552,10 @@ def bm25_topk(
         ),
         6,
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        matched.groupBy("query_id", id_col)
-        .agg(score.alias("score"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", F.col(id_col), "score")
+    from duckpipe_spark.functions.similarity import _topk_per_query
+
+    scored = matched.groupBy("query_id", id_col).agg(score.alias("score"))
+    ranked = _topk_per_query(
+        scored, [F.col("score").desc(), F.col(id_col).asc()], k
     )
+    return ranked.select("query_id", "rank", F.col(id_col), "score")

@@ -102,6 +102,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "embedding_hamming_external_topk",
     "embedding_lsh_recall",
     "embedding_ivf_recall",
+    "doc_bm25_topk",
     # lsh_bucket_col dim>planes validation + NULL-vector guard (ADVICE r9
     # item 1) — no-op at the oracle-facing dim 64, values pinned unchanged.
     "embedding_lsh_topk",

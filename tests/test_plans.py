@@ -462,6 +462,10 @@ def test_bm25_broadcast_only_semi_pruned(spark):
     assert a.python_stages == 0
     assert a.broadcast_hash_joins >= 4  # semi-prune + qt + dfq + (dl small here)
     assert "LeftSemi" in a.text
+    # r10: the rank stage is the two-phase per-query top-k — phase 1 ranks
+    # within (query_id, input partition) so a stop-word query term can't
+    # funnel a corpus-sized candidate set into one reducer
+    assert "SPARK_PARTITION_ID" in a.text.upper(), a.text
 
 
 def test_curation_semdedup_no_cartesian_no_extra_python(spark):
