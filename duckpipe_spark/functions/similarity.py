@@ -320,6 +320,52 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB 2007 — derandomized to the
+    full Hamming-1 probe set): candidates come from the query's OWN bucket
+    plus the ``n_planes`` buckets reached by flipping each single sign bit.
+    A vector whose true angle puts it just on the other side of ONE
+    hyperplane — the dominant miss mode for sign-LSH — lands in exactly
+    such a neighbor bucket, so probing them recovers most of the recall
+    gap without adding planes (which would SPLIT buckets and cut recall)
+    or hash tables (which would duplicate the corpus index).
+
+    Scale shape: identical to ``lsh_topk`` with the query side exploded
+    ×(n_planes+1) BEFORE the broadcast — the corpus stays bucketed once,
+    the probe join is still a bucket equi-join, and the candidate count is
+    (n_planes+1)× the bucket occupancy (still corpus-fraction-bounded,
+    never all-pairs). Each corpus bucket matches at most ONE probe mask
+    per query (mask = corpus_bucket XOR query_bucket is unique), so no
+    candidate dedup pass is needed. Rank is the two-phase per-query
+    top-k."""
+    n_planes = _resolve_planes(n_planes, n_rows)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), n_planes))
+    masks = F.array(
+        *[F.lit(m).cast("bigint") for m in [0] + [1 << i for i in range(n_planes)]]
+    )
+    q = (
+        bucketed.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket")
+        .withColumn("mask", F.explode(masks))
+        .select(
+            "query_id", "qvec", F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket")
+        )
+    )
+    pairs = bucketed.join(F.broadcast(q), "bucket").where(F.col(id_col) != F.col("query_id"))
+    cos = F.round(cosine_col(F.col("qvec"), F.col(vec_col)), 6)
+    scored = pairs.select("query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+    ranked = _topk_per_query(scored, [F.col("cos").desc(), F.col("neighbor_id").asc()], k)
+    return ranked.select("query_id", "rank", "neighbor_id", "cos")
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -912,6 +958,27 @@ def lsh_recall(
     recall is an integer hit count divided once."""
     exact = brute_force_topk(embeddings, query_ids, k, id_col=id_col, vec_col=vec_col)
     approx = lsh_topk(
+        embeddings, query_ids, k, n_planes=n_planes, n_rows=n_rows, id_col=id_col, vec_col=vec_col
+    )
+    return topk_recall(exact, approx, k)
+
+
+def lsh_multiprobe_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int | None = None,
+    n_rows: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``lsh_recall`` for the multi-probe path — the measurement that
+    justifies probing: per-query recall@k of the Hamming-1 probe set vs
+    exact. Candidates are a strict superset of the single-bucket path's,
+    so multi-probe recall >= plain LSH recall for every query
+    (pytest-pinned); the cost is (n_planes+1)x the candidate count."""
+    exact = brute_force_topk(embeddings, query_ids, k, id_col=id_col, vec_col=vec_col)
+    approx = lsh_multiprobe_topk(
         embeddings, query_ids, k, n_planes=n_planes, n_rows=n_rows, id_col=id_col, vec_col=vec_col
     )
     return topk_recall(exact, approx, k)

@@ -117,6 +117,10 @@ CHANGED_THIS_ROUND: list[str] = [
     # NEW in r10: encode through a tokenizer LOADED from a parquet artifact
     # on disk — the cross-session serving contract (VERDICT r9 item 6)
     "doc_bpe_artifact_encode",
+    # NEW in r10: multi-probe LSH (Hamming-1 neighbor buckets, Lv'07) —
+    # the recall knob that doesn't add planes or duplicate the index
+    "embedding_lsh_multiprobe_topk",
+    "embedding_multiprobe_recall",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -101,6 +101,57 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, n_planes=N_PLANES)
 
 
+# --- multi-probe LSH (r10): Hamming-1 neighbor buckets for recall ------------
+
+_PROBE_MASKS_SQL = ", ".join(
+    f"CAST({m} AS BIGINT)" for m in [0] + [1 << i for i in range(N_PLANES)]
+)
+
+_MPROBE_TOPK_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bucketed
+  WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+),
+probes AS (
+  SELECT query_id, qvec, xor(bucket, m.mask) AS bucket
+  FROM q CROSS JOIN (SELECT unnest([{_PROBE_MASKS_SQL}]) AS mask) m
+),
+pairs AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('p.qvec', 'e.embedding')} AS cos
+  FROM bucketed e JOIN probes p ON e.bucket = p.bucket
+  WHERE e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "embedding_lsh_multiprobe_topk",
+    _MPROBE_TOPK_ORACLE,
+    "multi-probe LSH top-k: query bucket + all Hamming-1 neighbor buckets (Lv'07)",
+)
+def embedding_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference surface: none (beyond-reference ANN operator; multi-probe
+    LSH = Lv et al., VLDB 2007, derandomized to the full Hamming-1 probe
+    set). The recall knob that doesn't add planes (splitting buckets) or
+    hash tables (duplicating the index): probe the n_planes buckets one
+    sign-flip away, where one-hyperplane near-misses — sign-LSH's dominant
+    miss mode — land."""
+    from duckpipe_spark.functions.similarity import lsh_multiprobe_topk
+
+    return lsh_multiprobe_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, n_planes=N_PLANES
+    )
+
+
 _NEARDUP_THRESHOLD = 0.3
 
 _NEARDUP_ORACLE = f"""
@@ -597,6 +648,69 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckpipe_spark.functions.similarity import lsh_recall
 
     return lsh_recall(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, n_planes=N_PLANES)
+
+
+_MPROBE_RECALL_ORACLE = f"""
+WITH exactp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN (
+    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+    WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) q
+  WHERE e.vec_id <> q.query_id
+),
+exactk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM exactp
+  ) WHERE rank <= {_K}
+),
+bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+probes AS (
+  SELECT query_id, qvec, xor(bucket, m.mask) AS bucket
+  FROM (
+    SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bucketed
+    WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) q CROSS JOIN (SELECT unnest([{_PROBE_MASKS_SQL}]) AS mask) m
+),
+mpk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {_cos_sql('p.qvec', 'e.embedding')} DESC, e.vec_id) AS rank
+    FROM bucketed e JOIN probes p ON e.bucket = p.bucket
+    WHERE e.vec_id <> p.query_id
+  ) WHERE rank <= {_K}
+)
+SELECT e.query_id,
+       CAST(count(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(l.neighbor_id) AS DOUBLE) / {_K}.0 AS recall
+FROM exactk e LEFT JOIN mpk l
+  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "embedding_multiprobe_recall",
+    _MPROBE_RECALL_ORACLE,
+    "ANN evaluation: recall@k of the multi-probe LSH path vs exact top-k, per query",
+)
+def embedding_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement that justifies probing: per-query recall@k of the
+    Hamming-1 probe set. Candidates are a strict superset of the
+    single-bucket path's, so every query's recall here >= its
+    embedding_lsh_recall value (a globally-top-k item in the candidate set
+    can be outranked by at most k-1 candidates — the same monotonicity
+    argument as the two-phase rank's superset proof; pytest-pinned)."""
+    from duckpipe_spark.functions.similarity import lsh_multiprobe_recall
+
+    return lsh_multiprobe_recall(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, _K, n_planes=N_PLANES
+    )
 
 
 _IVF_RECALL_ORACLE = f"""

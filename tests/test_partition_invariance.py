@@ -443,6 +443,14 @@ def op_hamming_topk(spark, scramble):
     return hamming_topk(scramble(_embs(spark)), [0, 1, 2], k=4)
 
 
+def op_lsh_multiprobe_topk(spark, scramble):
+    from duckpipe_spark.functions.similarity import N_PLANES, lsh_multiprobe_topk
+
+    return lsh_multiprobe_topk(
+        scramble(_embs(spark)), [0, 1, 2], k=4, n_planes=N_PLANES
+    )
+
+
 def op_brute_force_topk(spark, scramble):
     # r10 two-phase rank: the phase-1 local top-k runs per INPUT partition,
     # so this op is the direct proof that survivors (hence final values)
@@ -601,6 +609,7 @@ _OPS = [
     op_maxmatch_encode,
     op_hamming_topk,
     op_brute_force_topk,
+    op_lsh_multiprobe_topk,
     op_length_bucketed_pack,
     op_epoch_order,
     op_corpus_report,

@@ -599,6 +599,19 @@ def test_hamming_external_no_smj_two_phase_rank(spark):
     assert a.python_stages == 0
 
 
+def test_multiprobe_no_smj_no_cartesian(spark):
+    """embedding_lsh_multiprobe_topk: the corpus is bucketed ONCE (pure
+    projection), the probe side (queries × masks) broadcasts into a bucket
+    equi-join — no sort-merge join against the corpus, no cartesian pair
+    search, no Python; the rank stage is the two-phase top-k."""
+    with no_aqe(spark):
+        a = audit_plan(_q("embedding_lsh_multiprobe_topk")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0, a.text
+    assert "CartesianProduct" not in a.text
+    assert a.python_stages == 0
+    assert "SPARK_PARTITION_ID" in a.text.upper(), a.text
+
+
 def test_lm_serve_scores_is_broadcast_projection(spark):
     """doc_lm_serve_scores: the serve path is a projection over a 1-row
     broadcast model — no SMJ/SHJ against the corpus, no Python, and no

@@ -150,6 +150,33 @@ def test_lsh_bucket_dim_guards(spark):
     assert got[2] == 0 and got[1] is not None
 
 
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    """Multi-probe LSH (r10): the Hamming-1 probe set's candidates are a
+    strict SUPERSET of the single-bucket path's, so per-query recall@k can
+    only improve — a globally-top-k item in the candidate set is outranked
+    by at most k−1 candidates, so extra candidates never evict it (the
+    same superset-monotonicity argument as the two-phase rank). On the
+    driver fixture the improvement is real, not vacuous: single-bucket LSH
+    recalls 0 of the exact top-5 (the 64-dim vectors are near-orthogonal,
+    so true neighbors usually differ in ≥1 sign bit), multi-probe recovers
+    hits (measured 2 at sf0.001)."""
+    from duckpipe_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    lsh = {
+        r.query_id: r.n_hits
+        for r in REGISTRY["embedding_lsh_recall"].fn(spark, SF_SMOKE).collect()
+    }
+    mp = {
+        r.query_id: r.n_hits
+        for r in REGISTRY["embedding_multiprobe_recall"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(mp) == set(lsh)
+    for qid in lsh:
+        assert mp[qid] >= lsh[qid], (qid, mp[qid], lsh[qid])
+    assert sum(mp.values()) > sum(lsh.values()), (mp, lsh)
+
+
 def test_int8_quantization_error_bound(spark):
     """Symmetric int8 quantization: reconstruction error is bounded by
     scale/254 per element (half a quantization step), q codes stay in
