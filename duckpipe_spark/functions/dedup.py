@@ -237,6 +237,145 @@ def positional_shingle_hashes(
     )
 
 
+_WINNOW_POS_BITS = 21  # pos rides in the low bits of the tie-break key
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003) → (id, pos, fp): slide a ``w``-window over the document's
+    POSITIONAL k-gram hash sequence, select each window's minimum hash
+    (ties → leftmost position — plain winnowing, deterministic), and emit
+    the DISTINCT selected (position, fingerprint) pairs.
+
+    The guarantee that makes this THE local fingerprinting scheme: any
+    shared token run of length >= w + k - 1 between two documents yields
+    at least one shared selected fingerprint, while expected density is
+    only 2/(w+1) of the shingle count — span-dedup-grade detection at a
+    fraction of the index size. Selection is per-window min of the
+    combined key ``hash·2^21 + pos`` (exact int64: hash < 2^30 mod 1e9+7,
+    so the key < 2^51), which encodes the leftmost-tie rule in one integer
+    min — the form both engines compute bit-identically. Docs longer than
+    2^21 tokens are refused loudly rather than silently mis-keyed.
+
+    Shuffle-free Arrow projection (same kernel family and word-hash
+    semantics as ``positional_shingle_hashes``): the window min is a
+    per-doc-local computation, so no exchange exists until a consumer
+    aggregates. Docs with < k tokens emit nothing; docs with fewer than
+    ``w`` shingles emit the min of what they have (one degenerate
+    window)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(f"winnow_fingerprints needs an integral id column, got {id_type}")
+
+    pos_cap = 1 << _WINNOW_POS_BITS
+
+    def _map(pdf_iter):
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+        cache: dict[str, int] = {}
+
+        def whash(word: str) -> int:
+            h = cache.get(word)
+            if h is None:
+                h = 0
+                for ch in word:
+                    h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+                cache[word] = h
+            return h
+
+        for pdf in pdf_iter:
+            ids: list = []
+            sels: list = []
+            for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                if not isinstance(text, str):
+                    continue
+                toks = ws.split(text.strip(" "))
+                if len(toks) < k:
+                    continue
+                if len(toks) - k + 1 >= pos_cap:
+                    raise ValueError(
+                        f"winnow_fingerprints: doc {doc_id} has >= 2^21 "
+                        "shingles — the pos tie-break key would overflow"
+                    )
+                wh = np.fromiter(
+                    (whash(x) for x in toks), dtype=np.int64, count=len(toks)
+                )
+                n = len(toks) - k + 1
+                acc = wh[:n] % POLY_MOD
+                for j in range(1, k):
+                    acc = (acc * WORD_BASE + wh[j : j + n]) % POLY_MOD
+                comb = acc * pos_cap + np.arange(n, dtype=np.int64)
+                if n <= w:
+                    sel = np.array([comb.min()], dtype=np.int64)
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(comb, w)
+                    sel = np.unique(win.min(axis=1))
+                ids.append(np.full(len(sel), doc_id, dtype=np.int64))
+                sels.append(sel)
+            if ids:
+                allsel = np.concatenate(sels)
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(ids),
+                        "pos": allsel % pos_cap,
+                        "fp": allsel // pos_cap,
+                    }
+                )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _map, "id bigint, pos bigint, fp bigint"
+    )
+
+
+def winnow_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 50,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowed fingerprints →
+    (id_a, id_b, n_shared): the MOSS-style matching pass over
+    ``winnow_fingerprints``. Two docs sharing any token run of length
+    >= w + k - 1 are guaranteed to appear (they share a selected
+    fingerprint); n_shared grows with overlap, so callers rank or
+    threshold it before the exact verify step (same contract as the
+    Jaccard candidate pass).
+
+    Scale shape: inverted-index equi-self-join on fp — never all-pairs.
+    Fingerprints appearing in more than ``max_df`` docs (boilerplate) are
+    dropped via a broadcast anti-join BEFORE the pair join, the same skew
+    guard the Jaccard candidates use: one hot boilerplate fingerprint
+    would otherwise contribute df² pair rows."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).select("id", "fp").distinct()
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > max_df)
+        .select("fp")
+    )
+    rare = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = rare.select(F.col("id").alias("id_a"), "fp")
+    b = rare.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
 def shingle_hashes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
     impl: str = "arrow",

@@ -121,6 +121,9 @@ CHANGED_THIS_ROUND: list[str] = [
     # the recall knob that doesn't add planes or duplicate the index
     "embedding_lsh_multiprobe_topk",
     "embedding_multiprobe_recall",
+    # NEW in r10: winnowing fingerprints + MOSS-style matching (SIGMOD'03)
+    "doc_winnow_fingerprints",
+    "doc_winnow_matches",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -353,3 +353,100 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "n_shingles", "n_novel", "novel_frac"
     )
+
+
+# --- winnowing fingerprints (r10): Schleimer/Wilkerson/Aiken, SIGMOD 2003 ----
+
+_WINNOW_W = 4
+_WINNOW_MAX_DF = 50
+_WINNOW_POS_CAP = 1 << 21  # functions.dedup._WINNOW_POS_BITS
+
+_WINNOW_SEL_CTES = f"""
+toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+wh AS (
+  SELECT id, list_transform(t, w -> list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD}
+  )) AS w, len(t) AS n
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT id, i - 1 AS pos, n - 2 AS n_sh,
+    ((w[i] * {WORD_BASE} + w[i+1]) % {POLY_MOD} * {WORD_BASE} + w[i+2]) % {POLY_MOD} AS hv
+  FROM (SELECT id, w, n, unnest(range(1, n - 1)) AS i FROM wh)
+),
+wmin AS (
+  SELECT id, pos, n_sh,
+         min(hv * {_WINNOW_POS_CAP} + pos) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS mc
+  FROM sh
+),
+sel AS (
+  SELECT DISTINCT id, mc FROM wmin WHERE pos <= greatest(n_sh - {_WINNOW_W}, 0)
+)"""
+
+_WINNOW_ORACLE = f"""
+WITH {_WINNOW_SEL_CTES}
+SELECT id AS doc_id,
+       CAST(mc % {_WINNOW_POS_CAP} AS BIGINT) AS pos,
+       CAST(mc // {_WINNOW_POS_CAP} AS BIGINT) AS fp
+FROM sel
+"""
+
+
+@register(
+    "doc_winnow_fingerprints",
+    _WINNOW_ORACLE,
+    "winnowing fingerprints (SIGMOD'03): per-window min k-gram hash, ~2/(w+1) density",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference surface: none (beyond-reference dedup operator; winnowing
+    = Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS fingerprinting
+    scheme). Guarantees any shared token run of >= w + k - 1 produces a
+    shared fingerprint at ~2/(w+1) of the shingle index size. The oracle
+    re-derives the selection with a SQL window min over the identical
+    combined key hash*2^21 + pos (exact int64 tie-break)."""
+    from duckpipe_spark.functions.dedup import winnow_fingerprints
+
+    out = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, w=_WINNOW_W
+    )
+    return out.select(F.col("id").alias("doc_id"), "pos", "fp")
+
+
+_WINNOW_MATCHES_ORACLE = f"""
+WITH {_WINNOW_SEL_CTES},
+fps AS (
+  SELECT DISTINCT id, mc // {_WINNOW_POS_CAP} AS fp FROM sel
+),
+hot AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) > {_WINNOW_MAX_DF}
+),
+rare AS MATERIALIZED (
+  SELECT id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM hot)
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id
+"""
+
+
+@register(
+    "doc_winnow_matches",
+    _WINNOW_MATCHES_ORACLE,
+    "MOSS-style candidate pairs from shared winnowed fingerprints (df-capped)",
+)
+def doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matching pass over the winnowed index: inverted-index self-join
+    on the fingerprint (never all-pairs), with boilerplate fingerprints
+    (df > _WINNOW_MAX_DF = 50) dropped by a broadcast anti-join BEFORE the
+    pair join — one hot fingerprint would otherwise contribute df^2 pair
+    rows (the Jaccard candidates' skew guard, reused)."""
+    from duckpipe_spark.functions.dedup import winnow_matches
+
+    return winnow_matches(
+        load_table(spark, sf_dir, "documents"), k=3, w=_WINNOW_W, max_df=_WINNOW_MAX_DF
+    )

@@ -423,3 +423,47 @@ def test_ngram_novelty_semantics(spark):
     assert out[1].novel_frac == 0.0 and out[2].novel_frac == 0.0
     assert out[3].novel_frac == 1.0
     assert out[3].n_novel == out[3].n_shingles
+
+
+def test_winnow_guarantee_and_tie_break(spark):
+    """Winnowing contract (Schleimer'03): (1) any shared token run of
+    length >= w + k - 1 yields a shared selected fingerprint; (2) docs
+    sharing no k-gram share no fingerprint; (3) ties select the LEFTMOST
+    position (a repeated-token doc selects every window's first slot);
+    (4) density: selections never exceed the window count."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.dedup import winnow_fingerprints, winnow_matches
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # w + k - 1 = 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five six"),
+            (2, f"seven eight nine ten {shared} eleven"),
+            (3, "completely different words entirely here now truly"),
+            (4, "rep rep rep rep rep rep rep rep"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    by_doc = {
+        i: {r.fp for r in rows}
+        for i, rows in [
+            (i, fps.where(F.col("id") == i).collect()) for i in (1, 2, 3, 4)
+        ]
+    }
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # repeated-token doc: all shingle hashes equal -> leftmost tie-break
+    # selects every window's first slot -> positions are exactly 0..n_sh-w
+    rep = sorted(r.pos for r in fps.where(F.col("id") == 4).collect())
+    n_sh = 8 - k + 1  # 6 shingles
+    assert rep == list(range(n_sh - w + 1)), rep
+    # density bound: per-doc selections <= window count
+    for i in (1, 2, 3):
+        n_tok = len(docs.where(F.col("doc_id") == i).collect()[0].text.split())
+        assert len(by_doc[i]) <= n_tok - k + 1
+    # matching pass surfaces exactly the planted pair
+    pairs = {(r.id_a, r.id_b) for r in winnow_matches(docs, k=k, w=w).collect()}
+    assert (1, 2) in pairs and all(3 not in p and 4 not in p for p in pairs)

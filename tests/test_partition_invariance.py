@@ -443,6 +443,18 @@ def op_hamming_topk(spark, scramble):
     return hamming_topk(scramble(_embs(spark)), [0, 1, 2], k=4)
 
 
+def op_winnow_fingerprints(spark, scramble):
+    from duckpipe_spark.functions.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(scramble(_docs(spark)))
+
+
+def op_winnow_matches(spark, scramble):
+    from duckpipe_spark.functions.dedup import winnow_matches
+
+    return winnow_matches(scramble(_docs(spark)))
+
+
 def op_lsh_multiprobe_topk(spark, scramble):
     from duckpipe_spark.functions.similarity import N_PLANES, lsh_multiprobe_topk
 
@@ -610,6 +622,8 @@ _OPS = [
     op_hamming_topk,
     op_brute_force_topk,
     op_lsh_multiprobe_topk,
+    op_winnow_fingerprints,
+    op_winnow_matches,
     op_length_bucketed_pack,
     op_epoch_order,
     op_corpus_report,

@@ -599,6 +599,31 @@ def test_hamming_external_no_smj_two_phase_rank(spark):
     assert a.python_stages == 0
 
 
+def test_winnow_fingerprints_shuffle_free(spark):
+    """doc_winnow_fingerprints: the whole selection (k-gram hashes +
+    window min + distinct-per-doc) happens inside ONE Arrow kernel over
+    the scan — zero exchanges, zero joins; the only Python node is the
+    mapInPandas kernel itself (the documented coarse-Arrow boundary; the
+    audit counts each node in both the plan tree and the detail section,
+    so one kernel reads as 2)."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_winnow_fingerprints")(spark, SF_SMOKE))
+    assert a.exchanges == 0, a.text
+    assert a.sort_merge_joins + a.broadcast_hash_joins + a.shuffle_hash_joins == 0
+    assert a.text.count("MapInPandas") == 2 and a.python_stages == 2, a.text
+
+
+def test_winnow_matches_anti_join_before_pairs(spark):
+    """doc_winnow_matches: the boilerplate df-cap is a BROADCAST anti-join
+    applied BEFORE the pair self-join (one hot fingerprint would emit df²
+    pair rows), and the pair join itself is an equi-join — no cartesian."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_winnow_matches")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in a.text
+    assert "LeftAnti" in a.text, a.text
+    assert a.sort_merge_joins == 0, a.text
+
+
 def test_multiprobe_no_smj_no_cartesian(spark):
     """embedding_lsh_multiprobe_topk: the corpus is bucketed ONCE (pure
     projection), the probe side (queries × masks) broadcasts into a bucket
