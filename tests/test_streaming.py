@@ -735,6 +735,7 @@ def test_gopher_and_chunking_stream_as_projections(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d / "b*"))
     )
+    from duckpipe_spark.functions.dedup import winnow_fingerprints
     from duckpipe_spark.functions.text import fim_transform
 
     merges = [("a", "b")]  # pre-trained merge list (training itself is batch)
@@ -743,6 +744,10 @@ def test_gopher_and_chunking_stream_as_projections(spark, tmp_path):
         ("chunks_s", chunk_documents),
         ("bpe_s", lambda df: bpe_token_counts(df, merges)),
         ("fim_s", fim_transform),
+        # r10: winnowing selection is doc-local (one Arrow kernel), so a
+        # continuous crawl can fingerprint documents on arrival; the index
+        # consumer (winnow_matches) aggregates and stays batch/incremental
+        ("winnow_s", winnow_fingerprints),
     ]
     for name, op in cases:
         got = _run_stream(spark, op(stream), name, mode="append")
