@@ -469,6 +469,83 @@ def ivf_topk(
     )
 
 
+def ivf_trained_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over K-MEANS-TRAINED centroids — the production form of
+    ``ivf_topk`` (whose docstring promises exactly this refinement): the
+    coarse quantizer is ``kmeans_cells``' Lloyd-converged integer centroid
+    table instead of smallest-id seed vectors, so cells actually tile the
+    data distribution and a fixed n_probe covers far more of the true
+    neighborhood. Assignment and probe selection both use the k-means
+    metric (integer squared-L2 on round(x·scale) BIGINTs — bit-exact
+    across engines, same tie-break cell asc); only the final rerank over
+    the probed cells touches float math (the exact rounded cosine).
+
+    Scale shape: centroids are a k-row LITERAL (the training loop already
+    collects them — no extra lineage); assignment is one broadcast
+    crossJoin + map-combinable min-struct groupBy (min_by carries the
+    float vector so no second corpus join re-fetches it); the query batch
+    broadcasts; candidates are cell-bounded (n_probe/n_cells of the
+    corpus); rank is the two-phase per-query top-k."""
+    _, cents = kmeans_cells(
+        embeddings, k=n_cells, iters=iters, scale=scale,
+        id_col=id_col, vec_col=vec_col, return_centroids=True,
+    )
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("fv"), qv.alias("v")
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = base.crossJoin(F.broadcast(cents))
+    # (dist, cell) is unique per (id, centroid) row — cell is distinct —
+    # so min-struct and min_by pick the same centroid deterministically
+    assign = (
+        scored.groupBy("id")
+        .agg(
+            F.min(F.struct(dist.alias("d"), F.col("cell"))).alias("m"),
+            F.min_by("fv", F.struct(dist.alias("d"), F.col("cell"))).alias("fv"),
+        )
+        .select("id", F.col("m.cell").alias("cell"), "fv")
+    )
+    q = base.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("fv").alias("qvec"), F.col("v").alias("qv")
+    )
+    qdist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(qdist.asc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    cands = assign.join(F.broadcast(probes), "cell").where(
+        F.col("id") != F.col("query_id")
+    )
+    cos = F.round(cosine_col(F.col("qvec"), F.col("fv")), 6)
+    scored2 = cands.select("query_id", F.col("id").alias("neighbor_id"), cos.alias("cos"))
+    ranked = _topk_per_query(scored2, [F.col("cos").desc(), F.col("neighbor_id").asc()], k)
+    return ranked.select("query_id", "rank", "neighbor_id", "cos")
+
+
 PQ_M = 8  # subspaces (64-dim → 8 segments of 8)
 PQ_CELLS = 16  # codebook entries per subspace
 PQ_SCALE = 10_000
@@ -717,6 +794,7 @@ def kmeans_cells(
     init: str = "farthest",
     init_passes: int = 2,
     oversample: int | None = None,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Deterministic distributed Lloyd k-means → (id, cell): the trained
     version of ``ivf_assign``'s seed centroids, and the engine's
@@ -774,7 +852,12 @@ def kmeans_cells(
       for k < KMEANS_INIT_CROSSOVER_K and ``"parallel"`` at or above it.
       The oracle-facing queries run at k=8 (auto ≡ farthest — parity
       unchanged); real SemDeDup/prototype runs at k ≳ 1024 get the flat
-      init without opting in."""
+      init without opting in.
+
+    ``return_centroids=True`` returns ``(assignment, centroids)`` — the
+    centroid table is the k-row LITERAL DataFrame the loop already
+    materializes (cell, cv: array<bigint> quantized), free to expose and
+    exactly what a trained-index consumer (``ivf_trained_topk``) needs."""
     if init == "auto":
         init = "farthest" if k < KMEANS_INIT_CROSSOVER_K else "parallel"
     qv = F.transform(
@@ -823,7 +906,10 @@ def kmeans_cells(
 
     seed_rows = base.orderBy("h", "id").limit(1).select("v").collect()
     if not seed_rows:  # empty corpus: empty assignment, same as before
-        return spark.createDataFrame([], "id bigint, cell bigint")
+        empty = spark.createDataFrame([], "id bigint, cell bigint")
+        if return_centroids:
+            return empty, spark.createDataFrame([], "cell bigint, cv array<bigint>")
+        return empty
     if init == "parallel":
         # the parallel init needs the LSH stratification bucket, computed
         # from the FLOAT vector (the same sign-hyperplane bucket the LSH
@@ -900,6 +986,8 @@ def kmeans_cells(
 
     for _ in range(iters):
         cents = _materialize(_update(_assign(cents)))
+    if return_centroids:
+        return _assign(cents), cents
     return _assign(cents)
 
 

@@ -124,6 +124,11 @@ CHANGED_THIS_ROUND: list[str] = [
     # NEW in r10: winnowing fingerprints + MOSS-style matching (SIGMOD'03)
     "doc_winnow_fingerprints",
     "doc_winnow_matches",
+    # NEW in r10: IVF over k-means-TRAINED centroids (the production coarse
+    # quantizer ivf_assign's docstring promises); the kmeans oracle builders
+    # were refactored to share CTE chains — _kmeans_oracle output pinned
+    # byte-identical, kmeans family re-attested at sf0.01 this round
+    "embedding_ivf_trained_topk",
 ]
 
 base.DRIVER_ORDER[:] = [

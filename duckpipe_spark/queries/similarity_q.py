@@ -326,6 +326,7 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8
 _KM_ITERS = 2
 _KM_SCALE = 10_000
+_IVF_TRAINED_N_PROBE = 2
 
 
 # integer squared-L2 between a point alias q and a centroid alias c
@@ -356,9 +357,12 @@ def _km_qv_cte(scale: int, with_bucket: bool = False) -> str:
 )"""
 
 
-def _km_lloyd_tail(prev: str, iters: int) -> str:
+def _km_lloyd_tail(prev: str, iters: int, final_select: bool = True) -> str:
     """Lloyd assign/update CTE chain from init-centroid CTE ``prev`` to the
-    final SELECT (shared by the farthest-point and k-means‖ oracles)."""
+    final SELECT (shared by the farthest-point and k-means‖ oracles).
+    ``final_select=False`` stops after the ``afinal`` CTE so a consumer
+    (the trained-IVF oracle) can keep composing — the trained centroid
+    table is ``c{iters}``."""
     sql = ""
     for t in range(1, iters + 1):
         sql += ",\n" + _km_assign(f"a{t}", prev)
@@ -374,15 +378,15 @@ c{t} AS (
 )"""
         prev = f"c{t}"
     sql += ",\n" + _km_assign("afinal", prev)
-    return sql + "\nSELECT id, cell FROM afinal"
+    if final_select:
+        return sql + "\nSELECT id, cell FROM afinal"
+    return sql
 
 
-def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
-    """Unrolled Lloyd iterations as chained CTEs — the SQL twin of
-    ``kmeans_cells``'s driver loop. All-integer math (quantized vectors,
-    integer squared-L2, floor(sum/count) centroids) makes every iteration
-    bit-exact across engines, so the final assignment hash-matches."""
-    sql = f"""WITH {_km_qv_cte(scale)},
+def _km_farthest_init_chain(k: int, scale: int) -> str:
+    """qv + farthest-point seed CTEs cu0..cu{k-1} (no WITH keyword) —
+    shared by the k-means oracle and the trained-IVF oracle."""
+    sql = f"""{_km_qv_cte(scale)},
 cu0 AS (
   SELECT CAST(0 AS BIGINT) AS cell, v AS cv
   FROM (SELECT v FROM qv ORDER BY h, id LIMIT 1)
@@ -402,7 +406,17 @@ cu{t} AS (
     ORDER BY d DESC, q.h, q.id LIMIT 1
   )
 )"""
-    return sql + _km_lloyd_tail(f"cu{k - 1}", iters)
+    return sql
+
+
+def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the SQL twin of
+    ``kmeans_cells``'s driver loop. All-integer math (quantized vectors,
+    integer squared-L2, floor(sum/count) centroids) makes every iteration
+    bit-exact across engines, so the final assignment hash-matches."""
+    return (
+        "WITH " + _km_farthest_init_chain(k, scale) + _km_lloyd_tail(f"cu{k - 1}", iters)
+    )
 
 
 def _kmeanspar_oracle(k: int, iters: int, scale: int, passes: int, ell: int) -> str:
@@ -514,6 +528,74 @@ def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmeans_cells(
         load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE
+    )
+
+
+# --- IVF over TRAINED centroids (r10): the production coarse quantizer ------
+
+
+def _ivf_trained_oracle(k: int, iters: int, scale: int, n_probe: int) -> str:
+    """The full trained-index probe as one SQL: the unrolled k-means chain
+    (init + Lloyd, shared builders with _kmeans_oracle) exposes the trained
+    centroid table c{iters} and the assignment afinal; probe selection uses
+    the SAME integer squared-L2 and cell tie-break; the rerank joins the
+    float vectors back for the exact rounded cosine."""
+    chain = _km_farthest_init_chain(k, scale) + _km_lloyd_tail(
+        f"cu{k - 1}", iters, final_select=False
+    )
+    ids = ", ".join(map(str, _QUERY_IDS))
+    return f"""WITH {chain},
+pq AS (
+  SELECT id AS query_id, v FROM qv WHERE id IN ({ids})
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {_KM_DIST}, c.cell) AS rn
+    FROM pq q CROSS JOIN c{iters} c
+  ) WHERE rn <= {n_probe}
+),
+cands AS (
+  SELECT p.query_id, a.id AS neighbor_id
+  FROM afinal a JOIN probes p ON a.cell = p.cell
+  WHERE a.id <> p.query_id
+),
+ranked AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_cos_sql('qe.embedding', 'ne.embedding')} AS cos,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY {_cos_sql('qe.embedding', 'ne.embedding')} DESC,
+                                     c.neighbor_id) AS rank
+  FROM cands c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "embedding_ivf_trained_topk",
+    _ivf_trained_oracle(_KM_K, _KM_ITERS, _KM_SCALE, _IVF_TRAINED_N_PROBE),
+    "IVF top-k over k-means-TRAINED centroids (integer probe metric, cosine rerank)",
+)
+def embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form ``ivf_assign``'s docstring promises: the coarse
+    quantizer is the Lloyd-trained centroid table (cells tile the data
+    distribution), not smallest-id seeds. Probe metric is the k-means
+    integer squared-L2 (bit-exact), rerank is the exact cosine over the
+    probed n_probe/n_cells slice of the corpus. The oracle re-derives
+    train + assign + probe + rerank from first principles in one SQL."""
+    from duckpipe_spark.functions.similarity import ivf_trained_topk
+
+    return ivf_trained_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        _K,
+        n_cells=_KM_K,
+        iters=_KM_ITERS,
+        n_probe=_IVF_TRAINED_N_PROBE,
+        scale=_KM_SCALE,
     )
 
 

@@ -467,3 +467,35 @@ def test_winnow_guarantee_and_tie_break(spark):
     # matching pass surfaces exactly the planted pair
     pairs = {(r.id_a, r.id_b) for r in winnow_matches(docs, k=k, w=w).collect()}
     assert (1, 2) in pairs and all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_ivf_trained_topk_uses_converged_cells(spark, planted_vectors):
+    """Trained-IVF (r10): with Lloyd-converged centroids on 5 well-separated
+    planted clusters, every returned neighbor lives in the query's planted
+    cluster (the probe covers the query's own converged cell first), and
+    results are deterministic. Also pins the return_centroids contract:
+    the tuple form's assignment ≡ the plain call, and the centroid table
+    has one row per surviving cell."""
+    from duckpipe_spark.functions.similarity import ivf_trained_topk, kmeans_cells
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in planted_vectors.select("vec_id", "label").collect()
+    }
+    got = ivf_trained_topk(
+        planted_vectors, query_ids=[0, 20, 40, 60, 80], k=5, n_cells=5, iters=3,
+        n_probe=1,
+    ).collect()
+    assert len(got) == 25
+    for r in got:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]], r
+    again = ivf_trained_topk(
+        planted_vectors, query_ids=[0, 20, 40, 60, 80], k=5, n_cells=5, iters=3,
+        n_probe=1,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    assign, cents = kmeans_cells(planted_vectors, k=5, iters=3, return_centroids=True)
+    plain = kmeans_cells(planted_vectors, k=5, iters=3)
+    assert sorted(map(tuple, assign.collect())) == sorted(map(tuple, plain.collect()))
+    crows = cents.collect()
+    assert len(crows) == 5 and len({r["cell"] for r in crows}) == 5

@@ -443,6 +443,12 @@ def op_hamming_topk(spark, scramble):
     return hamming_topk(scramble(_embs(spark)), [0, 1, 2], k=4)
 
 
+def op_ivf_trained_topk(spark, scramble):
+    from duckpipe_spark.functions.similarity import ivf_trained_topk
+
+    return ivf_trained_topk(scramble(_embs(spark)), [0, 1, 2], k=4, n_cells=4, iters=1)
+
+
 def op_winnow_fingerprints(spark, scramble):
     from duckpipe_spark.functions.dedup import winnow_fingerprints
 
@@ -624,6 +630,7 @@ _OPS = [
     op_lsh_multiprobe_topk,
     op_winnow_fingerprints,
     op_winnow_matches,
+    op_ivf_trained_topk,
     op_length_bucketed_pack,
     op_epoch_order,
     op_corpus_report,
