@@ -83,9 +83,16 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # features_within_radius, first_order_per_customer, geo_pivot_pipeline,
 # image_decode_png, lang_id_confusion, lineitem_column_stats,
 # lineitem_price_histogram, nation_stats_unpivot, nearest_feature_distance,
-# orders_merge_upsert, parts_cm_frequencies, parts_hll_distinct); then any
-# queries NEW in r10 (registered after this window froze); then the
-# r10-changed-but-not-windowed re-attests (see CHANGED_THIS_ROUND below);
+# orders_merge_upsert, parts_cm_frequencies, parts_hll_distinct); then the
+# SEVEN queries NEW in r10 (registered after this window froze, so never
+# driver-attested): doc_curation_lmgate_pruned, doc_bpe_artifact_encode,
+# embedding_lsh_multiprobe_topk, embedding_multiprobe_recall,
+# doc_winnow_fingerprints, doc_winnow_matches, embedding_ivf_trained_topk;
+# then the r10-changed-but-not-windowed re-attests (CHANGED_THIS_ROUND
+# below: the two-phase-rank five — embedding_cosine_topk,
+# embedding_hamming_topk/external, embedding_lsh_recall,
+# embedding_ivf_recall — plus doc_bm25_topk, the lsh-guard trio, and
+# doc_lm_auc; values pinned unchanged, all verified at sf0.1 this round);
 # then the r8 cohort (latest green r8, 50 queries) alphabetically.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
