@@ -84,10 +84,11 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # image_decode_png, lang_id_confusion, lineitem_column_stats,
 # lineitem_price_histogram, nation_stats_unpivot, nearest_feature_distance,
 # orders_merge_upsert, parts_cm_frequencies, parts_hll_distinct); then the
-# SEVEN queries NEW in r10 (registered after this window froze, so never
+# EIGHT queries NEW in r10 (registered after this window froze, so never
 # driver-attested): doc_curation_lmgate_pruned, doc_bpe_artifact_encode,
 # embedding_lsh_multiprobe_topk, embedding_multiprobe_recall,
-# doc_winnow_fingerprints, doc_winnow_matches, embedding_ivf_trained_topk;
+# doc_winnow_fingerprints, doc_winnow_matches, embedding_ivf_trained_topk,
+# doc_lm_bucket_sample;
 # then the r10-changed-but-not-windowed re-attests (CHANGED_THIS_ROUND
 # below: the two-phase-rank five — embedding_cosine_topk,
 # embedding_hamming_topk/external, embedding_lsh_recall,
@@ -131,6 +132,9 @@ CHANGED_THIS_ROUND: list[str] = [
     # NEW in r10: winnowing fingerprints + MOSS-style matching (SIGMOD'03)
     "doc_winnow_fingerprints",
     "doc_winnow_matches",
+    # NEW in r10: CCNet-style final draw — exactly-k deterministic sample
+    # per (lang, LM bucket): pure composition of two verified operators
+    "doc_lm_bucket_sample",
     # NEW in r10: IVF over k-means-TRAINED centroids (the production coarse
     # quantizer ivf_assign's docstring promises); the kmeans oracle builders
     # were refactored to share CTE chains — _kmeans_oracle output pinned

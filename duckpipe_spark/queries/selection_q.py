@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from duckpipe_spark.functions.dedup import POLY_BASE, POLY_MOD, WORD_BASE
+from duckpipe_spark.functions.sampling import lehmer_hash_sql
 from duckpipe_spark.functions.selection import DSIR_BUCKETS
 from duckpipe_spark.queries.base import register
 from duckpipe_spark.queries.dedup_q import _CC_ORACLE
@@ -210,6 +211,57 @@ def doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lm_bucket", F.ntile(3).over(w).cast("bigint"))
         .select(F.col("id").alias("doc_id"), "lang", "lm_score", "lm_bucket")
     )
+
+
+# --- CCNet-style final draw: stratified sample per (lang, LM bucket) --------
+
+_BUCKET_SAMPLE_K = 20
+
+_LM_BUCKET_SAMPLE_ORACLE = f"""
+WITH {_LM_CTES},
+lmb AS (
+  SELECT lm.doc_id, d.lang,
+         CAST(ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY lm.lm_score DESC, lm.doc_id ASC) AS BIGINT)
+           AS lm_bucket
+  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, lang, lm_bucket,
+         row_number() OVER (
+           PARTITION BY lang || '|' || CAST(lm_bucket AS VARCHAR)
+           ORDER BY ({lehmer_hash_sql('doc_id')}) ASC, doc_id ASC
+         ) AS sample_rank
+  FROM lmb
+)
+SELECT doc_id, lang, lm_bucket, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= {_BUCKET_SAMPLE_K}
+"""
+
+
+@register(
+    "doc_lm_bucket_sample",
+    _LM_BUCKET_SAMPLE_ORACLE,
+    "CCNet-style final draw: exactly-k deterministic sample per (lang, LM bucket)",
+)
+def doc_lm_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus CCNet actually ships: head/middle/tail LM buckets per
+    language (``doc_lm_buckets``' exact-ntile decision), then an
+    exactly-k-per-stratum deterministic draw (``stratified_sample``'s
+    Lehmer ranking) over the (lang, bucket) strata — so every language
+    contributes a quality-balanced slice instead of the head-only cut a
+    global score floor would take. Pure composition of two verified
+    operators; the stratum key is the bijective ``lang|bucket`` concat
+    (langs carry no '|'). Shuffle shape: the bucket window's lang
+    exchange + the sample window's stratum exchange — both key-bounded."""
+    from duckpipe_spark.functions.sampling import stratified_sample
+
+    buckets = doc_lm_buckets(spark, sf_dir).select("doc_id", "lang", "lm_bucket")
+    strata = buckets.withColumn(
+        "stratum", F.concat_ws("|", "lang", F.col("lm_bucket").cast("string"))
+    )
+    out = stratified_sample(strata, "stratum", _BUCKET_SAMPLE_K)
+    return out.select("doc_id", "lang", "lm_bucket", "sample_rank")
 
 
 # --- DSIR-shape hashed-unigram importance scores ----------------------------

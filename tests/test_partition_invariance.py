@@ -443,6 +443,26 @@ def op_hamming_topk(spark, scramble):
     return hamming_topk(scramble(_embs(spark)), [0, 1, 2], k=4)
 
 
+def op_lm_bucket_sample(spark, scramble):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from duckpipe_spark.functions.sampling import stratified_sample
+    from duckpipe_spark.functions.selection import lm_quality_score
+
+    docs = scramble(_docs(spark))
+    scores = lm_quality_score(docs, F.col("lang") == "en")
+    w = Window.partitionBy("lang").orderBy(F.col("lm_score").desc(), F.col("id").asc())
+    buckets = (
+        scores.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .withColumn("lm_bucket", F.ntile(3).over(w).cast("bigint"))
+        .withColumn("stratum", F.concat_ws("|", "lang", F.col("lm_bucket").cast("string")))
+    )
+    return stratified_sample(buckets, "stratum", 5, id_col="id").select(
+        "id", "lang", "lm_bucket", "sample_rank"
+    )
+
+
 def op_ivf_trained_topk(spark, scramble):
     from duckpipe_spark.functions.similarity import ivf_trained_topk
 
@@ -631,6 +651,7 @@ _OPS = [
     op_winnow_fingerprints,
     op_winnow_matches,
     op_ivf_trained_topk,
+    op_lm_bucket_sample,
     op_length_bucketed_pack,
     op_epoch_order,
     op_corpus_report,

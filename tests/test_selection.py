@@ -411,3 +411,28 @@ def test_lm_auc_finds_its_training_domain(spark):
     r = REGISTRY["doc_lm_auc"].fn(spark, SF_SMOKE).collect()[0]
     assert r.n_pos > 0 and r.n_neg > 0
     assert r.auc > 0.8, r.auc
+
+
+def test_lm_bucket_sample_exactly_k_per_stratum(spark):
+    """doc_lm_bucket_sample semantics on the fixture corpus: every
+    (lang, bucket) stratum contributes min(k, |stratum|) docs, sample
+    ranks are 1..n within each stratum, and the draw is deterministic."""
+    from duckpipe_spark.queries import REGISTRY
+    from duckpipe_spark.queries.selection_q import _BUCKET_SAMPLE_K
+    from tests.conftest import SF_SMOKE
+
+    rows = REGISTRY["doc_lm_bucket_sample"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_stratum: dict = {}
+    for r in rows:
+        by_stratum.setdefault((r.lang, r.lm_bucket), []).append(r.sample_rank)
+    buckets_full = REGISTRY["doc_lm_buckets"].fn(spark, SF_SMOKE).collect()
+    sizes: dict = {}
+    for r in buckets_full:
+        sizes[(r.lang, r.lm_bucket)] = sizes.get((r.lang, r.lm_bucket), 0) + 1
+    for key, ranks in by_stratum.items():
+        want = min(_BUCKET_SAMPLE_K, sizes[key])
+        assert sorted(ranks) == list(range(1, want + 1)), (key, ranks)
+    assert set(by_stratum) == set(sizes)  # every stratum represented
+    again = REGISTRY["doc_lm_bucket_sample"].fn(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
