@@ -97,6 +97,60 @@ def decontamination_stats(
     )
 
 
+def winnow_decontaminate(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    bench_bucket_min: int = 90,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verbatim-run decontamination over the WINNOWED index → one row per
+    TRAIN doc with ≥1 fingerprint: (id, n_fp, n_shared, contaminated).
+
+    The cheap first pass a 100 TB crawl runs before ``decontamination_
+    stats``' full n-gram comparison: winnowing's guarantee means any train
+    doc sharing a verbatim run of ≥ w + k − 1 tokens with any benchmark
+    doc IS flagged (no false negatives for runs that long), while the
+    probe index is only ~2/(w+1) of the full n-gram set. n_shared counts
+    the train doc's distinct fingerprints that occur anywhere in the
+    benchmark slice; ``contaminated`` = n_shared > 0.
+
+    Membership is the same deterministic Lehmer bucket split every
+    decontamination op uses (benchmark = hash(id) mod 100 ≥
+    ``bench_bucket_min``), so this composes with ``with_hash_split``
+    without a membership table.
+
+    Scale shape: fingerprints come from the shuffle-free winnow kernel;
+    the benchmark fingerprint set is distinct-projected over the
+    benchmark slice only (the broadcast-sized side); the probe is one
+    left-semi equi-join on fp plus map-side-combinable counts — never
+    pairwise."""
+    from duckpipe_spark.functions.dedup import winnow_fingerprints
+    from duckpipe_spark.functions.sampling import lehmer_hash_col
+
+    fps = (
+        winnow_fingerprints(docs, text_col, id_col, k, w)
+        .select("id", "fp")
+        .distinct()
+        .withColumn("b", lehmer_hash_col(F.col("id")) % 100)
+    )
+    bench = fps.where(F.col("b") >= bench_bucket_min).select("fp").distinct()
+    train = fps.where(F.col("b") < bench_bucket_min).select("id", "fp")
+    sizes = train.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    hits = (
+        train.join(bench, "fp", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return sizes.join(hits, "id", "left").select(
+        "id",
+        "n_fp",
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
 def boilerplate_stats(
     docs: DataFrame,
     k: int = 3,

@@ -84,11 +84,11 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # image_decode_png, lang_id_confusion, lineitem_column_stats,
 # lineitem_price_histogram, nation_stats_unpivot, nearest_feature_distance,
 # orders_merge_upsert, parts_cm_frequencies, parts_hll_distinct); then the
-# EIGHT queries NEW in r10 (registered after this window froze, so never
+# NINE queries NEW in r10 (registered after this window froze, so never
 # driver-attested): doc_curation_lmgate_pruned, doc_bpe_artifact_encode,
 # embedding_lsh_multiprobe_topk, embedding_multiprobe_recall,
-# doc_winnow_fingerprints, doc_winnow_matches, embedding_ivf_trained_topk,
-# doc_lm_bucket_sample;
+# doc_winnow_fingerprints, doc_winnow_matches, doc_winnow_decontam,
+# embedding_ivf_trained_topk, doc_lm_bucket_sample;
 # then the r10-changed-but-not-windowed re-attests (CHANGED_THIS_ROUND
 # below: the two-phase-rank five — embedding_cosine_topk,
 # embedding_hamming_topk/external, embedding_lsh_recall,
@@ -130,8 +130,10 @@ CHANGED_THIS_ROUND: list[str] = [
     "embedding_lsh_multiprobe_topk",
     "embedding_multiprobe_recall",
     # NEW in r10: winnowing fingerprints + MOSS-style matching (SIGMOD'03)
+    # + verbatim-run decontamination over the winnowed index
     "doc_winnow_fingerprints",
     "doc_winnow_matches",
+    "doc_winnow_decontam",
     # NEW in r10: CCNet-style final draw — exactly-k deterministic sample
     # per (lang, LM bucket): pure composition of two verified operators
     "doc_lm_bucket_sample",

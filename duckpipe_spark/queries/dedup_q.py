@@ -20,6 +20,7 @@ from duckpipe_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from duckpipe_spark.functions.sampling import lehmer_hash_sql
 from duckpipe_spark.queries.base import register
 from duckpipe_spark.sources.tables import load_table
 
@@ -449,4 +450,54 @@ def doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return winnow_matches(
         load_table(spark, sf_dir, "documents"), k=3, w=_WINNOW_W, max_df=_WINNOW_MAX_DF
+    )
+
+
+_WDECON_BENCH_MIN = 90
+
+_WINNOW_DECON_ORACLE = f"""
+WITH {_WINNOW_SEL_CTES},
+fps AS MATERIALIZED (
+  SELECT DISTINCT id, mc // {_WINNOW_POS_CAP} AS fp,
+         ({lehmer_hash_sql('id')}) % 100 AS b
+  FROM sel
+),
+bench AS (
+  SELECT DISTINCT fp FROM fps WHERE b >= {_WDECON_BENCH_MIN}
+),
+train AS MATERIALIZED (
+  SELECT id, fp FROM fps WHERE b < {_WDECON_BENCH_MIN}
+),
+sizes AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_fp FROM train GROUP BY id
+),
+hits AS (
+  SELECT t.id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM train t JOIN bench b ON t.fp = b.fp GROUP BY t.id
+)
+SELECT s.id, s.n_fp,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(h.n_shared, 0) > 0 AS INT) AS contaminated
+FROM sizes s LEFT JOIN hits h ON s.id = h.id
+"""
+
+
+@register(
+    "doc_winnow_decontam",
+    _WINNOW_DECON_ORACLE,
+    "verbatim-run decontamination over the winnowed index (no false negatives >= w+k-1)",
+)
+def doc_winnow_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheap decontamination first pass: winnowing guarantees any
+    train doc sharing a verbatim >= w+k-1 token run with the benchmark
+    split is flagged, at ~2/(w+1) of the full n-gram index
+    doc_decontamination probes. Same Lehmer bucket split as the whole
+    decontamination family."""
+    from duckpipe_spark.functions.corpus import winnow_decontaminate
+
+    return winnow_decontaminate(
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        w=_WINNOW_W,
+        bench_bucket_min=_WDECON_BENCH_MIN,
     )

@@ -404,3 +404,27 @@ def test_keep_best_election_shifts_exact_dup_survivor(spark):
 
     with _pytest.raises(ValueError, match="election"):
         curation_pipeline(docs, election="bogus", **kw).collect()
+
+
+def test_winnow_decontam_flags_planted_verbatim_run(spark):
+    """winnow_decontaminate: doc id 1 lands in the Lehmer bench split
+    (bucket 94 >= 90); train doc 2 (bucket 44) shares a verbatim
+    w+k-1 = 6-token run with it and MUST be flagged (the winnowing
+    guarantee), train doc 3 (bucket 41) shares nothing and must not be.
+    Bench docs are absent from the output."""
+    from duckpipe_spark.functions.corpus import winnow_decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"bench text starts {leak} and keeps going onward"),  # bench
+            (2, f"train doc leading words {leak} trailing words here"),
+            (3, "entirely clean training document with unique words only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.id: r for r in winnow_decontaminate(docs, k=3, w=4).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].contaminated == 1 and out[2].n_shared >= 1
+    assert out[3].contaminated == 0 and out[3].n_shared == 0
+    assert out[2].n_fp >= out[2].n_shared

@@ -443,6 +443,12 @@ def op_hamming_topk(spark, scramble):
     return hamming_topk(scramble(_embs(spark)), [0, 1, 2], k=4)
 
 
+def op_winnow_decontam(spark, scramble):
+    from duckpipe_spark.functions.corpus import winnow_decontaminate
+
+    return winnow_decontaminate(scramble(_docs(spark)))
+
+
 def op_lm_bucket_sample(spark, scramble):
     import pyspark.sql.functions as F
     from pyspark.sql import Window
@@ -652,6 +658,7 @@ _OPS = [
     op_winnow_matches,
     op_ivf_trained_topk,
     op_lm_bucket_sample,
+    op_winnow_decontam,
     op_length_bucketed_pack,
     op_epoch_order,
     op_corpus_report,
