@@ -1,0 +1,82 @@
+"""ANN index-family evaluation: recall@k and wall-clock for every
+similarity-search path in the engine, on one corpus, in one run — the
+measurement loop an embedding-platform owner runs before picking an index.
+
+For each method the exact brute-force top-k is the ground truth
+(`topk_recall`); methods are the engine's real operators, not rewrites:
+
+  brute      exact cosine, two-phase rank (the baseline everything else trades)
+  lsh        single sign-bucket candidates (cheapest, lowest recall)
+  multiprobe lsh + all Hamming-1 neighbor buckets (r10 — recall knob)
+  ivf        seed-centroid cells, n_probe best cells
+  ivf_train  k-means-TRAINED cells (r10 — the production coarse quantizer)
+  pq_adc     product-quantization asymmetric distance (16 B/vec codes)
+  hamming    binary sign codes, xor+popcount (16 B/vec, exact integer)
+
+Run: PYTHONPATH=/root/repo python examples/ann_evaluation.py [sf_dir]
+Prints one JSON line: per-method {recall, sec} + corpus stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+from duckpipe_spark.functions.similarity import (
+    N_PLANES,
+    brute_force_topk,
+    hamming_topk,
+    ivf_topk,
+    ivf_trained_topk,
+    lsh_multiprobe_topk,
+    lsh_topk,
+    pq_adc_topk,
+    topk_recall,
+)
+from duckpipe_spark.session import get_spark
+from duckpipe_spark.sources.tables import load_table
+
+K = 10
+QUERY_IDS = list(range(10))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("ann-evaluation")
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+
+    exact = brute_force_topk(emb, QUERY_IDS, K)
+    exact.cache().count()  # ground truth, shared by every recall join
+
+    methods = {
+        "brute": lambda: brute_force_topk(emb, QUERY_IDS, K),
+        "lsh": lambda: lsh_topk(emb, QUERY_IDS, K, n_planes=N_PLANES),
+        "multiprobe": lambda: lsh_multiprobe_topk(emb, QUERY_IDS, K, n_planes=N_PLANES),
+        "ivf": lambda: ivf_topk(emb, QUERY_IDS, K),
+        "ivf_train": lambda: ivf_trained_topk(emb, QUERY_IDS, K),
+        "pq_adc": lambda: pq_adc_topk(emb, QUERY_IDS, K),
+        "hamming": lambda: hamming_topk(emb, QUERY_IDS, K),
+    }
+    out: dict = {"metric": "ann_evaluation", "k": K, "n_vectors": int(n), "sf_dir": sf_dir}
+    for name, fn in methods.items():
+        fn().collect()  # warm (codegen + training lineage where applicable)
+        t0 = time.perf_counter()
+        approx = fn()
+        rec = (
+            topk_recall(exact, approx, K)
+            .agg(F.avg("recall").alias("r"))
+            .collect()[0]["r"]
+        )
+        out[name] = {"recall": round(float(rec), 3), "sec": round(time.perf_counter() - t0, 2)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
