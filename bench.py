@@ -122,22 +122,36 @@ def _box_load() -> dict:
 def _sweep_leftover_jvms() -> None:
     """VERDICT r9 item 8: BENCH_r09 was produced with 1 leftover SparkSubmit
     JVM from an earlier test run inflating every wall-clock (artifact read
-    0.827 vs 0.631 on a quiet box). Best-effort kill of *prior* SparkSubmit
-    processes before our own session starts — they can only be this
-    checkout's abandoned local[] drivers (nothing else runs Spark in the
-    container). SPARK_GRAFT_BENCH_NO_SWEEP=1 opts out."""
+    0.827 vs 0.631 on a quiet box). Best-effort kill of prior SparkSubmit
+    processes before our own session starts — SCOPED to processes whose
+    working directory is THIS checkout (/proc/<pid>/cwd), so a concurrent
+    Spark job from another checkout, notebook, or user on a shared box is
+    never touched (a blanket ``pkill -f SparkSubmit`` would SIGTERM it
+    mid-run). SPARK_GRAFT_BENCH_NO_SWEEP=1 opts out entirely."""
     if os.environ.get("SPARK_GRAFT_BENCH_NO_SWEEP"):
         return
     try:
+        import signal
         import subprocess
 
-        r = subprocess.run(
-            ["pkill", "-f", "org.apache.spark.deploy.SparkSubmit"],
+        repo = os.path.dirname(os.path.abspath(__file__))
+        pids = subprocess.run(
+            ["pgrep", "-f", "org.apache.spark.deploy.SparkSubmit"],
             capture_output=True,
+            text=True,
             timeout=10,
-        )
-        if r.returncode == 0:  # at least one process matched and was killed
-            print("# swept leftover SparkSubmit JVM(s)", file=sys.stderr)
+        ).stdout.split()
+        killed = 0
+        for pid in pids:
+            try:
+                if os.readlink(f"/proc/{pid}/cwd") != repo:
+                    continue  # someone else's Spark — leave it alone
+                os.kill(int(pid), signal.SIGTERM)
+                killed += 1
+            except OSError:  # raced exit / no permission / no procfs
+                continue
+        if killed:
+            print(f"# swept {killed} leftover SparkSubmit JVM(s)", file=sys.stderr)
             time.sleep(2.0)  # let the OS reclaim their CPU/memory
     except Exception:  # pragma: no cover - diagnostic best-effort
         pass
@@ -196,16 +210,19 @@ def main(reps: int = 1) -> None:
     }
 
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_ORACLE"):
-        duck, rep_counts = _duckdb_timings(sf_dir, names, reps=reps)
+        duck, rep_counts, budget_skipped = _duckdb_timings(sf_dir, names, reps=reps)
         out["duckdb"] = duck
         # ADVICE r9 item 3: achieved rep count per oracle query — a median
         # degraded by budget exhaustion (fewer than `reps` samples) is
-        # identifiable from the artifact. Compact line carries only the
-        # count of degraded queries; the sidecar keeps the full map.
+        # identifiable from the artifact, and the budget-skipped names are
+        # listed SEPARATELY from errored/interrupted ones so a reader
+        # attributes a short median to the right cause.
         out["duckdb_rep_counts"] = rep_counts
         degraded = sorted(n for n, c in rep_counts.items() if c < reps)
         if degraded:
             out["duckdb_degraded"] = degraded
+        if budget_skipped:
+            out["duckdb_budget_skipped"] = budget_skipped
         # None = no oracle / errored; 0.0 is a legitimate fast timing and
         # must stay in the ratio set (clamped denominator keeps it finite)
         timed = {n: d for n, d in duck.items() if d is not None}
@@ -268,11 +285,15 @@ def _duckdb_timings(
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     started = time.perf_counter()
+    budget_skipped: set[str] = set()  # vs errored/interrupted — see below
 
     def _timed(q: str, name: str) -> float | None:
         if time.perf_counter() - started > TOTAL_BUDGET_S:
             # ADVICE r9 item 3: a silent None here made a 1-of-3-rep median
-            # indistinguishable from the full protocol — say so, per skip
+            # indistinguishable from the full protocol — say so, per skip,
+            # and record the CAUSE (a degraded median from budget pressure
+            # reads differently than one from a failing/interrupted oracle)
+            budget_skipped.add(name)
             print(f"# duckdb skipped (budget spent): {name}", file=sys.stderr)
             return None
         timer = threading.Timer(PER_QUERY_S, con.interrupt)
@@ -303,7 +324,7 @@ def _duckdb_timings(
         duck[name] = round(_median(xs), 3) if xs else None
         if name in samples:
             rep_counts[name] = len(xs)
-    return duck, rep_counts
+    return duck, rep_counts, sorted(budget_skipped)
 
 
 if __name__ == "__main__":

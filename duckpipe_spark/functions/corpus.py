@@ -106,7 +106,8 @@ def winnow_decontaminate(
     text_col: str = "text",
 ) -> DataFrame:
     """Verbatim-run decontamination over the WINNOWED index → one row per
-    TRAIN doc with ≥1 fingerprint: (id, n_fp, n_shared, contaminated).
+    TRAIN doc with ≥1 fingerprint: (``id_col``, n_fp, n_shared,
+    contaminated).
 
     The cheap first pass a 100 TB crawl runs before ``decontamination_
     stats``' full n-gram comparison: winnowing's guarantee means any train
@@ -121,33 +122,45 @@ def winnow_decontaminate(
     ``bench_bucket_min``), so this composes with ``with_hash_split``
     without a membership table.
 
-    Scale shape: fingerprints come from the shuffle-free winnow kernel;
-    the benchmark fingerprint set is distinct-projected over the
-    benchmark slice only (the broadcast-sized side); the probe is one
-    left-semi equi-join on fp plus map-side-combinable counts — never
-    pairwise."""
+    Scale shape (same discipline as ``decontamination_stats``, whose r7
+    fix this mirrors): the Lehmer bucket is a function of the id alone,
+    so docs are split into bench/train slices BEFORE the winnow kernel —
+    each slice pays exactly one kernel pass over its own rows instead of
+    every branch replaying a full-corpus kernel; the benchmark
+    fingerprint set is distinct-projected over the benchmark slice only
+    and BROADCAST (hint pinned in test_plans); size and membership fold
+    into ONE aggregate off a single left join — never pairwise."""
     from duckpipe_spark.functions.dedup import winnow_fingerprints
     from duckpipe_spark.functions.sampling import lehmer_hash_col
 
-    fps = (
-        winnow_fingerprints(docs, text_col, id_col, k, w)
+    bucket = lehmer_hash_col(F.col(id_col)) % 100
+    bench = (
+        winnow_fingerprints(
+            docs.where(bucket >= bench_bucket_min), text_col, id_col, k, w
+        )
+        .select(F.col("fp").alias("bench_fp"))
+        .distinct()
+    )
+    train = (
+        winnow_fingerprints(
+            docs.where(bucket < bench_bucket_min), text_col, id_col, k, w
+        )
         .select("id", "fp")
         .distinct()
-        .withColumn("b", lehmer_hash_col(F.col("id")) % 100)
     )
-    bench = fps.where(F.col("b") >= bench_bucket_min).select("fp").distinct()
-    train = fps.where(F.col("b") < bench_bucket_min).select("id", "fp")
-    sizes = train.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
-    hits = (
-        train.join(bench, "fp", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    joined = train.join(
+        F.broadcast(bench), train["fp"] == bench["bench_fp"], "left"
     )
-    return sizes.join(hits, "id", "left").select(
-        "id",
+    return joined.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+        F.sum(F.when(F.col("bench_fp").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared"),
+    ).select(
+        F.col("id").alias(id_col),
         "n_fp",
-        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
-        (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        "n_shared",
+        (F.col("n_shared") > 0).cast("int").alias("contaminated"),
     )
 
 

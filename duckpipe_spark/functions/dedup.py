@@ -193,17 +193,8 @@ def positional_shingle_hashes(
         import numpy as np
         import pandas as pd
 
-        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+        ws = _re.compile(_WS_KERNEL_RE)
         cache: dict[str, int] = {}
-
-        def whash(word: str) -> int:
-            h = cache.get(word)
-            if h is None:
-                h = 0
-                for ch in word:
-                    h = (h * POLY_BASE + ord(ch)) % POLY_MOD
-                cache[word] = h
-            return h
 
         for pdf in pdf_iter:
             ids: list = []
@@ -212,14 +203,10 @@ def positional_shingle_hashes(
             for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
                 if not isinstance(text, str):
                     continue
-                toks = ws.split(text.strip(" "))
-                if len(toks) < k:
+                acc = _positional_kgram_hashes(ws.split(text.strip(" ")), cache, k)
+                if acc is None:
                     continue
-                wh = np.fromiter((whash(x) for x in toks), dtype=np.int64, count=len(toks))
-                n = len(toks) - k + 1
-                acc = wh[:n] % POLY_MOD
-                for j in range(1, k):
-                    acc = (acc * WORD_BASE + wh[j : j + n]) % POLY_MOD
+                n = len(acc)
                 ids.append(np.full(n, doc_id, dtype=np.int64))
                 poss.append(np.arange(n, dtype=np.int32))
                 hvs.append(acc)
@@ -238,6 +225,38 @@ def positional_shingle_hashes(
 
 
 _WINNOW_POS_BITS = 21  # pos rides in the low bits of the tie-break key
+
+_WS_KERNEL_RE = r"[ \t\n\x0b\f\r]+"  # Java ASCII \s — shared by all kernels
+
+
+def _positional_kgram_hashes(toks, cache: dict, k: int):
+    """Shared kernel core (positional_shingle_hashes / winnow_fingerprints):
+    token list → positional k-gram hash ndarray, or None for < k tokens.
+    Per-word 31-base char fold memoized in the caller's per-partition
+    ``cache``, then the WORD_BASE rolling fold across each k-window — the
+    single definition of the fingerprint convention every dedup/decontam
+    consumer joins on (a drifted copy would silently break cross-op
+    compatibility)."""
+    import numpy as np
+
+    if len(toks) < k:
+        return None
+
+    def whash(word: str) -> int:
+        h = cache.get(word)
+        if h is None:
+            h = 0
+            for ch in word:
+                h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+            cache[word] = h
+        return h
+
+    wh = np.fromiter((whash(x) for x in toks), dtype=np.int64, count=len(toks))
+    n = len(toks) - k + 1
+    acc = wh[:n] % POLY_MOD
+    for j in range(1, k):
+        acc = (acc * WORD_BASE + wh[j : j + n]) % POLY_MOD
+    return acc
 
 
 def winnow_fingerprints(
@@ -281,17 +300,8 @@ def winnow_fingerprints(
         import numpy as np
         import pandas as pd
 
-        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+        ws = _re.compile(_WS_KERNEL_RE)
         cache: dict[str, int] = {}
-
-        def whash(word: str) -> int:
-            h = cache.get(word)
-            if h is None:
-                h = 0
-                for ch in word:
-                    h = (h * POLY_BASE + ord(ch)) % POLY_MOD
-                cache[word] = h
-            return h
 
         for pdf in pdf_iter:
             ids: list = []
@@ -299,21 +309,15 @@ def winnow_fingerprints(
             for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
                 if not isinstance(text, str):
                     continue
-                toks = ws.split(text.strip(" "))
-                if len(toks) < k:
+                acc = _positional_kgram_hashes(ws.split(text.strip(" ")), cache, k)
+                if acc is None:
                     continue
-                if len(toks) - k + 1 >= pos_cap:
+                n = len(acc)
+                if n >= pos_cap:
                     raise ValueError(
                         f"winnow_fingerprints: doc {doc_id} has >= 2^21 "
                         "shingles — the pos tie-break key would overflow"
                     )
-                wh = np.fromiter(
-                    (whash(x) for x in toks), dtype=np.int64, count=len(toks)
-                )
-                n = len(toks) - k + 1
-                acc = wh[:n] % POLY_MOD
-                for j in range(1, k):
-                    acc = (acc * WORD_BASE + wh[j : j + n]) % POLY_MOD
                 comb = acc * pos_cap + np.arange(n, dtype=np.int64)
                 if n <= w:
                     sel = np.array([comb.min()], dtype=np.int64)
@@ -358,7 +362,16 @@ def winnow_matches(
     dropped via a broadcast anti-join BEFORE the pair join, the same skew
     guard the Jaccard candidates use: one hot boilerplate fingerprint
     would otherwise contribute df² pair rows."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).select("id", "fp").distinct()
+    # cache the kernel output before fanning it out (hot-df subtree + both
+    # sides of the pair self-join) — the same one-pass discipline
+    # ngram_jaccard_pairs applies to its shingle table; without it every
+    # branch replays the full tokenize+winnow Arrow kernel
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, w)
+        .select("id", "fp")
+        .distinct()
+        .cache()
+    )
     hot = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("d"))

@@ -92,8 +92,9 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # then the r10-changed-but-not-windowed re-attests (CHANGED_THIS_ROUND
 # below: the two-phase-rank five — embedding_cosine_topk,
 # embedding_hamming_topk/external, embedding_lsh_recall,
-# embedding_ivf_recall — plus doc_bm25_topk, the lsh-guard trio, and
-# doc_lm_auc; values pinned unchanged, all verified at sf0.1 this round);
+# embedding_ivf_recall — plus doc_bm25_topk, the lsh-guard trio,
+# doc_lm_auc, and doc_mask_contaminated (shared positional-kernel core);
+# values pinned unchanged, all verified at sf0.1 this round);
 # then the r8 cohort (latest green r8, 50 queries) alphabetically.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
@@ -134,6 +135,10 @@ CHANGED_THIS_ROUND: list[str] = [
     "doc_winnow_fingerprints",
     "doc_winnow_matches",
     "doc_winnow_decontam",
+    # r10 self-review fixes: the positional/winnow kernels now share one
+    # module-level k-gram hash core (values pinned unchanged) — re-attest
+    # the positional consumer alongside the winnow family
+    "doc_mask_contaminated",
     # NEW in r10: CCNet-style final draw — exactly-k deterministic sample
     # per (lang, LM bucket): pure composition of two verified operators
     "doc_lm_bucket_sample",

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from duckpipe_spark.functions.dedup import (
+    _WINNOW_POS_BITS,
     BAND_SIZE,
     MINHASH_A,
     MINHASH_B,
@@ -360,7 +361,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_W = 4
 _WINNOW_MAX_DF = 50
-_WINNOW_POS_CAP = 1 << 21  # functions.dedup._WINNOW_POS_BITS
+_WINNOW_POS_CAP = 1 << _WINNOW_POS_BITS  # single definition of the tie-break key layout
 
 _WINNOW_SEL_CTES = f"""
 toks AS (
@@ -475,7 +476,7 @@ hits AS (
   SELECT t.id, CAST(count(*) AS BIGINT) AS n_shared
   FROM train t JOIN bench b ON t.fp = b.fp GROUP BY t.id
 )
-SELECT s.id, s.n_fp,
+SELECT s.id AS doc_id, s.n_fp,
        CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
        CAST(coalesce(h.n_shared, 0) > 0 AS INT) AS contaminated
 FROM sizes s LEFT JOIN hits h ON s.id = h.id

@@ -229,7 +229,7 @@ lmb AS (
 ranked AS (
   SELECT doc_id, lang, lm_bucket,
          row_number() OVER (
-           PARTITION BY lang || '|' || CAST(lm_bucket AS VARCHAR)
+           PARTITION BY coalesce(lang, chr(0)) || '|' || CAST(lm_bucket AS VARCHAR)
            ORDER BY ({lehmer_hash_sql('doc_id')}) ASC, doc_id ASC
          ) AS sample_rank
   FROM lmb
@@ -258,7 +258,12 @@ def doc_lm_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     buckets = doc_lm_buckets(spark, sf_dir).select("doc_id", "lang", "lm_bucket")
     strata = buckets.withColumn(
-        "stratum", F.concat_ws("|", "lang", F.col("lm_bucket").cast("string"))
+        "stratum",
+        F.concat_ws(
+            "|",
+            F.coalesce("lang", F.lit("\x00")),
+            F.col("lm_bucket").cast("string"),
+        ),
     )
     out = stratified_sample(strata, "stratum", _BUCKET_SAMPLE_K)
     return out.select("doc_id", "lang", "lm_bucket", "sample_rank")

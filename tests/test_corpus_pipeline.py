@@ -423,7 +423,7 @@ def test_winnow_decontam_flags_planted_verbatim_run(spark):
         ],
         "doc_id bigint, text string",
     )
-    out = {r.id: r for r in winnow_decontaminate(docs, k=3, w=4).collect()}
+    out = {r.doc_id: r for r in winnow_decontaminate(docs, k=3, w=4).collect()}
     assert set(out) == {2, 3}
     assert out[2].contaminated == 1 and out[2].n_shared >= 1
     assert out[3].contaminated == 0 and out[3].n_shared == 0

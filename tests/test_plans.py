@@ -613,6 +613,20 @@ def test_winnow_fingerprints_shuffle_free(spark):
     assert a.text.count("MapInPandas") == 2 and a.python_stages == 2, a.text
 
 
+def test_winnow_decontam_broadcast_probe_two_kernels(spark):
+    """doc_winnow_decontam: the bench fingerprint set joins as a BROADCAST
+    (never a sort-merge shuffle of the train index), there is no
+    cartesian, and the bucket split happens BEFORE the winnow kernel —
+    exactly two kernel invocations (bench slice + train slice; the audit
+    counts each MapInPandas node twice, tree + detail)."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_winnow_decontam")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0, a.text
+    assert "CartesianProduct" not in a.text
+    assert a.broadcast_hash_joins >= 1, a.text
+    assert a.text.count("MapInPandas") == 4, a.text
+
+
 def test_winnow_matches_anti_join_before_pairs(spark):
     """doc_winnow_matches: the boilerplate df-cap is a BROADCAST anti-join
     applied BEFORE the pair self-join (one hot fingerprint would emit df²
