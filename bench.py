@@ -120,14 +120,26 @@ def _box_load() -> dict:
 
 
 def _sweep_leftover_jvms() -> None:
-    """VERDICT r9 item 8: BENCH_r09 was produced with 1 leftover SparkSubmit
-    JVM from an earlier test run inflating every wall-clock (artifact read
-    0.827 vs 0.631 on a quiet box). Best-effort kill of prior SparkSubmit
-    processes before our own session starts — SCOPED to processes whose
-    working directory is THIS checkout (/proc/<pid>/cwd), so a concurrent
-    Spark job from another checkout, notebook, or user on a shared box is
-    never touched (a blanket ``pkill -f SparkSubmit`` would SIGTERM it
-    mid-run). SPARK_GRAFT_BENCH_NO_SWEEP=1 opts out entirely."""
+    """VERDICT r9 item 8 + r10 item 5 + ADVICE r10 item 4: leftover
+    SparkSubmit JVMs from earlier runs inflate every bench wall-clock
+    (BENCH_r09 read 0.827 vs 0.631 quiet; BENCH_r10 still carried one
+    foreign JVM). Sweep rule, in order of evidence strength:
+
+    * **Orphaned JVMs (ppid == 1) are killed regardless of cwd.** A
+      SparkSubmit whose launching python/bash has exited is a leftover by
+      definition — nobody is waiting on its result — and orphanhood is
+      exactly how leftovers present (the gateway JVM outliving its driver
+      process gets reparented to init). This is what catches the
+      foreign-checkout stragglers r10's cwd-scoped sweep missed.
+    * **JVMs with a live parent are NEVER killed by default** — a live
+      parent means a run in progress (a concurrent pytest/bench from this
+      same directory included, the ADVICE r10 scenario), so killing on
+      cwd alone would murder legitimate work. They are counted and
+      reported loudly instead; set SPARK_GRAFT_BENCH_SWEEP_LIVE=1 to
+      opt IN to killing live-parent JVMs cwd-scoped to this checkout
+      (for a driver box known to run nothing else).
+
+    SPARK_GRAFT_BENCH_NO_SWEEP=1 opts out entirely."""
     if os.environ.get("SPARK_GRAFT_BENCH_NO_SWEEP"):
         return
     try:
@@ -135,24 +147,44 @@ def _sweep_leftover_jvms() -> None:
         import subprocess
 
         repo = os.path.dirname(os.path.abspath(__file__))
+        kill_live = bool(os.environ.get("SPARK_GRAFT_BENCH_SWEEP_LIVE"))
         pids = subprocess.run(
             ["pgrep", "-f", "org.apache.spark.deploy.SparkSubmit"],
             capture_output=True,
             text=True,
             timeout=10,
         ).stdout.split()
-        killed = 0
+        killed, live = 0, []
         for pid in pids:
             try:
-                if os.readlink(f"/proc/{pid}/cwd") != repo:
-                    continue  # someone else's Spark — leave it alone
-                os.kill(int(pid), signal.SIGTERM)
-                killed += 1
-            except OSError:  # raced exit / no permission / no procfs
-                continue
+                with open(f"/proc/{pid}/stat") as f:
+                    # field 4 (1-based) is ppid; comm (field 2) may contain
+                    # spaces but never ')', so split after the last ')'
+                    ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+                try:
+                    cwd = os.readlink(f"/proc/{pid}/cwd")
+                except OSError:
+                    cwd = "?"
+                if ppid == 1:  # orphaned leftover — safe to reap anywhere
+                    os.kill(int(pid), signal.SIGTERM)
+                    killed += 1
+                elif cwd == repo and kill_live:
+                    os.kill(int(pid), signal.SIGTERM)
+                    killed += 1
+                else:
+                    live.append((pid, cwd))
+            except (OSError, ValueError, IndexError):
+                continue  # raced exit / no permission / no procfs
         if killed:
             print(f"# swept {killed} leftover SparkSubmit JVM(s)", file=sys.stderr)
             time.sleep(2.0)  # let the OS reclaim their CPU/memory
+        if live:
+            print(
+                "# WARNING: "
+                f"{len(live)} live-parent SparkSubmit JVM(s) left running "
+                f"(not mine to kill): {live} — bench numbers will be noisy",
+                file=sys.stderr,
+            )
     except Exception:  # pragma: no cover - diagnostic best-effort
         pass
 

@@ -224,7 +224,12 @@ def positional_shingle_hashes(
     )
 
 
-_WINNOW_POS_BITS = 21  # pos rides in the low bits of the tie-break key
+# pos rides in the low bits of the tie-break key. 32 bits (r11, ADVICE r10
+# item 1): hashes are < 2^30 (mod 1e9+7) so hash·2^32 + pos < 2^62 stays
+# exact int64, and a single pathological ~4-billion-token document is the
+# only thing that can overflow — no longer a plausible crawl artifact (the
+# old 21-bit budget aborted the whole job on any ~2M-shingle doc).
+_WINNOW_POS_BITS = 32
 
 _WS_KERNEL_RE = r"[ \t\n\x0b\f\r]+"  # Java ASCII \s — shared by all kernels
 
@@ -269,18 +274,21 @@ def winnow_fingerprints(
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003) → (id, pos, fp): slide a ``w``-window over the document's
     POSITIONAL k-gram hash sequence, select each window's minimum hash
-    (ties → leftmost position — plain winnowing, deterministic), and emit
-    the DISTINCT selected (position, fingerprint) pairs.
+    (ties → RIGHTMOST position, the paper's plain-winnowing rule §4,
+    deterministic), and emit the DISTINCT selected (position, fingerprint)
+    pairs.
 
     The guarantee that makes this THE local fingerprinting scheme: any
     shared token run of length >= w + k - 1 between two documents yields
     at least one shared selected fingerprint, while expected density is
     only 2/(w+1) of the shingle count — span-dedup-grade detection at a
     fraction of the index size. Selection is per-window min of the
-    combined key ``hash·2^21 + pos`` (exact int64: hash < 2^30 mod 1e9+7,
-    so the key < 2^51), which encodes the leftmost-tie rule in one integer
-    min — the form both engines compute bit-identically. Docs longer than
-    2^21 tokens are refused loudly rather than silently mis-keyed.
+    combined key ``hash·2^32 + (2^32−1−pos)`` (exact int64: hash < 2^30
+    mod 1e9+7, so the key < 2^62), which encodes the rightmost-tie rule
+    in one integer min — the form both engines compute bit-identically.
+    Docs longer than 2^32 tokens are refused loudly rather than silently
+    mis-keyed (r11: widened from 21 bits so multi-million-token crawl
+    pathologies no longer abort the job).
 
     Shuffle-free Arrow projection (same kernel family and word-hash
     semantics as ``positional_shingle_hashes``): the window min is a
@@ -315,10 +323,12 @@ def winnow_fingerprints(
                 n = len(acc)
                 if n >= pos_cap:
                     raise ValueError(
-                        f"winnow_fingerprints: doc {doc_id} has >= 2^21 "
+                        f"winnow_fingerprints: doc {doc_id} has >= 2^32 "
                         "shingles — the pos tie-break key would overflow"
                     )
-                comb = acc * pos_cap + np.arange(n, dtype=np.int64)
+                # rightmost-tie key: reversed pos in the low bits, so the
+                # integer min prefers the LARGEST position among equal hashes
+                comb = acc * pos_cap + (pos_cap - 1 - np.arange(n, dtype=np.int64))
                 if n <= w:
                     sel = np.array([comb.min()], dtype=np.int64)
                 else:
@@ -331,7 +341,7 @@ def winnow_fingerprints(
                 yield pd.DataFrame(
                     {
                         "id": np.concatenate(ids),
-                        "pos": allsel % pos_cap,
+                        "pos": (pos_cap - 1) - (allsel % pos_cap),
                         "fp": allsel // pos_cap,
                     }
                 )

@@ -48,54 +48,57 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 
 
 # First 50 names are what the driver's correctness gate will actually check.
-# Round-10 rotation — held EXACTLY to the composition published in the r9
-# comment block and re-stated by VERDICT r9 item 1:
-#   * the NINE deferred-r6 queries lead (latest driver row r6 — 4 rounds
-#     old, one past the 3-round invariant; the declared price of r8's 17
-#     new queries), alphabetical:
-#     events_hourly_rollup, geo_elevation_pipeline, image_decode_jpeg,
-#     lang_top_bigrams, lineitem_price_quantiles, orders_bloom_blocklist,
-#     parts_triangle_counts, sessionize_users, video_frame_sample;
-#   * then the NINE queries NEW in r9 (registered after the r9 window
-#     froze at 50, so never driver-attested): doc_lm_quality_pruned,
-#     doc_lm_serve_scores, doc_dsir_serve_scores,
-#     embedding_hamming_external_topk, embedding_kmeanspar_cells,
-#     lang_unimax_budgets, doc_lm_auc, doc_bpe_bytefallback,
-#     doc_curation_keepbest;
-#   * then the NINE r9-changed re-attests named in the r9 plan:
-#     doc_bpe_merges, doc_bpe_merges_batched, doc_bpe_token_counts,
-#     doc_bpe_encoded, doc_bpe_pack (trained-merges artifact + checkpoint
-#     cadence, values pinned unchanged), embedding_lsh_topk,
-#     embedding_neardup_pairs, embedding_semantic_dedup,
-#     embedding_lsh_recall (lsh_bucket_col plane-slice, values pinned
-#     unchanged);
-#   * the remaining 23 slots: the r7 cohort (latest green r7; 44 queries,
-#     minus embedding_lsh_topk / embedding_lsh_recall already placed
-#     above) ALPHABETICALLY — doc_boilerplate .. events_props_rollup.
-# That leaves 19 r7-cohort queries NOT in the r10 window
-# (events_purchase_window_clicks .. parts_hll_distinct, alphabetical); per
-# VERDICT r9 item 7 they get an out-of-band sf0.1 oracle-harness sweep this
-# round (result recorded in COVERAGE.md) and, being 4 rounds old at r11,
-# they are scheduled to lead the r11 window:
-# r11 window plan: the 19 r7 leftovers FIRST (events_purchase_window_clicks,
-# events_retention_cohorts, events_salted_counts, events_salted_join,
-# events_session_window, events_sliding_rollup, events_transition_matrix,
-# features_within_radius, first_order_per_customer, geo_pivot_pipeline,
-# image_decode_png, lang_id_confusion, lineitem_column_stats,
-# lineitem_price_histogram, nation_stats_unpivot, nearest_feature_distance,
-# orders_merge_upsert, parts_cm_frequencies, parts_hll_distinct); then the
-# NINE queries NEW in r10 (registered after this window froze, so never
-# driver-attested): doc_curation_lmgate_pruned, doc_bpe_artifact_encode,
-# embedding_lsh_multiprobe_topk, embedding_multiprobe_recall,
-# doc_winnow_fingerprints, doc_winnow_matches, doc_winnow_decontam,
-# embedding_ivf_trained_topk, doc_lm_bucket_sample;
-# then the r10-changed-but-not-windowed re-attests (CHANGED_THIS_ROUND
-# below: the two-phase-rank five — embedding_cosine_topk,
-# embedding_hamming_topk/external, embedding_lsh_recall,
-# embedding_ivf_recall — plus doc_bm25_topk, the lsh-guard trio,
-# doc_lm_auc, and doc_mask_contaminated (shared positional-kernel core);
-# values pinned unchanged, all verified at sf0.1 this round);
-# then the r8 cohort (latest green r8, 50 queries) alphabetically.
+# Round-11 rotation — held EXACTLY to the composition published in the r10
+# comment block and re-stated by VERDICT r10 item 1:
+#   * the 19 r7 leftovers FIRST (latest driver row r7 — 4 rounds old;
+#     swept 19/19 at sf0.1 out-of-band in r10, now driver-re-attested),
+#     alphabetical: events_purchase_window_clicks, events_retention_cohorts,
+#     events_salted_counts, events_salted_join, events_session_window,
+#     events_sliding_rollup, events_transition_matrix,
+#     features_within_radius, first_order_per_customer, geo_pivot_pipeline,
+#     image_decode_png, lang_id_confusion, lineitem_column_stats,
+#     lineitem_price_histogram, nation_stats_unpivot,
+#     nearest_feature_distance, orders_merge_upsert, parts_cm_frequencies,
+#     parts_hll_distinct;
+#   * then the NINE queries NEW in r10 (registered after the r10 window
+#     froze at 50, so never driver-attested): doc_curation_lmgate_pruned,
+#     doc_bpe_artifact_encode, embedding_lsh_multiprobe_topk,
+#     embedding_multiprobe_recall, doc_winnow_fingerprints,
+#     doc_winnow_matches, doc_winnow_decontam, embedding_ivf_trained_topk,
+#     doc_lm_bucket_sample;
+#   * then the ELEVEN r10-changed re-attests named in the r10 plan:
+#     embedding_cosine_topk, embedding_hamming_topk,
+#     embedding_hamming_external_topk, embedding_lsh_recall,
+#     embedding_ivf_recall (two-phase rank), doc_bm25_topk,
+#     embedding_lsh_topk, embedding_neardup_pairs, embedding_semantic_dedup
+#     (lsh guards), doc_lm_auc, doc_mask_contaminated (shared positional
+#     kernel);
+#   * the remaining 11 slots: the r8 cohort (latest green r8; 45 queries,
+#     minus doc_bm25_topk / doc_mask_contaminated already placed above)
+#     ALPHABETICALLY — blob_byte_entropy .. geo_buffer_clip_pipeline.
+# That leaves 32 r8-cohort queries NOT in the r11 window
+# (geo_nearest_distance_pipeline .. video_metadata_mp4, alphabetical);
+# being 4 rounds old at r12, they are scheduled to lead the r12 window:
+# r12 window plan: the NEW-in-r11 queries FIRST (registered after this
+# window froze, so never driver-attested): embedding_ivfpq_topk,
+# image_phash_neardup, doc_bm25_artifact_topk; then any r11-changed
+# re-attests not already windowed (see CHANGED_THIS_ROUND below — as of
+# r11 close every changed query IS in the r11 window: the winnow trio +
+# doc_mask_contaminated carry the 32-bit-pos/rightmost-tie/ws-class
+# kernel revision, features_within_radius + geo_buffer_clip_pipeline the
+# vectorized circle kernel); then the 32 r8-cohort leftovers
+# ALPHABETICALLY (geo_nearest_distance_pipeline, lineitem_multi_distinct,
+# order_gaps_lag, orders_cube, orders_except, orders_rollup,
+# parts_pagerank, q10_returned_items, q11_important_parts,
+# q12_shipmode_priority, q13_order_distribution, q14_promo_effect,
+# q15_top_supplier, q16_supplier_part_counts, q17_small_qty_revenue,
+# q18_large_orders, q19_disjunctive_revenue, q1_pricing_summary,
+# q20_part_suppliers, q21_waiting_supplier, q22_idle_customers,
+# q3_shipping_priority, q4_order_priority, q5_local_supplier,
+# q6_forecast_revenue, q7_nation_volume, q8_market_share,
+# q9_product_profit, segment_year_pivot, suppliers_with_big_lineitems,
+# top3_orders_per_customer, video_metadata_mp4); the remaining ~15 slots
+# take the r9 cohort (latest green r9) alphabetically.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
 # sf0.01 differential run (tests/test_queries_oracle.py::
@@ -103,107 +106,89 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # scale — so scale-sensitive divergence in touched code surfaces locally
 # before the gate does. Update each round alongside DRIVER_ORDER.
 CHANGED_THIS_ROUND: list[str] = [
-    # Two-phase top-k in the full-scan ANN rank stage (VERDICT r9 item 2):
-    # partial per-input-partition rank before the global per-query window so
-    # no single task sorts the corpus — values pinned unchanged.
+    # Winnow kernel revision (ADVICE r10 items 1-3, values CHANGE in both
+    # engines together): pos field widened 21->32 bits so ~2M-shingle docs
+    # no longer abort the job; tie-break switched to the SIGMOD'03 RIGHTMOST
+    # rule (combined key now hash*2^32 + (cap-1-pos)); oracle tokenizer ws
+    # class made byte-identical to the kernel's.
+    "doc_winnow_fingerprints",
+    "doc_winnow_matches",
+    "doc_winnow_decontam",
+    # Shares the positional k-gram kernel core with the winnow family; the
+    # ws-class alignment touches it (values pinned unchanged — \x0b absent
+    # from the corpus).
+    "doc_mask_contaminated",
+    # Vectorized circle-vs-polygon kernel (VERDICT r10 item 4): per-feature
+    # numpy batching replaces the per-pair Python loop inside the Arrow
+    # batch — values pinned unchanged.
+    "features_within_radius",
+    "geo_buffer_clip_pipeline",
+    # NEW in r11: IVF-PQ (IVFADC) — trained coarse-cell probe + ADC rerank
+    # on PQ codes, exact rerank of the ADC top-m (VERDICT r10 item 2)
+    "embedding_ivfpq_topk",
+    # NEW in r11: perceptual-hash (dHash) image near-dup over natively
+    # decoded pixels through the Hamming infra (VERDICT r10 item 3)
+    "image_phash_neardup",
+    # NEW in r11: BM25 serve path through a persisted parquet index
+    # artifact — the third trained-artifact family (VERDICT r10 item 6)
+    "doc_bm25_artifact_topk",
+]
+
+base.DRIVER_ORDER[:] = [
+    # the 19 r7 leftovers (4 rounds old — lead per the published plan)
+    "events_purchase_window_clicks",
+    "events_retention_cohorts",
+    "events_salted_counts",
+    "events_salted_join",
+    "events_session_window",
+    "events_sliding_rollup",
+    "events_transition_matrix",
+    "features_within_radius",
+    "first_order_per_customer",
+    "geo_pivot_pipeline",
+    "image_decode_png",
+    "lang_id_confusion",
+    "lineitem_column_stats",
+    "lineitem_price_histogram",
+    "nation_stats_unpivot",
+    "nearest_feature_distance",
+    "orders_merge_upsert",
+    "parts_cm_frequencies",
+    "parts_hll_distinct",
+    # the 9 never-attested new-r10 queries (published r11 order)
+    "doc_curation_lmgate_pruned",
+    "doc_bpe_artifact_encode",
+    "embedding_lsh_multiprobe_topk",
+    "embedding_multiprobe_recall",
+    "doc_winnow_fingerprints",
+    "doc_winnow_matches",
+    "doc_winnow_decontam",
+    "embedding_ivf_trained_topk",
+    "doc_lm_bucket_sample",
+    # the 11 r10-changed re-attests named in the published plan
     "embedding_cosine_topk",
     "embedding_hamming_topk",
     "embedding_hamming_external_topk",
     "embedding_lsh_recall",
     "embedding_ivf_recall",
     "doc_bm25_topk",
-    # lsh_bucket_col dim>planes validation + NULL-vector guard (ADVICE r9
-    # item 1) — no-op at the oracle-facing dim 64, values pinned unchanged.
     "embedding_lsh_topk",
     "embedding_neardup_pairs",
     "embedding_semantic_dedup",
-    # score_auc NULL-score filter (ADVICE r9 item 2) — no NULL scores reach
-    # the op via this query today, values pinned unchanged.
     "doc_lm_auc",
-    # NEW in r10: curation pipeline's LM gate with count-floor-pruned model
-    # (VERDICT r9 item 3 — lm_min_count wired through curation_pipeline)
-    "doc_curation_lmgate_pruned",
-    # NEW in r10: encode through a tokenizer LOADED from a parquet artifact
-    # on disk — the cross-session serving contract (VERDICT r9 item 6)
-    "doc_bpe_artifact_encode",
-    # NEW in r10: multi-probe LSH (Hamming-1 neighbor buckets, Lv'07) —
-    # the recall knob that doesn't add planes or duplicate the index
-    "embedding_lsh_multiprobe_topk",
-    "embedding_multiprobe_recall",
-    # NEW in r10: winnowing fingerprints + MOSS-style matching (SIGMOD'03)
-    # + verbatim-run decontamination over the winnowed index
-    "doc_winnow_fingerprints",
-    "doc_winnow_matches",
-    "doc_winnow_decontam",
-    # r10 self-review fixes: the positional/winnow kernels now share one
-    # module-level k-gram hash core (values pinned unchanged) — re-attest
-    # the positional consumer alongside the winnow family
     "doc_mask_contaminated",
-    # NEW in r10: CCNet-style final draw — exactly-k deterministic sample
-    # per (lang, LM bucket): pure composition of two verified operators
-    "doc_lm_bucket_sample",
-    # NEW in r10: IVF over k-means-TRAINED centroids (the production coarse
-    # quantizer ivf_assign's docstring promises); the kmeans oracle builders
-    # were refactored to share CTE chains — _kmeans_oracle output pinned
-    # byte-identical, kmeans family re-attested at sf0.01 this round
-    "embedding_ivf_trained_topk",
-]
-
-base.DRIVER_ORDER[:] = [
-    # the 9 deferred-r6 queries (4 rounds old — lead per the published plan)
-    "events_hourly_rollup",
-    "geo_elevation_pipeline",
-    "image_decode_jpeg",
-    "lang_top_bigrams",
-    "lineitem_price_quantiles",
-    "orders_bloom_blocklist",
-    "parts_triangle_counts",
-    "sessionize_users",
-    "video_frame_sample",
-    # the 9 never-attested new-r9 queries (published r10 order)
-    "doc_lm_quality_pruned",
-    "doc_lm_serve_scores",
-    "doc_dsir_serve_scores",
-    "embedding_hamming_external_topk",
-    "embedding_kmeanspar_cells",
-    "lang_unimax_budgets",
-    "doc_lm_auc",
-    "doc_bpe_bytefallback",
-    "doc_curation_keepbest",
-    # the 9 r9-changed re-attests named in the published plan
-    "doc_bpe_merges",
-    "doc_bpe_merges_batched",
-    "doc_bpe_token_counts",
-    "doc_bpe_encoded",
-    "doc_bpe_pack",
-    "embedding_lsh_topk",
-    "embedding_neardup_pairs",
-    "embedding_semantic_dedup",
-    "embedding_lsh_recall",
-    # r7-cohort alphabetical fill (first 23 not already placed above)
-    "doc_boilerplate",
-    "doc_chunks",
-    "doc_decontam_lsh_join",
-    "doc_decontamination",
-    "doc_dup_components",
-    "doc_dup_components_star",
-    "doc_feature_hash_embed",
-    "doc_gopher_quality",
-    "doc_incremental_dedup",
-    "doc_jaccard_pairs",
-    "doc_lsh_candidates",
-    "doc_minhash_signatures",
-    "doc_simhash",
-    "doc_strip_boilerplate",
-    "embedding_int8_quant",
-    "embedding_ivf_recall",
-    "events_anomaly_zscore",
-    "events_dau_wau",
-    "events_funnel",
-    "events_gap_fill",
-    "events_json_extract",
-    "events_ohlc_bars",
-    "events_props_rollup",
+    # r8-cohort alphabetical fill (first 11 not already placed above)
+    "blob_byte_entropy",
+    "brand_min_price",
+    "custkeys_f_and_o_intersect",
+    "customer_cumulative_spend",
+    "customers_without_orders",
+    "doc_curation_pipeline",
+    "doc_curation_semdedup",
+    "doc_priority_sample",
+    "events_moving_avg",
+    "events_value_quantiles",
+    "geo_buffer_clip_pipeline",
 ]
 
 

@@ -363,9 +363,13 @@ _WINNOW_W = 4
 _WINNOW_MAX_DF = 50
 _WINNOW_POS_CAP = 1 << _WINNOW_POS_BITS  # single definition of the tie-break key layout
 
+# NOTE the explicit whitespace class (ADVICE r10 item 3): DuckDB/RE2 '\\s'
+# is [\\t\\n\\f\\r ] WITHOUT \\x0b, while the engine kernel's _WS_KERNEL_RE
+# (= Java ASCII \\s) includes it — spelling the class out keeps the two
+# tokenizers byte-identical on \\x0b-bearing documents.
 _WINNOW_SEL_CTES = f"""
 toks AS (
-  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id AS id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
 ),
 wh AS (
   SELECT id, list_transform(t, w -> list_reduce(
@@ -381,7 +385,7 @@ sh AS (
 ),
 wmin AS (
   SELECT id, pos, n_sh,
-         min(hv * {_WINNOW_POS_CAP} + pos) OVER (
+         min(hv * {_WINNOW_POS_CAP} + ({_WINNOW_POS_CAP - 1} - pos)) OVER (
            PARTITION BY id ORDER BY pos
            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS mc
   FROM sh
@@ -393,7 +397,7 @@ sel AS (
 _WINNOW_ORACLE = f"""
 WITH {_WINNOW_SEL_CTES}
 SELECT id AS doc_id,
-       CAST(mc % {_WINNOW_POS_CAP} AS BIGINT) AS pos,
+       CAST({_WINNOW_POS_CAP - 1} - (mc % {_WINNOW_POS_CAP}) AS BIGINT) AS pos,
        CAST(mc // {_WINNOW_POS_CAP} AS BIGINT) AS fp
 FROM sel
 """
@@ -410,7 +414,8 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme). Guarantees any shared token run of >= w + k - 1 produces a
     shared fingerprint at ~2/(w+1) of the shingle index size. The oracle
     re-derives the selection with a SQL window min over the identical
-    combined key hash*2^21 + pos (exact int64 tie-break)."""
+    combined key hash*2^32 + (2^32-1-pos) (exact int64 rightmost-tie
+    rule, the paper's plain winnowing)."""
     from duckpipe_spark.functions.dedup import winnow_fingerprints
 
     out = winnow_fingerprints(

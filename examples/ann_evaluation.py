@@ -10,6 +10,10 @@ For each method the exact brute-force top-k is the ground truth
   multiprobe lsh + all Hamming-1 neighbor buckets (r10 — recall knob)
   ivf        seed-centroid cells, n_probe best cells
   ivf_train  k-means-TRAINED cells (r10 — the production coarse quantizer)
+  ivfpq      IVFADC (r11): trained-cell probe + residual-PQ ADC + exact
+             rerank — same probe budget as ivf_train, so the recall delta
+             isolates what the PQ shortlist costs (VERDICT r10 item 2
+             asks recall >= ivf_train at equal probe budget)
   pq_adc     product-quantization asymmetric distance (16 B/vec codes)
   hamming    binary sign codes, xor+popcount (16 B/vec, exact integer)
 
@@ -32,6 +36,7 @@ from duckpipe_spark.functions.similarity import (
     hamming_topk,
     ivf_topk,
     ivf_trained_topk,
+    ivfpq_topk,
     lsh_multiprobe_topk,
     lsh_topk,
     pq_adc_topk,
@@ -61,6 +66,7 @@ def main() -> None:
         "multiprobe": lambda: lsh_multiprobe_topk(emb, QUERY_IDS, K, n_planes=N_PLANES),
         "ivf": lambda: ivf_topk(emb, QUERY_IDS, K),
         "ivf_train": lambda: ivf_trained_topk(emb, QUERY_IDS, K),
+        "ivfpq": lambda: ivfpq_topk(emb, QUERY_IDS, K),
         "pq_adc": lambda: pq_adc_topk(emb, QUERY_IDS, K),
         "hamming": lambda: hamming_topk(emb, QUERY_IDS, K),
     }

@@ -428,9 +428,10 @@ def test_ngram_novelty_semantics(spark):
 def test_winnow_guarantee_and_tie_break(spark):
     """Winnowing contract (Schleimer'03): (1) any shared token run of
     length >= w + k - 1 yields a shared selected fingerprint; (2) docs
-    sharing no k-gram share no fingerprint; (3) ties select the LEFTMOST
-    position (a repeated-token doc selects every window's first slot);
-    (4) density: selections never exceed the window count."""
+    sharing no k-gram share no fingerprint; (3) ties select the RIGHTMOST
+    position per the paper's plain-winnowing rule (a repeated-token doc
+    selects every window's last slot); (4) density: selections never
+    exceed the window count."""
     import pyspark.sql.functions as F
 
     from duckpipe_spark.functions.dedup import winnow_fingerprints, winnow_matches
@@ -455,11 +456,11 @@ def test_winnow_guarantee_and_tie_break(spark):
     }
     assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
-    # repeated-token doc: all shingle hashes equal -> leftmost tie-break
-    # selects every window's first slot -> positions are exactly 0..n_sh-w
+    # repeated-token doc: all shingle hashes equal -> rightmost tie-break
+    # selects every window's last slot -> positions are exactly w-1..n_sh-1
     rep = sorted(r.pos for r in fps.where(F.col("id") == 4).collect())
     n_sh = 8 - k + 1  # 6 shingles
-    assert rep == list(range(n_sh - w + 1)), rep
+    assert rep == list(range(w - 1, n_sh)), rep
     # density bound: per-doc selections <= window count
     for i in (1, 2, 3):
         n_tok = len(docs.where(F.col("doc_id") == i).collect()[0].text.split())
@@ -467,6 +468,39 @@ def test_winnow_guarantee_and_tie_break(spark):
     # matching pass surfaces exactly the planted pair
     pairs = {(r.id_a, r.id_b) for r in winnow_matches(docs, k=k, w=w).collect()}
     assert (1, 2) in pairs and all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_ivfpq_equals_ivf_trained_when_rerank_covers_cell(spark, planted_vectors):
+    """IVFADC (r11): with the same trained quantizer and probe budget, and
+    a rerank width >= the probed cell population, the exact rerank runs
+    over the SAME candidate set as trained-IVF — outputs must be
+    identical (the ADC shortlist can only lose candidates when rerank is
+    narrower than the cell). Also: every neighbor stays in the query's
+    planted cluster, and a NARROW rerank still returns k in-cluster rows
+    (the ADC ordering itself ranks true neighbors first on separated
+    clusters)."""
+    from duckpipe_spark.functions.similarity import ivf_trained_topk, ivfpq_topk
+
+    qs = [0, 20, 40, 60, 80]
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in planted_vectors.select("vec_id", "label").collect()
+    }
+    ref = ivf_trained_topk(
+        planted_vectors, query_ids=qs, k=5, n_cells=5, iters=3, n_probe=1
+    ).collect()
+    got = ivfpq_topk(
+        planted_vectors, query_ids=qs, k=5, n_cells=5, iters=3, n_probe=1,
+        dim=32, rerank=30,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    narrow = ivfpq_topk(
+        planted_vectors, query_ids=qs, k=5, n_cells=5, iters=3, n_probe=1,
+        dim=32, rerank=8,
+    ).collect()
+    assert len(narrow) == 25
+    for r in narrow:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]], r
 
 
 def test_ivf_trained_topk_uses_converged_cells(spark, planted_vectors):

@@ -222,6 +222,22 @@ def test_pq_adc_scan_side_never_shuffles_vectors(spark):
     assert a.python_stages == 0
 
 
+def test_ivfpq_no_full_corpus_adc_scan(spark):
+    """embedding_ivfpq_topk (r11): the centroid table and residual codebook
+    are collected literals, every join in the plan is broadcast (the ADC
+    LUT inner join IS the probe filter — codes outside probed cells never
+    reach the aggregate), no sort-merge/shuffled-hash join or Python stage
+    exists, and the shuffle count stays at the aggregates + two-phase rank
+    (assign argmin, code argmin, ADC sum, shortlist, final rank)."""
+    with no_aqe(spark):
+        a = audit_plan(_q("embedding_ivfpq_topk")(spark, SF_SMOKE))
+    assert a.sort_merge_joins == 0
+    assert a.shuffle_hash_joins == 0
+    assert a.broadcast_hash_joins >= 8
+    assert a.exchanges <= 6, a.text
+    assert a.python_stages == 0
+
+
 def test_span_dedup_plan_bounded_shuffles(spark):
     # span dedup: no Python stage (codegen split/slice/md5), no cartesian,
     # shuffles bounded by: span-hash election, kept-spans join, per-doc
