@@ -172,6 +172,139 @@ def decode_images(
     return df.mapInPandas(gen, DECODED_IMAGE_SCHEMA)
 
 
+def image_dhash(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over NATIVELY decoded pixels →
+    (blob_id, h0, h1): decode each blob with the vendored PNG/baseline-JPEG
+    codecs, integer-downsample to a ``grid`` × ``grid``+1 brightness grid,
+    and set bit (r, c) when cell (r, c+1) is brighter than cell (r, c) —
+    the 64-bit gradient signature that survives re-encoding, mild noise
+    and resizing, which byte-level dedup cannot see past.
+
+    Determinism contract: grayscale is the integer SUM over channels; the
+    downsample partitions rows/columns at floor(i·H/grid) boundaries and
+    compares block brightness by exact integer cross-multiplication
+    (sumA·nB > sumB·nA — no float division anywhere), so the code is
+    bit-portable across engines. Codes pack MSB-first into TWO bigints of
+    32 bits (rows 0..3 → h0, rows 4..7 → h1), the ``sign_pack_cols``
+    convention the Hamming-ANN family already ships (no int64 sign-bit
+    reasoning).
+
+    Scale shape: one shuffle-free Arrow projection — m codes-bytes per
+    image, the cheapest representation an image-dedup pass at 100 TB can
+    scan. Blobs that fail to decode are SKIPPED (near-dup detection is
+    best-effort curation, not validation — `decode_images` is the loud
+    path)."""
+    cols = grid + 1
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckpipe_spark.functions.jpeg import decode_jpeg
+        from duckpipe_spark.functions.png import decode_png
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(getattr(row, blob_col))
+                bid = getattr(row, id_col)
+                try:
+                    fmt = _sniff_format(blob)
+                    if fmt == "png":
+                        arr = decode_png(blob)
+                    elif fmt == "jpeg":
+                        arr = decode_jpeg(blob)
+                    else:
+                        continue
+                except (ValueError, NotImplementedError):
+                    continue
+                gray = arr.astype(np.int64).sum(axis=2)
+                h, w = gray.shape
+                if h < grid or w < cols:
+                    continue
+                rb = (np.arange(grid) * h) // grid
+                cb = (np.arange(cols) * w) // cols
+                s = np.add.reduceat(np.add.reduceat(gray, rb, axis=0), cb, axis=1)
+                rn = np.diff(np.append(rb, h)).astype(np.int64)
+                cn = np.diff(np.append(cb, w)).astype(np.int64)
+                cnt = rn[:, None] * cn[None, :]
+                # brighter-to-the-right bit, exact integer cross-multiply
+                bits = s[:, 1:] * cnt[:, :-1] > s[:, :-1] * cnt[:, 1:]
+                half = grid // 2
+                weights = 1 << (np.arange(half * grid, dtype=np.int64)[::-1])
+                h0 = int((bits[:half].ravel() * weights).sum())
+                h1 = int((bits[half:].ravel() * weights).sum())
+                out.append((bid, h0, h1))
+            yield pd.DataFrame(out, columns=["blob_id", "h0", "h1"])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        gen, "blob_id bigint, h0 bigint, h1 bigint"
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    max_distance: int = 3,
+    max_band_df: int = 50,
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual-hash codes →
+    (id_a, id_b, hamming): band each 64-bit code into FOUR 16-bit slices;
+    by pigeonhole any pair within Hamming distance ≤ 3 (< 4 bands) agrees
+    exactly on at least one band, so the candidate set is an equi-join on
+    (band index, band value) — never all-pairs — and the exact
+    xor+popcount verify keeps pairs ≤ ``max_distance``.
+
+    Bands occurring in more than ``max_band_df`` images (flat-color
+    boilerplate — blank thumbnails, solid backgrounds) are dropped via a
+    broadcast anti-join BEFORE the pair join, the same skew guard the
+    MinHash/winnow candidate passes use: one hot band otherwise
+    contributes df² candidate rows. Verification distances are exact
+    integers (same xor+popcount kernel as the Hamming-ANN family), so
+    results are bit-portable across engines."""
+    bands = hashes.select(
+        F.col(id_col).alias("id"),
+        "h0",
+        "h1",
+        F.posexplode(
+            F.array(
+                F.shiftright(F.col("h0"), 16).cast("bigint"),
+                F.col("h0") % F.lit(65536).cast("bigint"),
+                F.shiftright(F.col("h1"), 16).cast("bigint"),
+                F.col("h1") % F.lit(65536).cast("bigint"),
+            )
+        ).alias("bi", "bv"),
+    )
+    hot = (
+        bands.groupBy("bi", "bv")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > max_band_df)
+        .select("bi", "bv")
+    )
+    rare = bands.join(F.broadcast(hot), ["bi", "bv"], "left_anti")
+    a = rare.select(
+        F.col("id").alias("id_a"), F.col("h0").alias("h0a"), F.col("h1").alias("h1a"),
+        "bi", "bv",
+    )
+    b = rare.select(
+        F.col("id").alias("id_b"), F.col("h0").alias("h0b"), F.col("h1").alias("h1b"),
+        "bi", "bv",
+    )
+    ham = (
+        F.bit_count(F.col("h0a").bitwiseXOR(F.col("h0b")))
+        + F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
+    ).cast("bigint")
+    return (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
 DECODED_AUDIO_SCHEMA = (
     "blob_id bigint, n_frames bigint, sample_rate int, channels int, "
     "duration_s double, rms double"

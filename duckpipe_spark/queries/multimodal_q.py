@@ -331,3 +331,113 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
     return sample_video_frames(blobs, every=2)
+
+
+# --- perceptual-hash image near-dup (r11, VERDICT r10 item 3) ---------------
+#
+# Each document becomes a REAL 16x18 grayscale PNG whose 2x2-block structure
+# is an analytic function of doc_id // 2: docs 2j and 2j+1 render the same
+# 8x9 brightness grid, but the odd doc perturbs every block (+1 top-left,
+# -1 bottom-right — pixel-level near-identical, byte-level different, block
+# sums unchanged), so the planted near-dup pair (2j, 2j+1) MUST surface at
+# Hamming 0 while distinct j's pseudo-random grids (~32-bit distance) must
+# not. The engine runs the full real path — PNG encode, vendored decode,
+# integer block downsample, dHash, banded pair join, xor+popcount verify —
+# while the oracle recomputes the dHash analytically from the grid formula
+# and replays band/verify in SQL: both engines agree bit-for-bit because
+# every step is integer math.
+_IMAGE_PHASH_ORACLE = """
+WITH g AS (
+  SELECT doc_id, R, C,
+         1 + ((((doc_id // 2) * 1000003 + R * 9 + C + 1) % 1000000007)
+              * (((doc_id // 2) * 1000003 + R * 9 + C + 1) % 1000000007)
+              % 1000000007 * 2654435761 % 1000000007) % 254 AS v
+  FROM documents,
+       (SELECT unnest(range(0, 8)) AS R),
+       (SELECT unnest(range(0, 9)) AS C)
+),
+bits AS (
+  SELECT a.doc_id, a.R AS r, a.C AS c,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.R = b.R AND b.C = a.C + 1
+  WHERE a.C < 8
+),
+codes AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN r < 4
+              THEN bit * (CAST(1 AS BIGINT) << CAST(31 - r * 8 - c AS INT))
+              ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN r >= 4
+              THEN bit * (CAST(1 AS BIGINT) << CAST(31 - (r - 4) * 8 - c AS INT))
+              ELSE 0 END) AS BIGINT) AS h1
+  FROM bits GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h0, h1,
+         unnest([h0 // 65536, h0 % 65536, h1 // 65536, h1 % 65536]) AS bv,
+         unnest([0, 1, 2, 3]) AS bi
+  FROM codes
+),
+hot AS (
+  SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) > 50
+),
+rare AS MATERIALIZED (
+  SELECT b.doc_id, b.h0, b.h1, b.bi, b.bv
+  FROM bands b ANTI JOIN hot h ON b.bi = h.bi AND b.bv = h.bv
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.h0 AS h0a, a.h1 AS h1a, b.h0 AS h0b, b.h1 AS h1b
+  FROM rare a JOIN rare b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 3
+"""
+
+
+@register(
+    "image_phash_neardup",
+    _IMAGE_PHASH_ORACLE,
+    "perceptual-hash (dHash) image near-dup: banded pair join over 64-bit codes",
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r10 item 3 — the multimodal family's missing near-dup op:
+    dHash over the natively decoded pixels feeding the Hamming xor+popcount
+    infrastructure (two 32-bit halves, 16-bit band candidates, broadcast
+    hot-band guard). The core curation use for image columns."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import image_dhash, phash_neardup_pairs
+    from duckpipe_spark.functions.png import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                j = d // 2
+                rr = np.arange(8, dtype=np.int64)
+                cc = np.arange(9, dtype=np.int64)
+                # quadratic congruential mix: an AFFINE cell hash walks a
+                # constant-step orbit mod P, making comparison bits a
+                # function of the start offset alone (distinct docs then
+                # collide at Hamming 0); squaring the seed breaks the
+                # constant step, so cross-doc codes are ~32 bits apart
+                seed = (j * 1000003 + rr[:, None] * 9 + cc[None, :] + 1) % 1000000007
+                grid = 1 + (seed * seed % 1000000007 * 2654435761 % 1000000007) % 254
+                img = np.repeat(np.repeat(grid, 2, axis=0), 2, axis=1).astype(np.uint8)
+                if d % 2:
+                    img[0::2, 0::2] += 1  # near-identical: block sums unchanged
+                    img[1::2, 1::2] -= 1
+                blobs.append(encode_png(img, filter_type=2))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
+    return phash_neardup_pairs(image_dhash(blobs), max_distance=3, max_band_df=50)

@@ -125,3 +125,47 @@ def test_pil_passthrough_matches_vendored_png_decode(spark):
     row = decode_images(df).collect()[0]
     assert (row.width, row.height, row.channels) == (16, 24, 3)
     assert row.mean_pixel == pytest.approx(float(img.mean()))
+
+
+def test_image_phash_neardup_planted_pairs(spark):
+    """dHash near-dup (r11): through the REAL PNG encode->decode path, a
+    pixel-level-perturbed copy (compensating +1/-1 inside each 2x2 block,
+    so every block sum — and therefore the dHash — is unchanged) pairs
+    with its original at Hamming 0, while structurally distinct images do
+    not pair; undecodable blobs are skipped, not fatal."""
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import image_dhash, phash_neardup_pairs
+    from duckpipe_spark.functions.png import encode_png
+
+    rng = np.random.default_rng(7)
+
+    def perturbed(img):
+        out = img.copy()
+        out[0::2, 0::2] += 1
+        out[1::2, 1::2] -= 1
+        return out
+
+    a = rng.integers(1, 255, size=(16, 18)).astype(np.uint8)
+    b = rng.integers(1, 255, size=(16, 18)).astype(np.uint8)
+    rows = pd.DataFrame(
+        {
+            "blob_id": [1, 2, 3, 4, 5],
+            "blob": [
+                bytearray(encode_png(a)),
+                bytearray(encode_png(perturbed(a))),
+                bytearray(encode_png(b)),
+                bytearray(encode_png(perturbed(b))),
+                bytearray(b"not an image at all"),
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    codes = image_dhash(df)
+    assert codes.count() == 4  # the garbage blob is skipped
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(codes, max_distance=3).collect()
+    }
+    assert got == {(1, 2): 0, (3, 4): 0}, got
