@@ -509,12 +509,7 @@ def bm25_topk(
     slice."""
 
     spark = docs.sparkSession
-    k1_plus_1 = k1 + 1.0
-    one_minus_b = 1.0 - b
-
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("term")
-    )
+    toks = _bm25_tokens(docs, id_col, text_col)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     qt = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in terms], "query_id int, term string"
@@ -529,6 +524,35 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_dl"),
     )
+    return _bm25_rank(tf, dl, dfq, stats, qt, k, k1, b, id_col)
+
+
+def _bm25_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The one tokenizer every BM25 relation derives from (train AND
+    index-build must agree byte-for-byte or serve-time scores drift)."""
+    return docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("term")
+    )
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    dl: DataFrame,
+    dfq: DataFrame,
+    stats: DataFrame,
+    qt: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring core (corpus path `bm25_topk` + index path
+    `bm25_topk_from_index`): ONE mirrored expression tree over (tf, dl,
+    df, corpus stats) so the disk-served scores are bit-identical to the
+    corpus-derived ones — the same single-definition discipline the
+    positional k-gram kernel follows."""
+    k1_plus_1 = k1 + 1.0
+    one_minus_b = 1.0 - b
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
     idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     denom = F.col("tf") + F.lit(k1) * (
@@ -559,3 +583,79 @@ def bm25_topk(
         scored, [F.col("score").desc(), F.col(id_col).asc()], k
     )
     return ranked.select("query_id", "rank", F.col(id_col), "score")
+
+
+def save_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the BM25 retrieval index as a four-table parquet artifact —
+    the retrieval twin of ``bpe.save_tokenizer``'s train/serve contract
+    (VERDICT r10 item 6): build the index ONCE on the cluster, ship the
+    artifact, and every serving job scores fresh query batches without
+    touching the corpus again.
+
+      <path>/postings.parquet   (doc_id, term, tf)   — corpus-sized, written
+                                                       DISTRIBUTED (no
+                                                       driver collect)
+      <path>/doclens.parquet    (doc_id, dl)
+      <path>/termstats.parquet  (term, df)           — vocabulary-sized
+      <path>/stats.parquet      (n_docs, total_dl)   — 1 row, written LAST
+                                                       (its _SUCCESS marker
+                                                       is the artifact's
+                                                       completeness check)
+
+    All counts are exact integers from the single shared tokenizer
+    (`_bm25_tokens`), so index-served scores reproduce corpus scores
+    bit-for-bit."""
+    toks = _bm25_tokens(docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    postings = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    postings.write.mode("overwrite").parquet(f"{path}/postings.parquet")
+    dl.write.mode("overwrite").parquet(f"{path}/doclens.parquet")
+    postings_disk = docs.sparkSession.read.parquet(f"{path}/postings.parquet")
+    postings_disk.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/termstats.parquet")
+    dl_disk = docs.sparkSession.read.parquet(f"{path}/doclens.parquet")
+    dl_disk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats.parquet")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval THROUGH a ``save_bm25_index`` disk artifact →
+    (query_id, rank, doc_id, score): the serving shape — no corpus scan,
+    no training lineage; the plan reads the postings/doclens/termstats/
+    stats parquet and nothing else, so it works identically from a batch
+    job, a fresh session, or a stream-side scorer.
+
+    Scale shape mirrors ``bm25_topk``: the query-term semi-join prunes the
+    postings scan to matched rows (predicate pushdown reaches the parquet
+    scan — the term filter is a broadcast semi-join against a tiny term
+    set), df/stats are vocabulary-bounded/1-row broadcasts, and the rank
+    is the two-phase per-query top-k."""
+    postings = spark.read.parquet(f"{path}/postings.parquet")
+    dl = spark.read.parquet(f"{path}/doclens.parquet")
+    termstats = spark.read.parquet(f"{path}/termstats.parquet")
+    stats = spark.read.parquet(f"{path}/stats.parquet")
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms], "query_id int, term string"
+    )
+    terms = qt.select("term").distinct()
+    tf = postings.join(F.broadcast(terms), "term", "left_semi")
+    dfq = termstats.join(F.broadcast(terms), "term", "left_semi")
+    return _bm25_rank(tf, dl, dfq, stats, qt, k, k1, b, id_col)

@@ -698,3 +698,17 @@ def test_score_auc_groups_before_window(spark):
         a = audit_plan(_q("doc_lm_auc")(spark, SF_SMOKE))
     assert a.python_stages == 0
     assert a.sort_merge_joins == 0, a.text
+
+
+def test_bm25_artifact_serve_reads_only_the_index(spark):
+    """doc_bm25_artifact_topk (r11): the serve plan reads the persisted
+    postings/doclens/termstats/stats parquet and NOTHING else — no
+    documents.parquet scan, no training lineage, no Python stage. That is
+    the whole point of the artifact contract: scoring works from a fresh
+    session without the corpus."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_bm25_artifact_topk")(spark, SF_SMOKE))
+    locs = " ".join(s.get("location", "") for s in a.scans)
+    assert "bm25_index_" in locs, locs
+    assert "documents.parquet" not in locs, locs
+    assert a.python_stages == 0
