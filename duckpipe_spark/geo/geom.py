@@ -467,6 +467,67 @@ def circle_polygon_area(cx: float, cy: float, r: float, g: Geometry) -> float:
     return max(total, 0.0)
 
 
+def circle_polygon_area_batch(
+    cx: np.ndarray, cy: np.ndarray, r: np.ndarray, g: Geometry
+) -> np.ndarray:
+    """``circle_polygon_area`` for a BATCH of circles against ONE decoded
+    polygon (VERDICT r10 item 4): the per-(circle, edge) Green's-theorem
+    contribution evaluates as (n_circles × n_edges) numpy arrays instead
+    of a per-pair Python loop — the form the landuse Arrow kernel calls
+    once per feature polygon per batch.
+
+    Same cut structure as the scalar kernel, branch-freed: the two chord
+    roots clip into [0, 1] (degenerate sub-segments contribute exactly 0,
+    reproducing the scalar path's strict-interior cut filter), each of the
+    three sub-segments resolves tri-vs-sector by its own midpoint test.
+    Differences from the scalar path are summation order only (pairwise
+    vs sequential — last-ulp), which every consumer rounds away."""
+    cx = np.asarray(cx, dtype=np.float64)
+    cy = np.asarray(cy, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    n = len(cx)
+    total = np.zeros(n, dtype=np.float64)
+    r2 = (r * r)[:, None]
+
+    def _sub(ax, ay, dx, dy, t0, t1):
+        px, py = ax + t0 * dx, ay + t0 * dy
+        qx, qy = ax + t1 * dx, ay + t1 * dy
+        tm = 0.5 * (t0 + t1)
+        mx, my = ax + tm * dx, ay + tm * dy
+        cross = px * qy - py * qx
+        tri = 0.5 * cross
+        sector = 0.5 * r2 * np.arctan2(cross, px * qx + py * qy)
+        return np.where(mx * mx + my * my <= r2, tri, sector)
+
+    for part in iter_parts(g):
+        if part.gtype != "Polygon" or not part.data:
+            continue
+        for i, ring in enumerate(part.data):
+            rr = _close_ring(ring)
+            if len(rr) < 3:
+                continue
+            ax = rr[:-1, 0][None, :] - cx[:, None]
+            ay = rr[:-1, 1][None, :] - cy[:, None]
+            dx = np.diff(rr[:, 0])[None, :]
+            dy = np.diff(rr[:, 1])[None, :]
+            seg2 = dx * dx + dy * dy
+            b_coef = ax * dx + ay * dy
+            disc = b_coef * b_coef - seg2 * (ax * ax + ay * ay - r2)
+            live = (seg2 > 0.0) & (disc > 0.0)
+            sq = np.sqrt(np.where(live, disc, 0.0))
+            den = np.where(seg2 > 0.0, seg2, 1.0)
+            t1 = np.where(live, np.clip((-b_coef - sq) / den, 0.0, 1.0), 0.0)
+            t2 = np.where(live, np.clip((-b_coef + sq) / den, 0.0, 1.0), 0.0)
+            s = (
+                _sub(ax, ay, dx, dy, np.zeros_like(t1), t1)
+                + _sub(ax, ay, dx, dy, t1, t2)
+                + _sub(ax, ay, dx, dy, t2, np.ones_like(t2))
+            )
+            ring_sum = np.where(seg2 > 0.0, s, 0.0).sum(axis=1)
+            total += np.abs(ring_sum) if i == 0 else -np.abs(ring_sum)
+    return np.where(r > 0.0, np.maximum(total, 0.0), 0.0)
+
+
 def circle_line_clip_length(cx: float, cy: float, r: float, g: Geometry) -> float:
     """Exact length of line ∩ circle(c,r) — the reference's
     `SUM(ST_Length(ST_Intersection(ST_Buffer(c,r), road)))` kernel

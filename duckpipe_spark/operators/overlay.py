@@ -184,21 +184,29 @@ def main_road_llw(
 
 
 def _circle_poly_area_udf(*cols):
-    """Exact circle∩polygon area pandas UDF; WKB decode memoized per Arrow
-    batch (the same feature polygon appears in many candidate pairs).
-    Created lazily — pandas_udf needs an active SparkSession."""
+    """Exact circle∩polygon area pandas UDF (VERDICT r10 item 4): candidate
+    pairs are GROUPED BY feature polygon inside each Arrow batch — the same
+    polygon appears in many (point, buffer) pairs — then each polygon is
+    decoded ONCE and all its circles evaluate through the vectorized
+    ``circle_polygon_area_batch`` numpy kernel (one (circles × edges)
+    array pass per polygon, no per-pair Python loop). Created lazily —
+    pandas_udf needs an active SparkSession."""
 
     @pandas_udf("double")
     def _kernel(px: pd.Series, py: pd.Series, r: pd.Series, raw: pd.Series) -> pd.Series:
-        cache: dict[bytes, object] = {}
-        out = []
-        for x, y, rad, b in zip(px.values, py.values, r.values, raw.values):
-            key = bytes(b)
-            g = cache.get(key)
-            if g is None:
+        import numpy as np
+
+        out = np.zeros(len(px), dtype=np.float64)
+        if len(px):
+            keys = pd.Series([bytes(b) for b in raw.values], index=px.index)
+            xv = px.values.astype(np.float64)
+            yv = py.values.astype(np.float64)
+            rv = r.values.astype(np.float64)
+            pos = pd.RangeIndex(len(px))
+            for key, idx in pd.Series(pos.values).groupby(keys.values).groups.items():
                 g = wkb.from_wkb(key)
-                cache[key] = g
-            out.append(geom.circle_polygon_area(float(x), float(y), float(rad), g))
+                ii = np.asarray(idx, dtype=np.int64)
+                out[ii] = geom.circle_polygon_area_batch(xv[ii], yv[ii], rv[ii], g)
         return pd.Series(out, dtype="float64")
 
     return _kernel(*cols)

@@ -269,3 +269,23 @@ def test_hilbert_locality():
 def test_hilbert_key_scaling():
     k = hilbert_key([0.0, 100.0], [0.0, 100.0], 0, 0, 100, 100, order=8)
     assert k[0] != k[1]
+
+
+def test_circle_polygon_area_batch_matches_scalar():
+    """Vectorized batch kernel (r11) ≡ the scalar reference on every cut
+    topology: contained circle, contained polygon, chord crossings,
+    tangents, holes, disjoint, degenerate r<=0 — across a sweep of
+    centers/radii against an L-shaped polygon with a hole."""
+    import numpy as np
+
+    outer = [(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10), (0, 0)]
+    hole = [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]
+    g = wkb.polygon([outer, hole])
+    rng = np.random.default_rng(3)
+    cx = rng.uniform(-3, 13, 200)
+    cy = rng.uniform(-3, 13, 200)
+    r = np.concatenate([rng.uniform(0.1, 8, 198), [0.0, -1.0]])
+    got = geom.circle_polygon_area_batch(cx, cy, r, g)
+    for i in range(200):
+        exp = geom.circle_polygon_area(float(cx[i]), float(cy[i]), float(r[i]), g)
+        assert got[i] == pytest.approx(exp, rel=1e-12, abs=1e-12), (i, cx[i], cy[i], r[i])
