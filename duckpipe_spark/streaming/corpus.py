@@ -89,3 +89,36 @@ def incremental_dedup_stateful(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def winnow_probe_static(
+    docs: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe (arriving) documents against a STATIC winnowed fingerprint
+    index → (``id_col``, index_id, fp) match rows — the incremental-
+    decontamination SERVING shape (VERDICT r10 item 7): the benchmark/
+    blocklist index is winnowed once as a batch job (``index`` =
+    (index_id, fp) rows, e.g. ``winnow_fingerprints(bench).select(
+    F.col("id").alias("index_id"), "fp")``), and every newly crawled doc
+    is fingerprinted on arrival and joined against it. Winnowing's
+    guarantee carries over: an arriving doc sharing any verbatim run of
+    ≥ w + k − 1 tokens with an index doc MUST emit at least one match row.
+
+    Streaming-safe by construction: the winnow kernel is doc-local (one
+    shuffle-free Arrow projection — pinned by the winnow_s twin in
+    tests/test_streaming.py) and the probe is a stateless stream-static
+    BROADCAST join, so the composition runs append-mode with no watermark
+    or state store; per-doc aggregation/quarantine decisions belong to the
+    downstream consumer. On batch inputs the same composition is the
+    matching stage of ``winnow_decontaminate`` without the bucket split."""
+    from duckpipe_spark.functions.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w).select("id", "fp")
+    return fps.join(F.broadcast(index), "fp").select(
+        F.col("id").alias(id_col), "index_id", "fp"
+    )

@@ -825,3 +825,62 @@ def test_dsir_score_stream_matches_batch(spark, tmp_path):
         assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
     finally:
         model.unpersist()
+
+
+def test_winnow_probe_stream_matches_batch(spark, tmp_path):
+    """Winnow-matches streaming twin (VERDICT r10 item 7): a static
+    benchmark index is winnowed once; arriving documents fingerprint
+    on arrival (doc-local Arrow kernel) and probe the index through a
+    stateless stream-static broadcast join. The drained append-mode sink
+    equals the batch composition row-for-row, the planted verbatim
+    >= w+k-1 run IS flagged (the winnowing guarantee survives the
+    serving split), and the clean doc is not."""
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.dedup import winnow_fingerprints
+    from duckpipe_spark.streaming.corpus import winnow_probe_static
+    from tests.oracle_harness import canonicalize
+
+    shared = "alpha beta gamma delta epsilon zeta"  # w + k - 1 = 6 tokens
+    bench = spark.createDataFrame(
+        [
+            (1, f"benchmark question one {shared} answer text here"),
+            (2, "a completely unrelated benchmark prompt with other words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    arriving = spark.createDataFrame(
+        [
+            (100, f"crawled page mentioning {shared} verbatim in the middle"),
+            (101, "clean crawled page sharing no three gram with anything"),
+            (102, "another clean arrival full of fresh novel vocabulary"),
+        ],
+        "doc_id bigint, text string",
+    )
+    index = winnow_fingerprints(bench).select(
+        F.col("id").alias("index_id"), "fp"
+    ).persist()
+    try:
+        d = tmp_path / "arrivals"
+        d.mkdir()
+        pdf = arriving.toPandas()
+        for i in range(len(pdf)):  # one doc per micro-batch
+            spark.createDataFrame(pdf.iloc[i : i + 1], arriving.schema).coalesce(
+                1
+            ).write.parquet(str(d / f"b{i}"))
+        stream = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "b*"))
+        )
+        got = _run_stream(
+            spark, winnow_probe_static(stream, index), "winnow_probe_s", mode="append"
+        )
+        want = winnow_probe_static(arriving, index)
+        assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
+        hit_ids = {r.doc_id for r in got.collect()}
+        assert 100 in hit_ids, "planted verbatim run must be flagged"
+        assert {r.index_id for r in got.where(F.col("doc_id") == 100).collect()} == {1}
+        assert 101 not in hit_ids and 102 not in hit_ids
+    finally:
+        index.unpersist()
