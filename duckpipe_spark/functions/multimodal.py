@@ -305,6 +305,176 @@ def phash_neardup_pairs(
     )
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+    n_frames: int = 65,
+) -> DataFrame:
+    """Perceptual audio fingerprint over NATIVELY decoded PCM →
+    (blob_id, h0, h1): decode each RIFF/WAVE blob with the vendored codec,
+    partition the sample stream into ``n_frames`` time frames, and set bit
+    f when frame f+1 carries more energy than frame f — the 1-D analogue
+    of `image_dhash`'s brightness-gradient signature, i.e. the
+    energy-delta family of Haitsma & Kalker's audio fingerprint (ICMIR'02)
+    restricted to the time axis (no FFT — band deltas become frame deltas,
+    which keeps every step exact integer math). The signature survives
+    re-encoding, channel remixing that preserves per-frame energy, and
+    sample-order changes within a frame — none of which byte-level dedup
+    can see past.
+
+    Determinism contract: int16 sample values are recovered exactly from
+    the codec's /32768 floats (power-of-two scaling is lossless in
+    float64), channels are integer-summed, frame energies are int64 sums
+    of squares over floor(f·n/n_frames) boundaries, and unequal frame
+    lengths compare by exact cross-multiplication (E[f+1]·len[f] >
+    E[f]·len[f+1]) — no float anywhere, so codes are bit-portable across
+    engines. Bound: E·len ≤ len²·ch²·2³⁰ keeps int64 up to ~45k samples
+    per frame stereo (a 3-minute 16 kHz track at 65 frames). Codes pack
+    MSB-first into TWO 32-bit bigints (bits 0..31 → h0, 32..63 → h1), the
+    same halves convention as `image_dhash`, so `phash_neardup_pairs`
+    bands/verifies them unchanged.
+
+    Scale shape: one shuffle-free Arrow projection — the cheapest
+    representation an audio-dedup pass at 100 TB can scan. Blobs that
+    fail to decode (compressed codecs without ffmpeg, malformed) are
+    SKIPPED — near-dup detection is best-effort curation; `decode_audio`
+    is the loud path."""
+    if n_frames != 65:
+        raise ValueError("audio_fingerprint packs exactly 64 delta bits (65 frames)")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckpipe_spark.functions.wav import decode_wav
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(getattr(row, blob_col))
+                bid = getattr(row, id_col)
+                try:
+                    if _sniff_format(blob) != "wav":
+                        continue
+                    arr, _rate = decode_wav(blob)
+                except (ValueError, NotImplementedError):
+                    continue
+                n = arr.shape[0]
+                if n < n_frames:
+                    continue
+                iv = np.rint(arr * 32768.0).astype(np.int64).sum(axis=1)
+                fb = (np.arange(n_frames) * n) // n_frames
+                energy = np.add.reduceat(iv * iv, fb)
+                cnt = np.diff(np.append(fb, n)).astype(np.int64)
+                # E·len overflows int64 past ~45k samples/frame stereo (a
+                # few minutes of audio) — exact arbitrary-precision ints
+                # there (64 compares, negligible)
+                if int(energy.max(initial=0)) * int(cnt.max(initial=0)) > 2**63 - 1:
+                    bits = np.array(
+                        [
+                            int(energy[f + 1]) * int(cnt[f])
+                            > int(energy[f]) * int(cnt[f + 1])
+                            for f in range(n_frames - 1)
+                        ]
+                    )
+                else:
+                    bits = energy[1:] * cnt[:-1] > energy[:-1] * cnt[1:]
+                weights = 1 << np.arange(31, -1, -1, dtype=np.int64)
+                h0 = int((bits[:32] * weights).sum())
+                h1 = int((bits[32:] * weights).sum())
+                out.append((bid, h0, h1))
+            yield pd.DataFrame(out, columns=["blob_id", "h0", "h1"])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        gen, "blob_id bigint, h0 bigint, h1 bigint"
+    )
+
+
+def video_fingerprint(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "blob_id",
+    every: int = 1,
+    n_segments: int = 65,
+) -> DataFrame:
+    """Perceptual video fingerprint over natively decoded frames →
+    (blob_id, h0, h1), completing the near-dup triad (`image_dhash`,
+    `audio_fingerprint`, this): walk the real ISO-BMFF sample table,
+    decode every ``every``-th MJPEG frame through the vendored JPEG codec,
+    take each frame's EXACT integer pixel sum, partition the sampled-frame
+    sequence into ``n_segments`` time segments (floor boundaries — the
+    same resample contract as `audio_fingerprint`'s frames), and set bit
+    k when segment k+1 carries more total brightness than segment k. The
+    temporal-brightness-gradient signature survives re-encoding, frame
+    reordering within a segment, and any per-frame change that preserves
+    frame sums — none visible to byte-level dedup.
+
+    Determinism contract: pixel sums are int64 over all pixels × channels;
+    unequal segment sizes compare by exact cross-multiplication
+    (S[k+1]·N[k] > S[k]·N[k+1], N = segment pixel count) — no float
+    anywhere. Codes pack MSB-first into TWO 32-bit bigints, the shared
+    halves convention, so `phash_neardup_pairs` bands/verifies them
+    unchanged.
+
+    Scale shape: one shuffle-free Arrow projection; sampling k-of-n does
+    1/k of the decode work (sample-table extents, no demux of skipped
+    frames). Blobs that fail to parse/decode, inter-frame codecs without
+    ffmpeg, and videos with fewer than ``n_segments`` sampled frames are
+    SKIPPED — best-effort curation; `sample_video_frames` is the loud
+    path."""
+    if n_segments != 65:
+        raise ValueError("video_fingerprint packs exactly 64 delta bits (65 segments)")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckpipe_spark.functions.jpeg import decode_jpeg
+        from duckpipe_spark.functions.mp4 import parse_video_sample_table
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(getattr(row, blob_col))
+                bid = getattr(row, id_col)
+                try:
+                    st = parse_video_sample_table(blob)
+                    if st["codec"] not in ("jpeg", "mjpa", "mjpb"):
+                        continue
+                    sums, cnts = [], []
+                    for idx in range(0, len(st["samples"]), every):
+                        off, size = st["samples"][idx]
+                        arr = decode_jpeg(blob[off : off + size])
+                        sums.append(int(arr.astype(np.int64).sum()))
+                        cnts.append(arr.size)
+                except (ValueError, NotImplementedError):
+                    continue
+                m = len(sums)
+                if m < n_segments:
+                    continue
+                s = np.asarray(sums, dtype=np.int64)
+                c = np.asarray(cnts, dtype=np.int64)
+                fb = (np.arange(n_segments) * m) // n_segments
+                seg_s = np.add.reduceat(s, fb)
+                seg_n = np.add.reduceat(c, fb)
+                # S·N overflows int64 around 4K-video segment sizes — fall
+                # back to exact arbitrary-precision ints there (64 compares)
+                if int(seg_s.max(initial=0)) * int(seg_n.max(initial=0)) > 2**63 - 1:
+                    bits = np.array(
+                        [
+                            int(seg_s[k + 1]) * int(seg_n[k])
+                            > int(seg_s[k]) * int(seg_n[k + 1])
+                            for k in range(n_segments - 1)
+                        ]
+                    )
+                else:
+                    bits = seg_s[1:] * seg_n[:-1] > seg_s[:-1] * seg_n[1:]
+                weights = 1 << np.arange(31, -1, -1, dtype=np.int64)
+                h0 = int((bits[:32] * weights).sum())
+                h1 = int((bits[32:] * weights).sum())
+                out.append((bid, h0, h1))
+            yield pd.DataFrame(out, columns=["blob_id", "h0", "h1"])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        gen, "blob_id bigint, h0 bigint, h1 bigint"
+    )
+
+
 DECODED_AUDIO_SCHEMA = (
     "blob_id bigint, n_frames bigint, sample_rate int, channels int, "
     "duration_s double, rms double"

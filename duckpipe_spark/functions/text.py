@@ -631,7 +631,7 @@ def save_bm25_index(
 def bm25_topk_from_index(
     spark,
     path: str,
-    queries: list[tuple[int, list[str]]],
+    queries: list[tuple[int, list[str]]] | DataFrame,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
@@ -647,14 +647,23 @@ def bm25_topk_from_index(
     postings scan to matched rows (predicate pushdown reaches the parquet
     scan — the term filter is a broadcast semi-join against a tiny term
     set), df/stats are vocabulary-bounded/1-row broadcasts, and the rank
-    is the two-phase per-query top-k."""
+    is the two-phase per-query top-k.
+
+    ``queries`` is either the list-of-(query_id, terms) literal form or an
+    already-distributed (query_id, term) DataFrame — the latter is how the
+    streaming server (`streaming.corpus.bm25_serve_stream`) feeds each
+    micro-batch of arriving queries through the same code path."""
     postings = spark.read.parquet(f"{path}/postings.parquet")
     dl = spark.read.parquet(f"{path}/doclens.parquet")
     termstats = spark.read.parquet(f"{path}/termstats.parquet")
     stats = spark.read.parquet(f"{path}/stats.parquet")
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, terms in queries for t in terms], "query_id int, term string"
-    )
+    if isinstance(queries, DataFrame):
+        qt = queries.select("query_id", "term")
+    else:
+        qt = spark.createDataFrame(
+            [(qid, t) for qid, terms in queries for t in terms],
+            "query_id int, term string",
+        )
     terms = qt.select("term").distinct()
     tf = postings.join(F.broadcast(terms), "term", "left_semi")
     dfq = termstats.join(F.broadcast(terms), "term", "left_semi")

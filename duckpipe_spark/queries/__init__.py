@@ -81,7 +81,8 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # being 4 rounds old at r12, they are scheduled to lead the r12 window:
 # r12 window plan: the NEW-in-r11 queries FIRST (registered after this
 # window froze, so never driver-attested): embedding_ivfpq_topk,
-# image_phash_neardup, doc_bm25_artifact_topk; then any r11-changed
+# image_phash_neardup, doc_bm25_artifact_topk, audio_fingerprint_neardup
+# (+ any other late-r11 registrations); then any r11-changed
 # re-attests not already windowed (see CHANGED_THIS_ROUND below — as of
 # r11 close every changed query IS in the r11 window: the winnow trio +
 # doc_mask_contaminated carry the 32-bit-pos/rightmost-tie/ws-class
@@ -132,6 +133,14 @@ CHANGED_THIS_ROUND: list[str] = [
     # NEW in r11: BM25 serve path through a persisted parquet index
     # artifact — the third trained-artifact family (VERDICT r10 item 6)
     "doc_bm25_artifact_topk",
+    # NEW in r11: audio sibling of image_phash_neardup — frame-energy
+    # delta fingerprint (Haitsma'02 family) over natively decoded PCM
+    # through the same Hamming banding infra
+    "audio_fingerprint_neardup",
+    # NEW in r11: video completes the near-dup triad — temporal-brightness
+    # gradient codes over the real sample-table walk + vendored JPEG
+    # decode, same Hamming banding infra
+    "video_phash_neardup",
 ]
 
 base.DRIVER_ORDER[:] = [

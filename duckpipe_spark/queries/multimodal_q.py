@@ -441,3 +441,248 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
     return phash_neardup_pairs(image_dhash(blobs), max_distance=3, max_band_df=50)
+
+
+# --- perceptual audio-fingerprint near-dup (r11) -----------------------------
+#
+# Each document becomes a REAL RIFF/WAVE PCM16 blob of 1040 samples (65
+# frames x 16) whose sample values are an analytic function of doc_id // 2:
+# docs 2j and 2j+1 carry the same per-frame energy profile, but the odd doc
+# REVERSES the sample order inside every frame (byte-level different,
+# per-frame energy multiset unchanged), so the planted near-dup pair
+# (2j, 2j+1) MUST surface at Hamming 0 while distinct j's pseudo-random
+# waveforms (~32-bit distance) must not. The engine runs the full real
+# path — WAV encode, vendored decode, integer frame energies, delta bits,
+# banded pair join, xor+popcount verify — while the oracle recomputes the
+# energies analytically from the sample formula (frame reversal is
+# invisible to a per-frame energy sum, so one formula covers both
+# parities) and replays band/verify in SQL: both engines agree
+# bit-for-bit because every step is integer math. Frames are EXACTLY 16
+# samples here, so the kernel's cross-multiplied unequal-length compare
+# reduces to the oracle's plain energy compare.
+_AUDIO_FP_ORACLE = """
+WITH s AS (
+  SELECT doc_id, i,
+         (((doc_id // 2) * 1000003 + i + 1) % 1000000007) AS seed
+  FROM documents, (SELECT unnest(range(0, 1040)) AS i)
+),
+v AS (
+  SELECT doc_id, i,
+         (seed * seed % 1000000007 * 2654435761 % 1000000007) % 2048 - 1024 AS v
+  FROM s
+),
+e AS (
+  SELECT doc_id, i // 16 AS f, sum(v * v) AS energy
+  FROM v GROUP BY doc_id, i // 16
+),
+bits AS (
+  SELECT a.doc_id, a.f,
+         CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < 64
+),
+codes AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN f < 32
+              THEN bit * (CAST(1 AS BIGINT) << CAST(31 - f AS INT))
+              ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN f >= 32
+              THEN bit * (CAST(1 AS BIGINT) << CAST(63 - f AS INT))
+              ELSE 0 END) AS BIGINT) AS h1
+  FROM bits GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h0, h1,
+         unnest([h0 // 65536, h0 % 65536, h1 // 65536, h1 % 65536]) AS bv,
+         unnest([0, 1, 2, 3]) AS bi
+  FROM codes
+),
+hot AS (
+  SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) > 50
+),
+rare AS MATERIALIZED (
+  SELECT b.doc_id, b.h0, b.h1, b.bi, b.bv
+  FROM bands b ANTI JOIN hot h ON b.bi = h.bi AND b.bv = h.bv
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.h0 AS h0a, a.h1 AS h1a, b.h0 AS h0b, b.h1 AS h1b
+  FROM rare a JOIN rare b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 3
+"""
+
+
+@register(
+    "audio_fingerprint_neardup",
+    _AUDIO_FP_ORACLE,
+    "perceptual audio-fingerprint near-dup: banded pair join over 64-bit energy-delta codes",
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — the audio sibling of image_phash_neardup, completing near-dup
+    coverage across the multimodal column family: frame-energy delta codes
+    (Haitsma'02 family, time-axis) over natively decoded PCM feeding the
+    SAME Hamming banding infrastructure (two 32-bit halves, 16-bit band
+    candidates, broadcast hot-band guard, xor+popcount verify)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import (
+        audio_fingerprint,
+        phash_neardup_pairs,
+    )
+    from duckpipe_spark.functions.wav import encode_wav_pcm16
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                j = d // 2
+                i = np.arange(1040, dtype=np.int64)
+                # quadratic congruential mix (see image_phash_neardup): an
+                # affine seed would give cross-doc codes correlated through
+                # the shared step; squaring decorrelates them (~32 bits)
+                seed = (j * 1000003 + i + 1) % 1000000007
+                v = (seed * seed % 1000000007 * 2654435761 % 1000000007) % 2048 - 1024
+                if d % 2:
+                    # near-dup twin: reverse sample order inside each frame
+                    # — byte-level different, per-frame energies unchanged
+                    v = v.reshape(65, 16)[:, ::-1].ravel()
+                blobs.append(encode_wav_pcm16(v.astype(np.int16), 16_000))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
+    return phash_neardup_pairs(
+        audio_fingerprint(blobs), max_distance=3, max_band_df=50
+    )
+
+
+# --- perceptual video-fingerprint near-dup (r11) -----------------------------
+#
+# Each document becomes a REAL 65-frame Motion-JPEG MP4 whose per-frame
+# brightness is an analytic function of doc_id // 2: frame j of the even doc
+# is CONSTANT gray g = 1 + mix(j) % 254, and the odd doc replaces every frame
+# with a quadrant-perturbed twin (g+1/g-1 per 8x8 JPEG block — byte-level
+# different, exactly round-tripping at q95 because each DCT block stays
+# constant, frame SUM unchanged at 256·g), so the planted near-dup pair
+# (2j, 2j+1) MUST surface at Hamming 0 while distinct docs' pseudo-random
+# brightness walks (~32-bit distance) must not. The engine runs the full
+# real path — JPEG encode, MP4 mux, sample-table walk, vendored decode,
+# integer segment sums, delta bits, banded pair join, xor+popcount verify —
+# while the oracle recomputes the per-frame sums analytically (the quadrant
+# perturbation is invisible to a frame sum, so one formula covers both
+# parities) and replays band/verify in SQL. 65 frames map 1:1 onto the 65
+# segments, so the kernel's cross-multiplied compare reduces to the
+# oracle's plain g[j+1] > g[j].
+_VIDEO_FP_ORACLE = """
+WITH s AS (
+  SELECT doc_id, j,
+         (((doc_id // 2) * 1000003 + j + 1) % 1000000007) AS seed
+  FROM documents, (SELECT unnest(range(0, 65)) AS j)
+),
+g AS (
+  SELECT doc_id, j,
+         1 + (seed * seed % 1000000007 * 2654435761 % 1000000007) % 254 AS g
+  FROM s
+),
+bits AS (
+  SELECT a.doc_id, a.j AS f,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+  WHERE a.j < 64
+),
+codes AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN f < 32
+              THEN bit * (CAST(1 AS BIGINT) << CAST(31 - f AS INT))
+              ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN f >= 32
+              THEN bit * (CAST(1 AS BIGINT) << CAST(63 - f AS INT))
+              ELSE 0 END) AS BIGINT) AS h1
+  FROM bits GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h0, h1,
+         unnest([h0 // 65536, h0 % 65536, h1 // 65536, h1 % 65536]) AS bv,
+         unnest([0, 1, 2, 3]) AS bi
+  FROM codes
+),
+hot AS (
+  SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) > 50
+),
+rare AS MATERIALIZED (
+  SELECT b.doc_id, b.h0, b.h1, b.bi, b.bv
+  FROM bands b ANTI JOIN hot h ON b.bi = h.bi AND b.bv = h.bv
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.h0 AS h0a, a.h1 AS h1a, b.h0 AS h0b, b.h1 AS h1b
+  FROM rare a JOIN rare b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 3
+"""
+
+
+@register(
+    "video_phash_neardup",
+    _VIDEO_FP_ORACLE,
+    "perceptual video near-dup: banded pair join over 64-bit temporal-brightness codes",
+)
+def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — completes the multimodal near-dup triad (image dHash, audio
+    frame-energy, video temporal-brightness): per-frame integer pixel sums
+    from the real sample-table walk + vendored JPEG decode, 64 gradient
+    bits over 65 time segments, into the SAME Hamming banding
+    infrastructure (two 32-bit halves, 16-bit bands, hot-band guard,
+    xor+popcount verify)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.multimodal import (
+        phash_neardup_pairs,
+        video_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                j = np.arange(65, dtype=np.int64)
+                seed = ((d // 2) * 1000003 + j + 1) % 1000000007
+                g = 1 + (seed * seed % 1000000007 * 2654435761 % 1000000007) % 254
+                frames = []
+                for gj in g:
+                    img = np.full((16, 16), gj, np.uint8)
+                    if d % 2:
+                        # near-dup twin: +1/-1 per constant 8x8 DCT block —
+                        # byte-different, exact at q95, frame sum unchanged
+                        img[:8, :8] += 1
+                        img[:8, 8:] -= 1
+                        img[8:, :8] -= 1
+                        img[8:, 8:] += 1
+                    frames.append(encode_jpeg_gray(img, quality=95))
+                blobs.append(build_mjpeg_mp4(frames, fps=4))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
+    return phash_neardup_pairs(
+        video_fingerprint(blobs), max_distance=3, max_band_df=50
+    )

@@ -122,3 +122,47 @@ def winnow_probe_static(
     return fps.join(F.broadcast(index), "fp").select(
         F.col("id").alias(id_col), "index_id", "fp"
     )
+
+
+def bm25_serve_stream(
+    query_stream: DataFrame,
+    index_path: str,
+    sink_path: str,
+    checkpoint: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Serve BM25 retrieval over a STREAM of arriving queries against a
+    `text.save_bm25_index` disk artifact — the retrieval serving shape
+    (r11): the index is built once as a batch job; query batches arrive as
+    (query_id int, terms array<string>) rows and each micro-batch scores
+    through the SAME `bm25_topk_from_index` code path the batch twin uses
+    (per-query top-k needs an aggregation + rank, which append-mode
+    streaming cannot express — so the server is `foreachBatch`, the same
+    micro-batch discipline as the CDC apply).
+
+    Idempotence: each batch writes mode("overwrite") into its own
+    ``batch_id=<n>`` subdirectory, so foreachBatch's at-least-once
+    re-delivery replays in place instead of duplicating rows — read the
+    sink with basePath-style recursive glob. Queries are independent rows,
+    so batch composition cannot change any query's result (incremental ≡
+    batch, pinned by the twin pytest).
+
+    Returns the started StreamingQuery."""
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        from duckpipe_spark.functions.text import bm25_topk_from_index
+
+        qt = batch.select("query_id", F.explode("terms").alias("term"))
+        out = bm25_topk_from_index(
+            batch.sparkSession, index_path, qt, k=k, k1=k1, b=b
+        )
+        out.write.mode("overwrite").parquet(f"{sink_path}/batch_id={batch_id}")
+
+    return (
+        query_stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -169,3 +169,166 @@ def test_image_phash_neardup_planted_pairs(spark):
         for r in phash_neardup_pairs(codes, max_distance=3).collect()
     }
     assert got == {(1, 2): 0, (3, 4): 0}, got
+
+
+def test_audio_fingerprint_planted_pairs(spark):
+    """Audio fingerprint near-dup (r11): through the REAL WAV encode->decode
+    path, a frame-wise sample-reversed copy (byte-level different, per-frame
+    energies unchanged) pairs with its original at Hamming 0, while distinct
+    waveforms do not pair; undecodable blobs are skipped, not fatal."""
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import (
+        audio_fingerprint,
+        phash_neardup_pairs,
+    )
+    from duckpipe_spark.functions.wav import encode_wav_pcm16
+
+    rng = np.random.default_rng(11)
+
+    def reversed_frames(v):
+        return v.reshape(65, -1)[:, ::-1].ravel()
+
+    a = rng.integers(-1024, 1024, size=65 * 16).astype(np.int16)
+    b = rng.integers(-1024, 1024, size=65 * 16).astype(np.int16)
+    rows = pd.DataFrame(
+        {
+            "blob_id": [1, 2, 3, 4, 5],
+            "blob": [
+                bytearray(encode_wav_pcm16(a)),
+                bytearray(encode_wav_pcm16(reversed_frames(a))),
+                bytearray(encode_wav_pcm16(b)),
+                bytearray(encode_wav_pcm16(reversed_frames(b))),
+                bytearray(b"not audio"),
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    codes = audio_fingerprint(df)
+    assert codes.count() == 4  # the garbage blob is skipped
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(codes, max_distance=3).collect()
+    }
+    assert got == {(1, 2): 0, (3, 4): 0}, got
+
+
+def test_audio_fingerprint_unequal_frames_and_stereo(spark):
+    """The kernel's general path: a sample count NOT divisible by 65 uses
+    floor boundaries + cross-multiplied energy compares, and stereo
+    channels integer-sum before squaring; too-short and non-WAV blobs are
+    skipped. The code must be invariant to doubling both channels'
+    amplitude-preserving layout (mono vs duplicated-stereo scales every
+    frame energy by 4, leaving all compare bits unchanged)."""
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import audio_fingerprint
+    from duckpipe_spark.functions.wav import encode_wav_pcm16
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-500, 500, size=1003).astype(np.int16)  # 1003 % 65 != 0
+    stereo = np.stack([mono, mono], axis=1)
+    rows = pd.DataFrame(
+        {
+            "blob_id": [1, 2, 3],
+            "blob": [
+                bytearray(encode_wav_pcm16(mono)),
+                bytearray(encode_wav_pcm16(stereo)),
+                bytearray(encode_wav_pcm16(np.zeros(10, dtype=np.int16))),  # < 65
+            ],
+        }
+    )
+    out = {r.blob_id: (r.h0, r.h1) for r in audio_fingerprint(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] == out[2], out
+
+
+def test_video_fingerprint_planted_pairs(spark):
+    """Video fingerprint near-dup (r11): through the REAL JPEG-encode ->
+    MP4-mux -> sample-table-walk -> decode path, a per-frame
+    quadrant-perturbed copy (byte-level different, frame sums unchanged,
+    exact at q95 because every 8x8 DCT block stays constant) pairs with
+    its original at Hamming 0, while a distinct brightness walk does not;
+    non-video blobs are skipped, not fatal."""
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.multimodal import (
+        phash_neardup_pairs,
+        video_fingerprint,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def video(gs, perturb=False):
+        frames = []
+        for g in gs:
+            img = np.full((16, 16), g, np.uint8)
+            if perturb:
+                img[:8, :8] += 1
+                img[:8, 8:] -= 1
+                img[8:, :8] -= 1
+                img[8:, 8:] += 1
+            frames.append(encode_jpeg_gray(img, quality=95))
+        return build_mjpeg_mp4(frames, fps=4)
+
+    a = rng.integers(1, 255, size=65)
+    b = rng.integers(1, 255, size=65)
+    rows = pd.DataFrame(
+        {
+            "blob_id": [1, 2, 3, 4, 5],
+            "blob": [
+                bytearray(video(a)),
+                bytearray(video(a, perturb=True)),
+                bytearray(video(b)),
+                bytearray(video(b, perturb=True)),
+                bytearray(b"not a video"),
+            ],
+        }
+    )
+    codes = video_fingerprint(spark.createDataFrame(rows))
+    assert codes.count() == 4  # the garbage blob is skipped
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(codes, max_distance=3).collect()
+    }
+    assert got == {(1, 2): 0, (3, 4): 0}, got
+
+
+def test_video_fingerprint_segment_resample(spark):
+    """The segment-resample contract: a 130-frame video sampled every=2
+    yields the same code as the 65-frame video of its even frames, and a
+    video with fewer than 65 sampled frames is skipped."""
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.multimodal import video_fingerprint
+
+    rng = np.random.default_rng(9)
+    gs = rng.integers(1, 255, size=130)
+
+    def mux(values):
+        return build_mjpeg_mp4(
+            [encode_jpeg_gray(np.full((16, 16), g, np.uint8), quality=95) for g in values],
+            fps=4,
+        )
+
+    long = spark.createDataFrame(
+        pd.DataFrame({"blob_id": [1], "blob": [bytearray(mux(gs))]})
+    )
+    short = spark.createDataFrame(
+        pd.DataFrame({"blob_id": [1], "blob": [bytearray(mux(gs[0::2]))]})
+    )
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"blob_id": [1], "blob": [bytearray(mux(gs[:10]))]})
+    )
+    a = video_fingerprint(long, every=2).collect()
+    b = video_fingerprint(short, every=1).collect()
+    assert (a[0].h0, a[0].h1) == (b[0].h0, b[0].h1)
+    assert video_fingerprint(tiny).count() == 0

@@ -884,3 +884,47 @@ def test_winnow_probe_stream_matches_batch(spark, tmp_path):
         assert 101 not in hit_ids and 102 not in hit_ids
     finally:
         index.unpersist()
+
+
+def test_bm25_serve_stream_matches_batch(spark, tmp_path):
+    """BM25 serve streaming twin (r11): the index artifact is built once as
+    a batch job; arriving query batches score through foreachBatch against
+    the LOADED artifact with idempotent per-batch-overwrite sinks. The
+    drained sink equals the batch `bm25_topk_from_index` over the union of
+    queries row-for-row (queries are independent, so micro-batch
+    composition cannot change any query's ranking)."""
+    from duckpipe_spark.functions.text import bm25_topk_from_index, save_bm25_index
+    from duckpipe_spark.sources.tables import load_table
+    from duckpipe_spark.streaming.corpus import bm25_serve_stream
+    from tests.oracle_harness import canonicalize
+
+    idx = str(tmp_path / "bm25_index")
+    save_bm25_index(load_table(spark, SF_SMOKE, "documents"), idx)
+
+    queries = [
+        (1, ["data", "pipeline"]),
+        (2, ["model", "training", "quality"]),
+        (3, ["zzz_no_such_term"]),
+        (4, ["the", "document"]),
+    ]
+    qdir = tmp_path / "query_batches"
+    qdir.mkdir()
+    schema = "query_id int, terms array<string>"
+    for i, q in enumerate(queries):  # one query per micro-batch
+        spark.createDataFrame([q], schema).coalesce(1).write.parquet(
+            str(qdir / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qdir / "b*"))
+    )
+    sink = str(tmp_path / "scored")
+    q = bm25_serve_stream(stream, idx, sink, str(tmp_path / "serve_ckpt"), k=5)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink).drop("batch_id")
+    want = bm25_topk_from_index(spark, idx, queries, k=5)
+    assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
+    # the no-match query scores nothing; the other three all surface
+    assert {r.query_id for r in got.select("query_id").distinct().collect()} == {1, 2, 4}
