@@ -641,7 +641,85 @@ def op_bpe_bytefallback(spark, scramble):
     return bpe_encode_ids_bytes(injected, merges, vocab=vocab)
 
 
+def op_ivfpq_topk(spark, scramble):
+    # r11: trained cells + residual-PQ codebooks are collected literals
+    # derived from integer aggregates; ADC sums fold in fixed subvector
+    # order, rerank ties break on (cos, id)
+    from duckpipe_spark.functions.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        scramble(_embs(spark)), [0, 1, 2], k=4, n_cells=4, iters=1, n_probe=2,
+        m=2, pq_cells=4, rerank=8,
+    )
+
+
+def _fingerprint_blobs(spark, scramble, kind):
+    """Shared 12-doc blob fixture for the near-dup code kernels: the code
+    tables must be invariant to how the doc_id stream is partitioned."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.png import encode_png
+    from duckpipe_spark.functions.wav import encode_wav_pcm16
+
+    docs = scramble(_docs(spark).select("doc_id").where("doc_id < 12"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rng = np.random.default_rng(d)
+                if kind == "png":
+                    blobs.append(
+                        encode_png(rng.integers(1, 255, (16, 18)).astype(np.uint8))
+                    )
+                elif kind == "wav":
+                    blobs.append(
+                        encode_wav_pcm16(
+                            rng.integers(-1024, 1024, 65 * 16).astype(np.int16)
+                        )
+                    )
+                else:
+                    frames = [
+                        encode_jpeg_gray(
+                            np.full((16, 16), g, np.uint8), quality=95
+                        )
+                        for g in rng.integers(1, 255, 65)
+                    ]
+                    blobs.append(build_mjpeg_mp4(frames, fps=4))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.mapInPandas(gen, "blob_id bigint, blob binary")
+
+
+def op_image_dhash(spark, scramble):
+    from duckpipe_spark.functions.multimodal import image_dhash
+
+    return image_dhash(_fingerprint_blobs(spark, scramble, "png"))
+
+
+def op_audio_fingerprint(spark, scramble):
+    from duckpipe_spark.functions.multimodal import audio_fingerprint
+
+    return audio_fingerprint(_fingerprint_blobs(spark, scramble, "wav"))
+
+
+def op_video_fingerprint(spark, scramble):
+    from duckpipe_spark.functions.multimodal import video_fingerprint
+
+    return video_fingerprint(_fingerprint_blobs(spark, scramble, "mp4"))
+
+
 _OPS = [
+    op_ivfpq_topk,
+    op_image_dhash,
+    op_audio_fingerprint,
+    op_video_fingerprint,
     op_curation_keepbest,
     op_bpe_bytefallback,
     op_unimax,
