@@ -712,3 +712,22 @@ def test_bm25_artifact_serve_reads_only_the_index(spark):
     assert "bm25_index_" in locs, locs
     assert "documents.parquet" not in locs, locs
     assert a.python_stages == 0
+
+
+def test_phash_neardup_banded_join_no_cartesian(spark):
+    """The fingerprint near-dup family (image/audio/video share
+    phash_neardup_pairs): codes come from ONE shuffle-free Arrow kernel
+    over the blob stream, the hot-band df-cap is a BROADCAST anti-join
+    applied BEFORE the pair self-join (one flat-color band would emit df²
+    candidate rows), and the pair join itself is a band equi-join — never
+    a cartesian over codes."""
+    for name in (
+        "image_phash_neardup",
+        "audio_fingerprint_neardup",
+        "video_phash_neardup",
+    ):
+        with no_aqe(spark):
+            a = audit_plan(_q(name)(spark, SF_SMOKE))
+        assert "CartesianProduct" not in a.text, name
+        assert "LeftAnti" in a.text, (name, a.text)
+        assert a.broadcast_hash_joins >= 1, (name, a.text)
