@@ -141,6 +141,9 @@ CHANGED_THIS_ROUND: list[str] = [
     # gradient codes over the real sample-table walk + vendored JPEG
     # decode, same Hamming banding infra
     "video_phash_neardup",
+    # NEW in r11: SQ8 rung of the quantization ladder — global-scale int8
+    # candidate scan (exact-integer approx dots) + exact cosine rerank
+    "embedding_sq8_topk",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -1199,3 +1199,84 @@ def embedding_hamming_external_topk(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("vec_id") * 10 + 1).alias("query_id"), "embedding"
     )
     return hamming_topk_queries(emb, queries, _K)
+
+
+# --- SQ8 approximate top-k: global-scale int8 scan + exact rerank (r11) -----
+#
+# The scalar-quantization ladder rung between the audit (embedding_int8_
+# quant) and PQ: the candidate scan ranks by the EXACT integer dot of the
+# query's round(x*scale) vector against the x127-scaled int8 reconstruction
+# (codes (v+gmax)*127 // (2*gmax) with gmax the exact corpus-wide integer
+# bound — non-negative operands, so // and truncation agree on every
+# engine), then the rerank survivors re-score by exact cosine. Both stages
+# deterministic: integer candidate scores, (rounded cos, id) final order.
+
+_SQ8_RERANK = 32
+_SQ8_SCALE = 10_000
+
+_IDOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+    "(acc, x) -> acc + x)"
+)
+
+_SQ8_ORACLE = f"""
+WITH iv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SQ8_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+g AS (
+  SELECT greatest(max(list_max(list_transform(v, x -> abs(x)))), 1) AS gmax FROM iv
+),
+coded AS (
+  SELECT vec_id, embedding,
+         list_transform(v, x -> ((x + gmax) * 127 // (2 * gmax)) * 2 * gmax - 127 * gmax) AS r
+  FROM iv, g
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, v AS qv FROM iv
+  WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.embedding AS nvec, q.qvec,
+         {_IDOT_SQL.format(a='q.qv', b='c.r')} AS adot
+  FROM coded c, q WHERE c.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, nvec, qvec,
+         row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS rn
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         {_cos_sql('qvec', 'nvec')} AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_cos_sql('qvec', 'nvec')} DESC, neighbor_id
+         ) AS INT) AS rank
+  FROM cand WHERE rn <= {_SQ8_RERANK}
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "embedding_sq8_topk",
+    _SQ8_ORACLE,
+    "SQ8 approximate top-k: global-scale int8 candidate scan + exact cosine rerank",
+)
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 — FAISS ``SQ8,Flat``-refine shape: 4x-compressed candidate scan
+    (exact-integer approximate dots over the x127-scaled reconstruction, so
+    cross-engine bit-identical), exact cosine rerank of the top-``rerank``;
+    two-phase rank at both stages."""
+    from duckpipe_spark.functions.similarity import sq8_topk
+
+    return sq8_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        _K,
+        rerank=_SQ8_RERANK,
+        scale=_SQ8_SCALE,
+    )

@@ -533,3 +533,26 @@ def test_ivf_trained_topk_uses_converged_cells(spark, planted_vectors):
     assert sorted(map(tuple, assign.collect())) == sorted(map(tuple, plain.collect()))
     crows = cents.collect()
     assert len(crows) == 5 and len({r["cell"] for r in crows}) == 5
+
+
+def test_sq8_equals_brute_when_rerank_covers_corpus(spark, planted_vectors):
+    """embedding_sq8_topk (r11): with rerank >= corpus size the exact
+    cosine rerank sees every vector, so SQ8 must return exactly the brute
+    result regardless of quantization error; a narrow rerank returns a
+    subset-consistent ranking (each returned rank prefix is a valid top-k
+    of its candidate set)."""
+    from duckpipe_spark.functions.similarity import brute_force_topk, sq8_topk
+
+    qids = [0, 1]
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(planted_vectors, qids, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sq8_topk(planted_vectors, qids, k=3, rerank=1000).collect()
+    }
+    assert got == want, (got, want)
+    narrow = sq8_topk(planted_vectors, qids, k=3, rerank=3).collect()
+    assert {r.query_id for r in narrow} == set(qids)
+    assert all(1 <= r.rank <= 3 for r in narrow)

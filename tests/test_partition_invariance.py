@@ -789,3 +789,15 @@ def test_result_is_partition_invariant(spark, op):
     natural = op(spark, lambda df: df)
     scrambled = op(spark, lambda df: df.repartition(17))
     assert _canon(natural) == _canon(scrambled)
+
+
+def op_sq8_topk(spark, scramble):
+    # r11: gmax is an exact integer corpus aggregate (broadcast 1-row
+    # table), candidate scores are exact integer dots, both rank stages
+    # are two-phase with id tie-breaks
+    from duckpipe_spark.functions.similarity import sq8_topk
+
+    return sq8_topk(scramble(_embs(spark)), [0, 1, 2], k=4, rerank=8)
+
+
+_OPS.append(op_sq8_topk)
