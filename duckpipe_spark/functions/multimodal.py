@@ -429,6 +429,11 @@ def video_fingerprint(
 
         for pdf in batches:
             out = []
+            # real videos repeat frame bytes constantly (static scenes,
+            # title cards, MJPEG keyframe reuse) — memoize (sum, size) per
+            # distinct frame payload within the Arrow batch so repeated
+            # frames decode once
+            memo: dict[bytes, tuple[int, int]] = {}
             for row in pdf.itertuples(index=False):
                 blob = bytes(getattr(row, blob_col))
                 bid = getattr(row, id_col)
@@ -439,9 +444,14 @@ def video_fingerprint(
                     sums, cnts = [], []
                     for idx in range(0, len(st["samples"]), every):
                         off, size = st["samples"][idx]
-                        arr = decode_jpeg(blob[off : off + size])
-                        sums.append(int(arr.astype(np.int64).sum()))
-                        cnts.append(arr.size)
+                        frame = blob[off : off + size]
+                        hit = memo.get(frame)
+                        if hit is None:
+                            arr = decode_jpeg(frame)
+                            hit = (int(arr.astype(np.int64).sum()), arr.size)
+                            memo[frame] = hit
+                        sums.append(hit[0])
+                        cnts.append(hit[1])
                 except (ValueError, NotImplementedError):
                     continue
                 m = len(sums)

@@ -661,6 +661,26 @@ def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # only 254 gray levels x 2 parities exist — encode each distinct
+        # frame once per batch (the fixture generator is not the operator
+        # under test; without this memo it dominated the sf1 wall)
+        memo: dict[tuple[int, int], bytes] = {}
+
+        def frame(gj: int, parity: int) -> bytes:
+            got = memo.get((gj, parity))
+            if got is None:
+                img = np.full((16, 16), gj, np.uint8)
+                if parity:
+                    # near-dup twin: +1/-1 per constant 8x8 DCT block —
+                    # byte-different, exact at q95, frame sum unchanged
+                    img[:8, :8] += 1
+                    img[:8, 8:] -= 1
+                    img[8:, :8] -= 1
+                    img[8:, 8:] += 1
+                got = encode_jpeg_gray(img, quality=95)
+                memo[(gj, parity)] = got
+            return got
+
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
@@ -668,18 +688,9 @@ def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 j = np.arange(65, dtype=np.int64)
                 seed = ((d // 2) * 1000003 + j + 1) % 1000000007
                 g = 1 + (seed * seed % 1000000007 * 2654435761 % 1000000007) % 254
-                frames = []
-                for gj in g:
-                    img = np.full((16, 16), gj, np.uint8)
-                    if d % 2:
-                        # near-dup twin: +1/-1 per constant 8x8 DCT block —
-                        # byte-different, exact at q95, frame sum unchanged
-                        img[:8, :8] += 1
-                        img[:8, 8:] -= 1
-                        img[8:, :8] -= 1
-                        img[8:, 8:] += 1
-                    frames.append(encode_jpeg_gray(img, quality=95))
-                blobs.append(build_mjpeg_mp4(frames, fps=4))
+                blobs.append(
+                    build_mjpeg_mp4([frame(int(gj), d % 2) for gj in g], fps=4)
+                )
             yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
 
     blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
