@@ -79,10 +79,10 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # That leaves 32 r8-cohort queries NOT in the r11 window
 # (geo_nearest_distance_pipeline .. video_metadata_mp4, alphabetical);
 # being 4 rounds old at r12, they are scheduled to lead the r12 window:
-# r12 window plan: the NEW-in-r11 queries FIRST (registered after this
-# window froze, so never driver-attested): embedding_ivfpq_topk,
-# image_phash_neardup, doc_bm25_artifact_topk, audio_fingerprint_neardup
-# (+ any other late-r11 registrations); then any r11-changed
+# r12 window plan: the SIX NEW-in-r11 queries FIRST (registered after
+# this window froze, so never driver-attested): embedding_ivfpq_topk,
+# image_phash_neardup, doc_bm25_artifact_topk, audio_fingerprint_neardup,
+# video_phash_neardup, embedding_sq8_topk; then any r11-changed
 # re-attests not already windowed (see CHANGED_THIS_ROUND below — as of
 # r11 close every changed query IS in the r11 window: the winnow trio +
 # doc_mask_contaminated carry the 32-bit-pos/rightmost-tie/ws-class

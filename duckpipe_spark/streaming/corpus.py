@@ -166,3 +166,42 @@ def bm25_serve_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def phash_probe_static(
+    blobs: DataFrame,
+    index: DataFrame,
+    fingerprint,
+    max_distance: int = 3,
+    id_col: str = "blob_id",
+) -> DataFrame:
+    """Probe (arriving) media blobs against a STATIC perceptual-hash code
+    index → (``id_col``, index_id, hamming) match rows — the incremental
+    media-dedup SERVING shape (r11), the triad's analogue of
+    `winnow_probe_static`: the blocklist/corpus codes are computed once as
+    a batch job (``index`` = (index_id, h0, h1) rows from `image_dhash` /
+    `audio_fingerprint` / `video_fingerprint`), and every newly crawled
+    blob fingerprints on arrival (``fingerprint`` — any of the three
+    kernels, all shuffle-free doc-local Arrow projections) and verifies by
+    exact xor+popcount against the BROADCAST index.
+
+    Streaming-safe by construction: stateless projections + one
+    stream-static broadcast join, so the composition runs append-mode with
+    no watermark or state store. The broadcast-index form fits the serving
+    case (benchmark/blocklist-sized index); dedup WITHIN an unbounded
+    arriving stream is the batch `phash_neardup_pairs`'s banded join over
+    micro-batches via foreachBatch instead."""
+    codes = fingerprint(blobs, id_col=id_col)
+    ham = (
+        F.bit_count(F.col("h0").bitwiseXOR(F.col("ih0")))
+        + F.bit_count(F.col("h1").bitwiseXOR(F.col("ih1")))
+    ).cast("bigint")
+    idx = index.select(
+        "index_id", F.col("h0").alias("ih0"), F.col("h1").alias("ih1")
+    )
+    return (
+        codes.crossJoin(F.broadcast(idx))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_distance)
+        .select(F.col("blob_id").alias(id_col), "index_id", "hamming")
+    )

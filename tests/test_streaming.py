@@ -928,3 +928,68 @@ def test_bm25_serve_stream_matches_batch(spark, tmp_path):
     assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
     # the no-match query scores nothing; the other three all surface
     assert {r.query_id for r in got.select("query_id").distinct().collect()} == {1, 2, 4}
+
+
+def test_phash_probe_stream_matches_batch(spark, tmp_path):
+    """Perceptual-hash probe streaming twin (r11): a static blocklist of
+    image codes is computed once; arriving blobs fingerprint on arrival
+    (doc-local Arrow kernel) and verify by exact xor+popcount against the
+    broadcast index. The drained append-mode sink equals the batch
+    composition row-for-row; the planted near-identical arrival IS flagged
+    and the distinct arrivals are not."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.multimodal import image_dhash
+    from duckpipe_spark.functions.png import encode_png
+    from duckpipe_spark.streaming.corpus import phash_probe_static
+    from tests.oracle_harness import canonicalize
+
+    rng = np.random.default_rng(13)
+    blocked = rng.integers(1, 255, size=(16, 18)).astype(np.uint8)
+    perturbed = blocked.copy()
+    perturbed[0::2, 0::2] += 1
+    perturbed[1::2, 1::2] -= 1  # block sums unchanged -> same dHash
+
+    index = image_dhash(
+        spark.createDataFrame(
+            pd.DataFrame({"blob_id": [1], "blob": [bytearray(encode_png(blocked))]})
+        )
+    ).select(F.col("blob_id").alias("index_id"), "h0", "h1").persist()
+    try:
+        arrivals = pd.DataFrame(
+            {
+                "blob_id": [100, 101, 102],
+                "blob": [
+                    bytearray(encode_png(perturbed)),
+                    bytearray(encode_png(rng.integers(1, 255, (16, 18)).astype(np.uint8))),
+                    bytearray(encode_png(rng.integers(1, 255, (16, 18)).astype(np.uint8))),
+                ],
+            }
+        )
+        schema = "blob_id bigint, blob binary"
+        d = tmp_path / "blob_arrivals"
+        d.mkdir()
+        for i in range(len(arrivals)):  # one blob per micro-batch
+            spark.createDataFrame(arrivals.iloc[i : i + 1], schema).coalesce(
+                1
+            ).write.parquet(str(d / f"b{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "b*"))
+        )
+        got = _run_stream(
+            spark,
+            phash_probe_static(stream, index, image_dhash),
+            "phash_probe_s",
+            mode="append",
+        )
+        batch = spark.createDataFrame(arrivals, schema)
+        want = phash_probe_static(batch, index, image_dhash)
+        assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
+        hits = {(r.blob_id, r.index_id): r.hamming for r in got.collect()}
+        assert hits == {(100, 1): 0}, hits
+    finally:
+        index.unpersist()
