@@ -427,13 +427,16 @@ def video_fingerprint(
         from duckpipe_spark.functions.jpeg import decode_jpeg
         from duckpipe_spark.functions.mp4 import parse_video_sample_table
 
+        import hashlib
+
         for pdf in batches:
             out = []
             # real videos repeat frame bytes constantly (static scenes,
             # title cards, MJPEG keyframe reuse) — memoize (sum, size) per
             # distinct frame payload within the Arrow batch so repeated
-            # frames decode once
-            memo: dict[bytes, tuple[int, int]] = {}
+            # frames decode once; keyed by (len, blake2b-16) so the memo
+            # never retains frame payloads (a 4K frame is MBs, its key 24 B)
+            memo: dict[tuple[int, bytes], tuple[int, int]] = {}
             for row in pdf.itertuples(index=False):
                 blob = bytes(getattr(row, blob_col))
                 bid = getattr(row, id_col)
@@ -445,11 +448,12 @@ def video_fingerprint(
                     for idx in range(0, len(st["samples"]), every):
                         off, size = st["samples"][idx]
                         frame = blob[off : off + size]
-                        hit = memo.get(frame)
+                        key = (size, hashlib.blake2b(frame, digest_size=16).digest())
+                        hit = memo.get(key)
                         if hit is None:
                             arr = decode_jpeg(frame)
                             hit = (int(arr.astype(np.int64).sum()), arr.size)
-                            memo[frame] = hit
+                            memo[key] = hit
                         sums.append(hit[0])
                         cnts.append(hit[1])
                 except (ValueError, NotImplementedError):
