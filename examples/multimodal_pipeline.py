@@ -127,6 +127,37 @@ def main() -> None:
         F.avg("mean_pixel").alias("avg_frame_pixel"),
     ).show()
 
+    # r11: the near-dup triad — every modality reduces to the SAME 64-bit
+    # code shape (two 32-bit halves), so one banding engine serves all
+    # three. This corpus' flat-color images all hash to code 0 — exactly
+    # the boilerplate the hot-band df-cap exists for: every candidate pair
+    # they would have contributed is dropped BEFORE the pair join.
+    from duckpipe_spark.functions.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        phash_neardup_pairs,
+    )
+
+    print("== perceptual codes (image dHash + audio energy-delta) ==")
+    icodes = image_dhash(images.select("blob_id", "blob"))
+    acodes = audio_fingerprint(audio.select("blob_id", "blob"))
+    print(
+        f"image codes: {icodes.count()}  audio codes: {acodes.count()} "
+        "(videos here have <65 frames — skipped, best-effort semantics)"
+    )
+    print(
+        "image near-dup pairs after the hot-band guard "
+        f"(flat-color boilerplate dropped): {phash_neardup_pairs(icodes).count()}"
+    )
+    print(
+        "audio near-dup pairs among steady sine tones: "
+        f"{phash_neardup_pairs(acodes).count()} — constant-energy tones are "
+        "the audio analogue of flat color: an energy-envelope fingerprint "
+        "hears amplitude structure, not pitch, so steady tones cluster (by "
+        "design; pitch-sensitive dedup needs a spectral fingerprint, the "
+        "documented extension axis)"
+    )
+
     blobs.unpersist()
 
 
