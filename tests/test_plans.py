@@ -731,3 +731,18 @@ def test_phash_neardup_banded_join_no_cartesian(spark):
         assert "CartesianProduct" not in a.text, name
         assert "LeftAnti" in a.text, (name, a.text)
         assert a.broadcast_hash_joins >= 1, (name, a.text)
+
+
+def test_sq8_jvm_only_broadcast_scan(spark):
+    """embedding_sq8_topk (r11): the entire SQ8 scan is JVM-side — zero
+    Python stages (codes/reconstruction/integer dots are higher-order
+    Column functions inside codegen), the only joins are the broadcast
+    gmax/query crossJoins (no SMJ, no cartesian), and the only exchanges
+    are the two-phase rank's (<= 3 with the gmax aggregate)."""
+    with no_aqe(spark):
+        a = audit_plan(_q("embedding_sq8_topk")(spark, SF_SMOKE))
+    assert a.python_stages == 0, a.text
+    assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0, a.text
+    assert "CartesianProduct" not in a.text
+    assert a.broadcast_nl_joins >= 2, a.text
+    assert a.exchanges <= 3, a.text
