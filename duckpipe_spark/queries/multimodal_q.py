@@ -635,11 +635,11 @@ WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 3
 
 
 @register(
-    "video_phash_neardup",
+    "video_fingerprint_neardup",
     _VIDEO_FP_ORACLE,
     "perceptual video near-dup: banded pair join over 64-bit temporal-brightness codes",
 )
-def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11 — completes the multimodal near-dup triad (image dHash, audio
     frame-energy, video temporal-brightness): per-frame integer pixel sums
     from the real sample-table walk + vendored JPEG decode, 64 gradient

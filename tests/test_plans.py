@@ -724,7 +724,7 @@ def test_phash_neardup_banded_join_no_cartesian(spark):
     for name in (
         "image_phash_neardup",
         "audio_fingerprint_neardup",
-        "video_phash_neardup",
+        "video_fingerprint_neardup",
     ):
         with no_aqe(spark):
             a = audit_plan(_q(name)(spark, SF_SMOKE))
