@@ -208,7 +208,10 @@ def image_dhash(
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                blob = bytes(getattr(row, blob_col))
+                raw = getattr(row, blob_col)
+                if raw is None:  # NULL blob — skip, not fatal
+                    continue
+                blob = bytes(raw)
                 bid = getattr(row, id_col)
                 try:
                     fmt = _sniff_format(blob)
@@ -319,13 +322,17 @@ def audio_fingerprint(
     energy-delta family of Haitsma & Kalker's audio fingerprint (ICMIR'02)
     restricted to the time axis (no FFT — band deltas become frame deltas,
     which keeps every step exact integer math). The signature survives
-    re-encoding, channel remixing that preserves per-frame energy, and
+    re-encoding, channel remixing that preserves the per-frame
+    channel-sum profile (channels are summed BEFORE squaring — e.g. an
+    L/R swap; an energy-preserving sign flip is NOT invariant), and
     sample-order changes within a frame — none of which byte-level dedup
     can see past.
 
-    Determinism contract: int16 sample values are recovered exactly from
-    the codec's /32768 floats (power-of-two scaling is lossless in
-    float64), channels are integer-summed, frame energies are int64 sums
+    Determinism contract: samples requantize deterministically to the
+    16-bit grid via rint(x·32768) — exact recovery for 8/16-bit PCM
+    (power-of-two scaling is lossless in float64), a deterministic but
+    lossy requantization for 24/32-bit and IEEE-float WAV — channels are
+    integer-summed, frame energies are int64 sums
     of squares over floor(f·n/n_frames) boundaries, and unequal frame
     lengths compare by exact cross-multiplication (E[f+1]·len[f] >
     E[f]·len[f+1]) — no float anywhere, so codes are bit-portable across
@@ -349,7 +356,10 @@ def audio_fingerprint(
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                blob = bytes(getattr(row, blob_col))
+                raw = getattr(row, blob_col)
+                if raw is None:  # NULL blob (arriving crawl data) — skip,
+                    continue  # not fatal (ADVICE r11 item 3)
+                blob = bytes(raw)
                 bid = getattr(row, id_col)
                 try:
                     if _sniff_format(blob) != "wav":
@@ -438,7 +448,10 @@ def video_fingerprint(
             # never retains frame payloads (a 4K frame is MBs, its key 24 B)
             memo: dict[tuple[int, bytes], tuple[int, int]] = {}
             for row in pdf.itertuples(index=False):
-                blob = bytes(getattr(row, blob_col))
+                raw = getattr(row, blob_col)
+                if raw is None:  # NULL blob — skip, not fatal
+                    continue
+                blob = bytes(raw)
                 bid = getattr(row, id_col)
                 try:
                     st = parse_video_sample_table(blob)

@@ -1344,14 +1344,14 @@ def sq8_topk(
     coded = base.crossJoin(F.broadcast(gmax_df)).select(
         "id",
         "vec",
-        F.transform(
-            F.col("v"),
-            lambda x: (
-                (x + F.col("gmax")) * 127
-                - F.pmod((x + F.col("gmax")) * 127, 2 * F.col("gmax"))
-            )
-            / (2 * F.col("gmax")),
-        ).cast("array<bigint>").alias("c"),
+        # ADVICE r11 item 1: stay in the integer domain end-to-end — SQL
+        # `div` is truncating bigint division (== floor here: operands are
+        # non-negative), exact for ALL magnitudes, where the previous
+        # pmod-subtract-then-`/` detoured through DOUBLE and was exact
+        # only while 254*gmax <= 2^53
+        F.expr("transform(v, x -> (x + gmax) * 127 div (2 * gmax))")
+        .cast("array<bigint>")
+        .alias("c"),
         F.col("gmax"),
     )
     recon = F.transform(

@@ -92,6 +92,10 @@ CHANGED_THIS_ROUND: list[str] = [
     # r12: renamed from video_phash_neardup (ADVICE r11 item 5) — same
     # kernel, same oracle, never driver-attested under either name
     "video_fingerprint_neardup",
+    # r12: ADVICE r11 item 1 — SQ8 code computation moved fully into the
+    # integer domain (`div` instead of pmod-then-double-divide); exact for
+    # all magnitudes now, values pinned unchanged at current data ranges
+    "embedding_sq8_topk",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -332,3 +332,48 @@ def test_video_fingerprint_segment_resample(spark):
     b = video_fingerprint(short, every=1).collect()
     assert (a[0].h0, a[0].h1) == (b[0].h0, b[0].h1)
     assert video_fingerprint(tiny).count() == 0
+
+
+def test_fingerprint_kernels_skip_null_blobs(spark):
+    """ADVICE r11 item 3: the phash_probe_static serving path feeds these
+    kernels arriving crawl data where NULL blobs are plausible — a None
+    blob must be SKIPPED (the documented best-effort semantics), not raise
+    TypeError from bytes(None) and kill the whole job."""
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        video_fingerprint,
+    )
+    from duckpipe_spark.functions.png import encode_png
+    from duckpipe_spark.functions.wav import encode_wav_pcm16
+
+    rng = np.random.default_rng(11)
+    schema = "blob_id bigint, blob binary"
+
+    png = encode_png(rng.integers(1, 255, size=(16, 18)).astype(np.uint8))
+    img_df = spark.createDataFrame(
+        pd.DataFrame({"blob_id": [1, 2], "blob": [bytearray(png), None]}), schema
+    )
+    assert image_dhash(img_df).count() == 1
+
+    pcm = (rng.standard_normal((4000, 1)) * 6000).astype(np.int16)
+    wav = encode_wav_pcm16(pcm, sample_rate=8000)
+    aud_df = spark.createDataFrame(
+        pd.DataFrame({"blob_id": [1, 2], "blob": [bytearray(wav), None]}), schema
+    )
+    assert audio_fingerprint(aud_df).count() == 1
+
+    frames = [
+        encode_jpeg_gray(np.full((16, 16), 1 + (j * 37) % 254, np.uint8), quality=95)
+        for j in range(65)
+    ]
+    mp4 = build_mjpeg_mp4(frames, fps=4)
+    vid_df = spark.createDataFrame(
+        pd.DataFrame({"blob_id": [1, 2], "blob": [bytearray(mp4), None]}), schema
+    )
+    assert video_fingerprint(vid_df).count() == 1

@@ -53,7 +53,7 @@ def _run_stream(spark, sdf, name, mode="complete", timeout=120):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    assert q.awaitTermination(timeout), "stream did not terminate in time"
     return spark.table(name)
 
 
@@ -232,7 +232,7 @@ def test_cdc_stream_folds_into_snapshot(spark, event_files, tmp_path):
     snap = str(tmp_path / "user_state")
     ckpt = str(tmp_path / "cdc_ckpt")
     q = apply_cdc_stream(stream, snap, key="user_id", order_col="event_id", checkpoint=ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "cdc stream did not terminate in 120s"
 
     got = (
         spark.read.parquet(snap)
@@ -557,7 +557,7 @@ def test_streaming_quantile_sketch_survives_restart(spark, event_files, tmp_path
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate in 120s"
         return pd.concat(emitted, ignore_index=True)
 
     # run 1: only the first file exists, then the "crash"
@@ -678,7 +678,7 @@ def test_streaming_incremental_dedup_survives_restart(spark, doc_stream_files, t
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate in 120s"
         return pd.concat(emitted, ignore_index=True) if emitted else pd.DataFrame(
             columns=["fp", "doc_id"]
         )
@@ -921,7 +921,10 @@ def test_bm25_serve_stream_matches_batch(spark, tmp_path):
     )
     sink = str(tmp_path / "scored")
     q = bm25_serve_stream(stream, idx, sink, str(tmp_path / "serve_ckpt"), k=5)
-    q.awaitTermination(120)
+    # awaitTermination(timeout) returns False on timeout WITHOUT raising —
+    # assert it, or a hung stream reads a partial sink and fails later with
+    # a confusing canonicalize mismatch (ADVICE r11 item 4)
+    assert q.awaitTermination(120), "bm25 serve stream did not terminate in 120s"
 
     got = spark.read.parquet(sink).drop("batch_id")
     want = bm25_topk_from_index(spark, idx, queries, k=5)
