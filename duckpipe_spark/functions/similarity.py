@@ -60,6 +60,48 @@ def planes_for_corpus(n_rows: int, target_bucket_rows: int = TARGET_BUCKET_ROWS)
     return min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def planes_for_recall(
+    neighbor_cos: float, target_recall: float = 0.5, multiprobe: bool = False
+) -> int:
+    """Plane count sized for RECALL instead of bucket occupancy — the other
+    half of the sign-LSH sizing story (``planes_for_corpus`` bounds the
+    candidate-join COST; this bounds the miss rate). Under the random-
+    hyperplane model (Charikar, STOC'02) a pair at angle θ = acos(cos)
+    agrees on one sign bit with p = 1 − θ/π, so a single-bucket probe
+    finds the neighbor with probability p^planes; the full Hamming-1
+    multiprobe set adds the planes·p^(planes−1)·(1−p) one-bit-miss mass.
+    Returns the LARGEST plane count whose modeled recall still meets
+    ``target_recall`` (more planes = smaller buckets = cheaper candidate
+    joins, so largest-feasible is the efficient choice), clamped to
+    [1, MAX_PLANES].
+
+    The honest implication, measured on the sf0.1 corpus (BASELINE §24.2):
+    at the benchmark's neighbor cos ≈ 0.35, p ≈ 0.614, so even 4 planes
+    model only p⁴ ≈ 0.14 single-probe — sign-LSH is a DEDUP-BLOCKING
+    tool (neighbor cos ≥ 0.9 ⇒ p ≥ 0.86, where 8 planes still model 0.30
+    per band and banding across permutations compounds toward 1); for
+    mid-similarity top-k retrieval the IVF/SQ8 rungs are the right
+    ladder. This helper makes that boundary computable instead of
+    folklore."""
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(max(-1.0, min(1.0, neighbor_cos))) / math.pi
+    if p <= 0.0:
+        return 1
+    best = 1
+    for planes in range(1, MAX_PLANES + 1):
+        r = p**planes
+        if multiprobe:
+            r += planes * p ** (planes - 1) * (1.0 - p)
+        if r >= target_recall:
+            best = planes
+        else:
+            break
+    return best
+
+
 def dot_fold(a: Column, b: Column) -> Column:
     """Ordered left-fold dot product of two array<float/double> columns."""
     return F.aggregate(
@@ -303,7 +345,15 @@ def lsh_topk(
     n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket
-    (hash equi-join), then exact cosine ranking within the bucket."""
+    (hash equi-join), then exact cosine ranking within the bucket.
+
+    Role boundary (BASELINE §24.2, r12): single-band sign-LSH is a
+    NEAR-DUP BLOCKING primitive, not a mid-similarity retrieval index —
+    a pair at cosine c collides with probability (1 − acos(c)/π)^planes,
+    ≈ 2% at c = 0.35 / 8 planes but ≥ 30% at the c ≥ 0.9 dedup regime.
+    Size with ``planes_for_recall`` (miss rate) and ``planes_for_corpus``
+    (bucket cost); for top-k retrieval over weakly-similar corpora use
+    the IVF/SQ8 rungs instead."""
     n_planes = _resolve_planes(n_planes, n_rows)
     bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), n_planes))
     q = bucketed.where(F.col(id_col).isin(query_ids)).select(
@@ -345,7 +395,14 @@ def lsh_multiprobe_topk(
     never all-pairs). Each corpus bucket matches at most ONE probe mask
     per query (mask = corpus_bucket XOR query_bucket is unique), so no
     candidate dedup pass is needed. Rank is the two-phase per-query
-    top-k."""
+    top-k.
+
+    Role boundary (BASELINE §24.2, r12): same as ``lsh_topk`` — the
+    Hamming-1 probe set multiplies the collision model by
+    1 + planes·(1−p)/p, which rescues one-bit near-misses in the dedup
+    regime but cannot lift mid-similarity retrieval (measured 0.10
+    recall@10 at neighbor cos 0.35); size with ``planes_for_recall`` and
+    use the IVF/SQ8 rungs for retrieval."""
     n_planes = _resolve_planes(n_planes, n_rows)
     bucketed = embeddings.withColumn("bucket", lsh_bucket_col(F.col(vec_col), n_planes))
     masks = F.array(

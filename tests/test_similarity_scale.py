@@ -224,3 +224,34 @@ def test_hamming_topk_queries_external_namespace(spark):
     # the in-corpus wrapper still excludes self
     incorp = hamming_topk(emb, [2], k=3).collect()
     assert all(r.neighbor_id != 2 for r in incorp)
+
+
+def test_planes_for_recall_model():
+    """planes_for_recall (r12): recall-targeted sizing under the Charikar
+    sign-agreement model — monotone in the right directions, correct at
+    the analytically checkable points, and honest about the blocking-vs-
+    retrieval boundary (BASELINE §24.2)."""
+    import math
+
+    import pytest
+
+    from duckpipe_spark.functions.similarity import MAX_PLANES, planes_for_recall
+
+    # high-cos dedup blocking gets real plane budgets...
+    assert planes_for_recall(0.95, 0.5) >= 6
+    # ...mid-similarity retrieval gets the honest 1-2 planes (≈ scan half)
+    assert planes_for_recall(0.35, 0.5) <= 2
+    # multiprobe credit never shrinks the feasible plane count
+    assert planes_for_recall(0.9, 0.5, multiprobe=True) >= planes_for_recall(0.9, 0.5)
+    # exact check: p = 1 - acos(c)/pi, largest n with p**n >= target
+    c, target = 0.9, 0.3
+    p = 1 - math.acos(c) / math.pi
+    n = planes_for_recall(c, target)
+    assert p**n >= target and (n == MAX_PLANES or p ** (n + 1) < target)
+    # clamps and validation
+    assert planes_for_recall(1.0, 0.999) == MAX_PLANES  # p == 1 never drops below target
+    assert planes_for_recall(-1.0, 0.5) == 1  # p == 0: floor clamp
+    with pytest.raises(ValueError):
+        planes_for_recall(0.9, 0.0)
+    with pytest.raises(ValueError):
+        planes_for_recall(0.9, 1.0)
