@@ -439,6 +439,11 @@ def curation_pipeline(
     lm_train_pred: Column | None = None,
     lm_min_count: int = 1,
     election: str = "min_id",
+    media_codes: DataFrame | None = None,
+    media_max_distance: int = 3,
+    media_max_band_df: int = 50,
+    media_id_col: str = "blob_id",
+    media_modality_col: str = "modality",
 ) -> DataFrame:
     """The END-TO-END curation pipeline a training-data run executes, as one
     lazy composition (VERDICT r6 item 3 — the integration shape that catches
@@ -447,10 +452,21 @@ def curation_pipeline(
       quality gate → [optional CCNet LM gate: train a bigram LM on the
       gated in-domain slice, drop low-score docs — ``lm_min_score``] →
       exact dedup → [optional SemDeDup: drop embedding near-duplicates
-      among the exact-dedup survivors] → duplicate-span removal →
+      among the exact-dedup survivors] → [optional media near-dup: drop
+      docs whose attached image/audio/video fingerprints cluster —
+      ``media_codes``] → duplicate-span removal →
       benchmark decontamination (train split, contamination cap) →
       mixture resample to target language weights → deterministic
       shard/order prep.
+
+    Pass ``media_codes`` (``(blob_id, modality, h0, h1)`` — the
+    perceptual-triad code layout, blob_id keyed by the same ids as
+    ``id_col``) to enable the media near-dup stage (VERDICT r11 item 5):
+    codes restrict to the current survivor set, pairs form per modality
+    (an image code must never band-join an audio code), clusters close
+    transitively, and only each cluster's min-id member continues. Docs
+    without a code row pass through unjudged — the same
+    embedding-table-lags-the-crawl contract as SemDeDup.
 
     Pass ``embeddings`` (vec_id keyed by the same ids as ``id_col``) to
     enable the SemDeDup stage (VERDICT r7 item 7): near-duplicate clusters
@@ -617,6 +633,37 @@ def curation_pipeline(
             uniq.join(
                 drop,
                 F.col(id_col).cast("bigint") == F.col("__semdrop_id"),
+                "left_anti",
+            )
+        )
+
+    # 2.7 (optional) media near-dup: modality-partitioned fingerprint
+    # pair graph over the survivors' codes, transitive min-id closure,
+    # non-representatives drop. Mirrors the SemDeDup stage's shape: the
+    # pair search + closure run on the (small) code side only; the drop
+    # set comes back as one anti-join on id.
+    if media_codes is not None:
+        from duckpipe_spark.functions.multimodal import media_neardup_drops
+
+        id_type = uniq.schema[id_col].dataType.simpleString()
+        if id_type not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"media near-dup stage needs an integral {id_col!r} to join "
+                f"codes on {media_id_col!r}; got {id_type}"
+            )
+        msurv = uniq.select(F.col(id_col).cast("bigint").alias(media_id_col))
+        mcodes = media_codes.join(msurv, media_id_col, "left_semi")
+        mdrop = media_neardup_drops(
+            mcodes,
+            max_distance=media_max_distance,
+            max_band_df=media_max_band_df,
+            id_col=media_id_col,
+            modality_col=media_modality_col,
+        )
+        uniq = _persist(
+            uniq.join(
+                mdrop,
+                F.col(id_col).cast("bigint") == F.col("drop_id"),
                 "left_anti",
             )
         )

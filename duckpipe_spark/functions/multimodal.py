@@ -252,6 +252,7 @@ def phash_neardup_pairs(
     max_distance: int = 3,
     max_band_df: int = 50,
     id_col: str = "blob_id",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from perceptual-hash codes →
     (id_a, id_b, hamming): band each 64-bit code into FOUR 16-bit slices;
@@ -266,8 +267,17 @@ def phash_neardup_pairs(
     MinHash/winnow candidate passes use: one hot band otherwise
     contributes df² candidate rows. Verification distances are exact
     integers (same xor+popcount kernel as the Hamming-ANN family), so
-    results are bit-portable across engines."""
+    results are bit-portable across engines.
+
+    ``partition_col`` (r12, the media-curation stage's contract): when the
+    code table mixes MODALITIES (image dHash, audio/video fingerprints in
+    the same 64-bit layout), a band match across modalities is numerology,
+    not similarity — pass the modality column and it joins into every
+    band key (hot-band counting AND the candidate equi-join), so pairs
+    only ever form within a partition."""
+    keys = [partition_col] if partition_col is not None else []
     bands = hashes.select(
+        *keys,
         F.col(id_col).alias("id"),
         "h0",
         "h1",
@@ -281,17 +291,19 @@ def phash_neardup_pairs(
         ).alias("bi", "bv"),
     )
     hot = (
-        bands.groupBy("bi", "bv")
+        bands.groupBy(*keys, "bi", "bv")
         .agg(F.count(F.lit(1)).alias("d"))
         .where(F.col("d") > max_band_df)
-        .select("bi", "bv")
+        .select(*keys, "bi", "bv")
     )
-    rare = bands.join(F.broadcast(hot), ["bi", "bv"], "left_anti")
+    rare = bands.join(F.broadcast(hot), keys + ["bi", "bv"], "left_anti")
     a = rare.select(
+        *keys,
         F.col("id").alias("id_a"), F.col("h0").alias("h0a"), F.col("h1").alias("h1a"),
         "bi", "bv",
     )
     b = rare.select(
+        *keys,
         F.col("id").alias("id_b"), F.col("h0").alias("h0b"), F.col("h1").alias("h1b"),
         "bi", "bv",
     )
@@ -300,11 +312,50 @@ def phash_neardup_pairs(
         + F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
     ).cast("bigint")
     return (
-        a.join(b, ["bi", "bv"])
+        a.join(b, keys + ["bi", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_distance)
         .distinct()
+    )
+
+
+def media_neardup_drops(
+    codes: DataFrame,
+    max_distance: int = 3,
+    max_band_df: int = 50,
+    id_col: str = "blob_id",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """Near-dup DROP set from a mixed-modality fingerprint-code table →
+    one column ``drop_id``: the curation-side consumer of the perceptual
+    triad (`image_dhash` / `audio_fingerprint` / `video_fingerprint`,
+    which all emit the same (id, h0, h1) 64-bit layout). Pairs form
+    per-modality (``phash_neardup_pairs(partition_col=modality_col)`` —
+    an image code must never band-join an audio code), then the pair
+    graph closes transitively (`connected_components`, the same min-id
+    closure the SemDeDup stage uses: A~B, B~C ⇒ one cluster even when
+    A~C never banded together) and every non-minimum member of each
+    cluster is dropped. An id carrying codes in several modalities can
+    legitimately bridge clusters — near-dup-of-X-by-image and
+    near-dup-of-Y-by-audio is one keep-one group.
+
+    Scale shape: banding cost is the per-modality pair join (hot-band
+    guarded), the closure shuffles only the pair graph (tiny versus the
+    corpus), and the result is a drop-id list sized by the duplicate
+    mass — the anti-join shape the pipeline consumes."""
+    from duckpipe_spark.functions.dedup import connected_components
+
+    pairs = phash_neardup_pairs(
+        codes,
+        max_distance=max_distance,
+        max_band_df=max_band_df,
+        id_col=id_col,
+        partition_col=modality_col,
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    return comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("drop_id")
     )
 
 

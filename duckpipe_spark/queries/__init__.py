@@ -96,6 +96,13 @@ CHANGED_THIS_ROUND: list[str] = [
     # integer domain (`div` instead of pmod-then-double-divide); exact for
     # all magnitudes now, values pinned unchanged at current data ranges
     "embedding_sq8_topk",
+    # NEW in r12 (VERDICT r11 item 5): media near-dup stage inside the
+    # curation pipeline — modality-partitioned fingerprint pair graph
+    # (image dHash + audio/video fingerprints through the real decode
+    # kernels) with min-id transitive closure; hash-green at sf0.001/
+    # 0.01/0.1 locally, registered after the r12 window froze so it
+    # leads the r13 window
+    "doc_curation_medianear",
 ]
 
 base.DRIVER_ORDER[:] = [

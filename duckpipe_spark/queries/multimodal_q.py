@@ -697,3 +697,96 @@ def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(
         video_fingerprint(blobs), max_distance=3, max_band_df=50
     )
+
+
+def media_fixture_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality fingerprint codes for the media-curation stage →
+    (blob_id, modality, h0, h1): every document carries exactly ONE media
+    blob, chosen by modality = (doc_id // 2) % 3 (0 = image, 1 = audio,
+    2 = video) so each planted near-dup pair (2j, 2j+1) shares its
+    modality. Blob content reuses the three standalone fixtures' analytic
+    generators VERBATIM (image_phash_neardup / audio_fingerprint_neardup /
+    video_fingerprint_neardup above), and the codes run through the REAL
+    decode kernels — PNG/WAV/MP4 parse, vendored codecs, integer
+    reductions — so the curation stage consumes exactly what a production
+    fingerprint pass would persist."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.jpeg import encode_jpeg_gray
+    from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
+    from duckpipe_spark.functions.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        video_fingerprint,
+    )
+    from duckpipe_spark.functions.png import encode_png
+    from duckpipe_spark.functions.wav import encode_wav_pcm16
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[tuple[int, int], bytes] = {}
+
+        def frame(gj: int, parity: int) -> bytes:
+            got = memo.get((gj, parity))
+            if got is None:
+                img = np.full((16, 16), gj, np.uint8)
+                if parity:
+                    img[:8, :8] += 1
+                    img[:8, 8:] -= 1
+                    img[8:, :8] -= 1
+                    img[8:, 8:] += 1
+                got = encode_jpeg_gray(img, quality=95)
+                memo[(gj, parity)] = got
+            return got
+
+        for pdf in batches:
+            ids, mods, blobs = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                j = d // 2
+                m = j % 3
+                if m == 0:  # image (image_phash_neardup's grid formula)
+                    rr = np.arange(8, dtype=np.int64)
+                    cc = np.arange(9, dtype=np.int64)
+                    seed = (j * 1000003 + rr[:, None] * 9 + cc[None, :] + 1) % 1000000007
+                    grid = 1 + (seed * seed % 1000000007 * 2654435761 % 1000000007) % 254
+                    img = np.repeat(np.repeat(grid, 2, axis=0), 2, axis=1).astype(np.uint8)
+                    if d % 2:
+                        img[0::2, 0::2] += 1
+                        img[1::2, 1::2] -= 1
+                    blob = encode_png(img, filter_type=2)
+                elif m == 1:  # audio (audio_fingerprint_neardup's waveform)
+                    i = np.arange(1040, dtype=np.int64)
+                    seed = (j * 1000003 + i + 1) % 1000000007
+                    v = (seed * seed % 1000000007 * 2654435761 % 1000000007) % 2048 - 1024
+                    if d % 2:
+                        v = v.reshape(65, 16)[:, ::-1].ravel()
+                    blob = encode_wav_pcm16(v.astype(np.int16), 16_000)
+                else:  # video (video_fingerprint_neardup's frame walk)
+                    jf = np.arange(65, dtype=np.int64)
+                    seed = (j * 1000003 + jf + 1) % 1000000007
+                    g = 1 + (seed * seed % 1000000007 * 2654435761 % 1000000007) % 254
+                    blob = build_mjpeg_mp4([frame(int(gj), d % 2) for gj in g], fps=4)
+                ids.append(d)
+                mods.append(m)
+                blobs.append(blob)
+            yield pd.DataFrame({"blob_id": ids, "modality": mods, "blob": blobs})
+
+    # the modality filter pushes BEFORE blob generation: each kernel's
+    # branch scans only its third of the doc ids and the generator runs
+    # once per doc total — filtering the generated blob column instead
+    # re-ran the full generator per kernel (3× the decode fixture cost)
+    parts = []
+    for m, kernel in ((0, image_dhash), (1, audio_fingerprint), (2, video_fingerprint)):
+        sub = docs.where((F.floor(F.col("doc_id") / 2) % 3) == m)
+        blobs = sub.mapInPandas(gen, "blob_id bigint, modality int, blob binary")
+        codes = kernel(blobs.select("blob_id", "blob"))
+        parts.append(codes.select("blob_id", F.lit(m).alias("modality"), "h0", "h1"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
