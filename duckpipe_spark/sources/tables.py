@@ -112,15 +112,20 @@ def configure_s3(
     access_key: str,
     secret_key: str,
     endpoint: str | None = None,
+    ssl: bool = True,
 ) -> None:
     """Cloud object store access — replaces DuckDB `CREATE SECRET` replay
-    (`duckpipe/core.py:103-114`). Set once on the session; executors inherit."""
+    (`duckpipe/core.py:103-114`). Set once on the session; executors
+    inherit. ``ssl=False`` targets http endpoints (localstack/minio-style
+    test servers — the e2e harness in tests/test_sinks.py uses it)."""
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hconf.set("fs.s3a.access.key", access_key)
     hconf.set("fs.s3a.secret.key", secret_key)
     if endpoint:
         hconf.set("fs.s3a.endpoint", endpoint)
     hconf.set("fs.s3a.path.style.access", "true")
+    if not ssl:
+        hconf.set("fs.s3a.connection.ssl.enabled", "false")
 
 
 # --- format-generic IO (beyond reference: the reference is parquet-only; a
