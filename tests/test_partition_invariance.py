@@ -801,3 +801,23 @@ def op_sq8_topk(spark, scramble):
 
 
 _OPS.append(op_sq8_topk)
+
+
+def op_media_neardup_drops(spark, scramble):
+    # r12: the curation media stage's drop set — per-modality banding,
+    # min-id transitive closure; codes are a pure projection of doc_id so
+    # the drop set is a pure function of the data
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.multimodal import media_neardup_drops
+
+    codes = scramble(_docs(spark)).select(
+        F.col("doc_id").alias("blob_id"),
+        (F.col("doc_id") % 3).cast("int").alias("modality"),
+        (F.floor(F.col("doc_id") / 6) * 8).cast("bigint").alias("h0"),
+        (F.col("doc_id") % 3).cast("bigint").alias("h1"),
+    )
+    return media_neardup_drops(codes)
+
+
+_OPS.append(op_media_neardup_drops)

@@ -746,3 +746,16 @@ def test_sq8_jvm_only_broadcast_scan(spark):
     assert "CartesianProduct" not in a.text
     assert a.broadcast_nl_joins >= 2, a.text
     assert a.exchanges <= 3, a.text
+
+
+def test_medianear_stage_banded_join_no_cartesian(spark):
+    """doc_curation_medianear (r12): the media stage's pair search is a
+    (modality, band) equi-join with the hot-band broadcast anti-join
+    applied first, the drop set returns as one anti-join on id, and
+    nothing in the spliced pipeline introduces a cartesian over codes or
+    documents."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_curation_medianear")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in a.text
+    assert "LeftAnti" in a.text, a.text
+    assert a.broadcast_hash_joins >= 1, a.text
