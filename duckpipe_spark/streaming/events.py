@@ -98,7 +98,10 @@ _OUT_SCHEMA = "user_id bigint, session_start timestamp, session_end timestamp, n
 
 
 def _session_fn(
-    key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    flush_timeout_ms: int = 600_000,
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful sessionizer: closes a session when the event gap
     exceeds SESSION_GAP or the state times out."""
@@ -140,7 +143,8 @@ def _session_fn(
         last_us = max(last_us, t)
         n += 1
     state.update((start_us, last_us, n))
-    state.setTimeoutDuration(600_000)  # flush sessions idle for 10 min of processing time
+    # flush sessions idle for flush_timeout_ms of processing time
+    state.setTimeoutDuration(flush_timeout_ms)
     if closed:
         yield pd.DataFrame(
             {
@@ -152,12 +156,26 @@ def _session_fn(
         )
 
 
-def sessionize_stateful(events: DataFrame) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame, flush_timeout_ms: int = 600_000
+) -> DataFrame:
     """`applyInPandasWithState` sessionization — the template for custom
     stateful operators the built-ins can't express (emits a session only
-    once it is closed by a gap or a processing-time timeout)."""
+    once it is closed by a gap or a processing-time timeout).
+
+    ``flush_timeout_ms`` is the processing-time idle flush (default 10
+    min). CONTRACT (found r12 when the suite started asserting
+    awaitTermination's return): ProcessingTimeTimeout is incompatible
+    with ``trigger(availableNow)`` termination — Spark keeps the query
+    alive for pending timeouts, so an availableNow run looks hung for a
+    full flush interval (or forever). Run this operator on a
+    processing-time trigger (the production shape) and stop it
+    explicitly once the sink is drained; pass a small flush for
+    bounded-drain test/backfill runs."""
+    import functools
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        functools.partial(_session_fn, flush_timeout_ms=flush_timeout_ms),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -90,20 +90,47 @@ def test_session_windows_matches_batch(spark, event_files):
 
 
 def test_stateful_sessionizer_closes_sessions(spark, event_files):
+    # ProcessingTimeTimeout is incompatible with availableNow termination
+    # (Spark keeps the query alive for pending timeouts — the pre-r12 form
+    # of this test silently read a partial sink when awaitTermination(120)
+    # timed out): run the sessionizer the way production would, on a
+    # processing-time trigger with a short idle flush, poll the sink up to
+    # the batch twin's full session count, then stop explicitly.
+    import tempfile
+    import time
+
     stream = read_event_stream(spark, event_files, max_files_per_trigger=1)
-    out = _run_stream(spark, sessionize_stateful(stream), "sess_state", mode="append")
-    got = out.toPandas()
-    # append mode emits only *closed* sessions; every closed session must
-    # match a true session from the batch definition
     batch_sessions = session_windows(load_table(spark, SF_SMOKE, "events")).toPandas()
+    ckpt = tempfile.mkdtemp(prefix="ckpt-sess-state-")
+    q = (
+        sessionize_stateful(stream, flush_timeout_ms=3_000)
+        .writeStream.format("memory")
+        .queryName("sess_state")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if spark.table("sess_state").count() >= len(batch_sessions):
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    got = spark.table("sess_state").toPandas()
+    # with the state store drained by the idle flush, append mode has
+    # emitted EVERY session (gap-closed and idle-flushed) — the full
+    # batch session set, exactly
     merged = got.merge(
         batch_sessions,
-        left_on=["user_id", "session_start"],
-        right_on=["user_id", "session_start"],
-        how="left",
+        on=["user_id", "session_start"],
+        how="outer",
         suffixes=("", "_b"),
+        indicator=True,
     )
-    assert merged["n_events_b"].notna().all()
+    assert (merged["_merge"] == "both").all(), merged[merged["_merge"] != "both"]
     assert (merged["n_events"] == merged["n_events_b"]).all()
     assert len(got) > 0
 
