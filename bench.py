@@ -343,7 +343,12 @@ def main(reps: int = 1) -> None:
     # degraded to "parsed": null (VERDICT r7 item 4). Print a compact line —
     # headline totals + the required per-query SPARK timings — and park the
     # full payload (duckdb + ratio per-query maps) in a sidecar file.
-    try:  # closing load sample: contention that ARRIVED mid-run shows here
+    try:
+        # closing load sample: contention that ARRIVED mid-run shows here.
+        # NOTE the 1-min loadavg still carries OUR OWN just-finished
+        # executor work (decay tail) — read it relative to loadavg_1m, and
+        # treat only a large jump (>> n_cpus-normalized self-load) as
+        # evidence of foreign contention
         out["loadavg_after"] = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover
         pass
