@@ -26,7 +26,15 @@ BPE_ISH_REGEX = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
 
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization; trim first so both engines agree on
-    leading/trailing empties."""
+    leading/trailing empties.
+
+    WS-class note (ADVICE r10 item 3 / r11 parity): Java's ASCII ``\\s``
+    here is ``[ \\t\\n\\x0b\\f\\r]`` while the oracle twins' DuckDB/RE2
+    ``\\s`` omits ``\\x0b`` — the one-byte divergence surface. The test
+    corpus carries no ``\\x0b``, so every oracle comparison is unaffected;
+    kernels that MUST be byte-identical on arbitrary bytes (the winnow
+    family) spell the class out explicitly on both sides instead
+    (``dedup._WS_KERNEL_RE`` + the explicit class in their oracle SQL)."""
     return F.split(F.trim(text), r"\s+")
 
 

@@ -26,6 +26,13 @@ from duckpipe_spark.queries.base import register
 from duckpipe_spark.sources.tables import load_table
 
 # shared SQL snippets ---------------------------------------------------------
+#
+# WS-class note (ADVICE r10 item 3 / r11 parity): the '\\s+' splits below
+# are DuckDB/RE2 \s = [ \t\n\f\r] WITHOUT \x0b, while the Spark twins'
+# tokens_col / F.split use Java ASCII \s WITH it. The corpus carries no
+# \x0b so the oracles are unaffected; kernels that must be byte-identical
+# on arbitrary bytes (the winnow family below) spell the class out on
+# both sides instead — see _WINNOW_SEL_CTES and dedup._WS_KERNEL_RE.
 
 _SHINGLES_SQL = """
 toks AS (
