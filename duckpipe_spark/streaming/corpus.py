@@ -190,7 +190,13 @@ def phash_probe_static(
     no watermark or state store. The broadcast-index form fits the serving
     case (benchmark/blocklist-sized index); dedup WITHIN an unbounded
     arriving stream is the batch `phash_neardup_pairs`'s banded join over
-    micro-batches via foreachBatch instead."""
+    micro-batches via foreachBatch instead.
+
+    Modality contract (r12): one call = one ``fingerprint`` kernel = one
+    modality — pass a SAME-modality ``index``; matching an image probe
+    against audio codes is numerology (see
+    `phash_neardup_pairs(partition_col=)`, which enforces this inside the
+    mixed-modality batch path)."""
     codes = fingerprint(blobs, id_col=id_col)
     ham = (
         F.bit_count(F.col("h0").bitwiseXOR(F.col("ih0")))
