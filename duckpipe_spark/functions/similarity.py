@@ -540,9 +540,13 @@ def ivf_trained_topk(
     """IVF top-k over K-MEANS-TRAINED centroids — the production form of
     ``ivf_topk`` (whose docstring promises exactly this refinement): the
     coarse quantizer is ``kmeans_cells``' Lloyd-converged integer centroid
-    table instead of smallest-id seed vectors, so cells actually tile the
-    data distribution and a fixed n_probe covers far more of the true
-    neighborhood. Assignment and probe selection both use the k-means
+    table instead of smallest-id seed vectors. Honest expectation
+    (BASELINE §24.2, r12): training helps exactly as much as the corpus
+    clusters — on a clustered corpus trained cells tile the modes; on a
+    near-isotropic one every balanced Voronoi partition is equivalent and
+    recall at a fixed probe fraction is a property of the DATA (r11's
+    apparent 0.99-vs-0.49 seed advantage was query-ids-coinciding-with-
+    seed-centroids benchmark contamination, not quantizer quality). Assignment and probe selection both use the k-means
     metric (integer squared-L2 on round(x·scale) BIGINTs — bit-exact
     across engines, same tie-break cell asc); only the final rerank over
     the probed cells touches float math (the exact rounded cosine).

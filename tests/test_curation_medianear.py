@@ -117,3 +117,28 @@ def test_media_stage_drops_non_representative_twin(spark, media_corpus):
     assert got == base - {twin_b}  # min-id image twin kept
     assert cross in got  # equal code in another modality never pairs
     assert no_code in got  # unfingerprinted docs pass through
+
+
+def test_media_stage_from_persisted_codes_artifact(spark, media_corpus, tmp_path):
+    """The production shape (BASELINE §24.1a): codes are a PRECOMPUTED
+    parquet artifact — persisting the code table and reloading it from a
+    fresh read must drive the stage to the identical survivor set as the
+    in-memory table."""
+    docs, codes, twin_a, twin_b, cross, no_code = media_corpus
+    path = str(tmp_path / "media_codes.parquet")
+    codes.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    inline = {
+        r.doc_id
+        for r in curation_pipeline(docs, media_codes=codes, persist_stages=False)
+        .select("doc_id")
+        .collect()
+    }
+    from_disk = {
+        r.doc_id
+        for r in curation_pipeline(docs, media_codes=reloaded, persist_stages=False)
+        .select("doc_id")
+        .collect()
+    }
+    assert from_disk == inline
+    assert twin_b not in from_disk and twin_a in from_disk
