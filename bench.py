@@ -130,10 +130,14 @@ def _quiet_wait() -> dict:
     contention-contaminated. SPARK_GRAFT_BENCH_NO_WAIT=1 skips the wait
     (quick local iteration); SPARK_GRAFT_BENCH_QUIET_WAIT_S caps it
     (default 300); SPARK_GRAFT_BENCH_QUIET_LOAD sets the threshold
-    (default 1.0)."""
+    (default 0.95)."""
     info: dict = {}
     try:
-        threshold = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.0"))
+        # default 0.95, not 1.0: the wait exits strictly below the
+        # threshold, but the post-wait snapshot resamples a moment later
+        # and can tick back up — a margin keeps the RECORDED loadavg_1m
+        # under the "< 1" defended-protocol bar it is judged against
+        threshold = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "0.95"))
         cap = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "300"))
         load0 = os.getloadavg()[0]
         info["loadavg_pre_wait"] = round(load0, 2)
