@@ -380,9 +380,10 @@ def audio_fingerprint(
     can see past.
 
     Determinism contract: samples requantize deterministically to the
-    16-bit grid via rint(x·32768) — exact recovery for 8/16-bit PCM
-    (power-of-two scaling is lossless in float64), a deterministic but
-    lossy requantization for 24/32-bit and IEEE-float WAV — channels are
+    16-bit grid via rint(x·32768) — exact recovery for 8/16-bit PCM and
+    G.711 mu-law (whose expansion lands ON the 16-bit grid; power-of-two
+    scaling is lossless in float64), a deterministic but lossy
+    requantization for 24/32-bit and IEEE-float WAV — channels are
     integer-summed, frame energies are int64 sums
     of squares over floor(f·n/n_frames) boundaries, and unequal frame
     lengths compare by exact cross-multiplication (E[f+1]·len[f] >

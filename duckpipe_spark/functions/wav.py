@@ -4,13 +4,20 @@ Third vendored media codec after `functions/png.py` and
 `functions/jpeg.py`: turns the audio branch of `decode_audio` from an
 honest stub into a REAL decode for the format a curation pipeline meets
 first — RIFF/WAVE containers holding integer PCM (8/16/24/32-bit) or
-IEEE-float samples, mono or multi-channel. Compressed codecs (MP3, AAC,
-ADPCM...) remain the documented external-codec plug point.
+IEEE-float samples, mono or multi-channel — plus G.711 mu-law since
+r12. Predictive compressed codecs (MP3, AAC, ADPCM...) remain the
+documented external-codec plug point.
 
 From-scratch implementation of the public RIFF/WAVE layout (the original
 Microsoft/IBM multimedia spec, mirrored in RFC 2361's format registry):
 chunks are (fourcc, uint32 size) pairs; ``fmt `` carries the sample
 layout; ``data`` carries little-endian interleaved frames.
+
+r12 adds G.711 mu-law (format tag 7) — the first COMPRESSED codec with a
+native decode here: stateless per-sample integer expansion, so it is both
+vendorable and analytically replayable by the DuckDB oracle (predictive
+codecs — ADPCM, MP3, AAC — remain external plug points: their decoder
+state has no closed form an oracle could replay).
 """
 
 from __future__ import annotations
@@ -21,7 +28,44 @@ import numpy as np
 
 _PCM = 1
 _IEEE_FLOAT = 3
+_MULAW = 7
 _EXTENSIBLE = 0xFFFE
+
+# --- G.711 mu-law (r12): the first COMPRESSED audio codec with a real
+# decode (not an ffmpeg plug point). Chosen because it is STATELESS
+# integer math per sample — exactly vendorable here AND exactly
+# replayable in oracle SQL, unlike predictive codecs (ADPCM/MP3) whose
+# decode state cannot be expressed analytically. 2:1 compression, the
+# ITU-T telephony standard (RFC 2361 format tag 7).
+
+_MULAW_BIAS = 0x84  # 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear samples → uint8 G.711 mu-law codes (vectorized,
+    standard bias-132 segment encoder; codes are bit-complemented on the
+    wire per the spec)."""
+    v = samples.astype(np.int64)
+    sign = np.where(v < 0, 0x80, 0)
+    mag = np.minimum(np.abs(v), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent = index of the highest set bit of mag, minus 7 (mag >= 132
+    # so the result is in [0, 7])
+    exp = (np.floor(np.log2(mag)).astype(np.int64) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 mu-law codes → int16 linear samples (exact integer
+    expansion — the value set is the 16-bit grid, so downstream
+    rint(x·32768) recovers these integers exactly)."""
+    c = (~codes.astype(np.int64)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    t = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(sign != 0, -t, t).astype(np.int16)
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
@@ -36,6 +80,26 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     data = samples.astype("<i2").tobytes()
     block = ch * 2
     fmt = struct.pack("<HHIIHH", _PCM, ch, sample_rate, sample_rate * block, block, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8_000) -> bytes:
+    """Encode int16 samples — shape (n,) mono or (n, channels) — as a
+    RIFF/WAVE G.711 mu-law blob (format tag 7, 8 bits/sample, 18-byte
+    fmt chunk with cbSize=0 per the non-PCM convention)."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_mulaw expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = mulaw_encode(samples.ravel()).tobytes()
+    block = ch  # one byte per sample per channel
+    fmt = struct.pack(
+        "<HHIIHHH", _MULAW, ch, sample_rate, sample_rate * block, block, 8, 0
+    )
     out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(data)) + data
@@ -100,6 +164,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             arr = np.frombuffer(raw, dtype="<f8").astype(np.float64)
         else:
             raise ValueError(f"{bits}-bit float PCM unsupported")
+    elif tag == _MULAW:
+        if bits != 8:
+            raise ValueError(f"{bits}-bit mu-law unsupported (spec is 8)")
+        # expansion lands on the 16-bit grid; scale like 16-bit PCM so
+        # downstream rint(x*32768) recovers the exact integers
+        arr = mulaw_decode(np.frombuffer(raw, dtype=np.uint8)).astype(np.float64)
+        arr /= 32768.0
     else:
         raise ValueError(f"compressed WAV format tag {tag} needs an external codec")
     n = len(arr) - len(arr) % ch

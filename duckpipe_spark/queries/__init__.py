@@ -103,6 +103,12 @@ CHANGED_THIS_ROUND: list[str] = [
     # 0.01/0.1 locally, registered after the r12 window froze so it
     # leads the r13 window
     "doc_curation_medianear",
+    # NEW in r12: first compressed-codec oracle row — G.711 mu-law audio
+    # near-dup (vendored stateless integer codec; oracle replays
+    # encode→decode analytically, verified bit-exact over the full int16
+    # domain); hash-green at sf0.001/0.01/0.1 locally, leads r13 with
+    # doc_curation_medianear
+    "audio_mulaw_fingerprint_neardup",
 ]
 
 base.DRIVER_ORDER[:] = [

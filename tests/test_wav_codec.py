@@ -117,3 +117,51 @@ def test_zero_sample_rate_rejected_not_zerodivision():
     )
     with pytest.raises(ValueError, match="sample rate"):
         decode_wav(blob)
+
+
+def test_mulaw_codec_conformance():
+    """G.711 mu-law (r12): E(D(c)) == c for all codes except the spec's
+    negative-zero (0x7F -> -0 == +0 -> 0xFF); D(E(v)) is idempotent on
+    the expansion grid; quantization error is bounded by half the top
+    segment step; full-scale values clip to 32635 before encoding."""
+    import numpy as np
+
+    from duckpipe_spark.functions.wav import mulaw_decode, mulaw_encode
+
+    codes = np.arange(256, dtype=np.uint8)
+    re = mulaw_encode(mulaw_decode(codes))
+    mism = np.where(re != codes)[0]
+    assert list(mism) == [0x7F]  # negative zero, the documented exception
+    assert mulaw_decode(np.array([0x7F], dtype=np.uint8))[0] == 0
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(-32768, 32768, 50_000).astype(np.int16)
+    v2 = mulaw_decode(mulaw_encode(v))
+    # idempotent on the grid: re-coding a decoded value is lossless
+    assert (mulaw_decode(mulaw_encode(v2)) == v2).all()
+    clipped = np.clip(v.astype(np.int64), -32635, 32635)
+    err = np.abs(v2.astype(np.int64) - clipped)
+    assert err.max() <= 512  # half of the top segment's 1024 step + bias slack
+
+
+def test_mulaw_wav_roundtrip_through_decode_wav():
+    """encode_wav_mulaw -> decode_wav lands on the exact 16-bit grid
+    (rint(x*32768) recovers mulaw_decode's integers bit-for-bit), stereo
+    interleave and sample rate survive."""
+    import numpy as np
+
+    from duckpipe_spark.functions.wav import (
+        decode_wav,
+        encode_wav_mulaw,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(-30000, 30000, (500, 2)).astype(np.int16)
+    blob = encode_wav_mulaw(v, 22_050)
+    arr, rate = decode_wav(blob)
+    assert rate == 22_050 and arr.shape == (500, 2)
+    rec = np.rint(arr * 32768.0).astype(np.int64)
+    want = mulaw_decode(mulaw_encode(v.ravel())).reshape(500, 2).astype(np.int64)
+    assert (rec == want).all()
