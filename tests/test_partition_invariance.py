@@ -664,7 +664,7 @@ def _fingerprint_blobs(spark, scramble, kind):
     from duckpipe_spark.functions.jpeg import encode_jpeg_gray
     from duckpipe_spark.functions.mp4 import build_mjpeg_mp4
     from duckpipe_spark.functions.png import encode_png
-    from duckpipe_spark.functions.wav import encode_wav_pcm16
+    from duckpipe_spark.functions.wav import encode_wav_mulaw, encode_wav_pcm16
 
     docs = scramble(_docs(spark).select("doc_id").where("doc_id < 12"))
 
@@ -682,6 +682,13 @@ def _fingerprint_blobs(spark, scramble, kind):
                     blobs.append(
                         encode_wav_pcm16(
                             rng.integers(-1024, 1024, 65 * 16).astype(np.int16)
+                        )
+                    )
+                elif kind == "mulaw":
+                    # r12: compressed-codec path — same kernel, G.711 blobs
+                    blobs.append(
+                        encode_wav_mulaw(
+                            rng.integers(-30000, 30000, 65 * 16).astype(np.int16)
                         )
                     )
                 else:
@@ -821,3 +828,14 @@ def op_media_neardup_drops(spark, scramble):
 
 
 _OPS.append(op_media_neardup_drops)
+
+
+def op_audio_mulaw_fingerprint(spark, scramble):
+    # r12: the compressed-codec decode path must be partition-invariant
+    # exactly like the PCM path (stateless per-sample expansion)
+    from duckpipe_spark.functions.multimodal import audio_fingerprint
+
+    return audio_fingerprint(_fingerprint_blobs(spark, scramble, "mulaw"))
+
+
+_OPS.append(op_audio_mulaw_fingerprint)
