@@ -4,20 +4,21 @@ Third vendored media codec after `functions/png.py` and
 `functions/jpeg.py`: turns the audio branch of `decode_audio` from an
 honest stub into a REAL decode for the format a curation pipeline meets
 first — RIFF/WAVE containers holding integer PCM (8/16/24/32-bit) or
-IEEE-float samples, mono or multi-channel — plus G.711 mu-law since
-r12. Predictive compressed codecs (MP3, AAC, ADPCM...) remain the
-documented external-codec plug point.
+IEEE-float samples, mono or multi-channel — plus both G.711 halves
+(mu-law tag 7, A-law tag 6) since r12. Predictive compressed codecs
+(MP3, AAC, ADPCM...) remain the documented external-codec plug point.
 
 From-scratch implementation of the public RIFF/WAVE layout (the original
 Microsoft/IBM multimedia spec, mirrored in RFC 2361's format registry):
 chunks are (fourcc, uint32 size) pairs; ``fmt `` carries the sample
 layout; ``data`` carries little-endian interleaved frames.
 
-r12 adds G.711 mu-law (format tag 7) — the first COMPRESSED codec with a
-native decode here: stateless per-sample integer expansion, so it is both
-vendorable and analytically replayable by the DuckDB oracle (predictive
-codecs — ADPCM, MP3, AAC — remain external plug points: their decoder
-state has no closed form an oracle could replay).
+r12 adds both G.711 halves (mu-law tag 7, A-law tag 6) — the first
+COMPRESSED codecs with a native decode here: stateless per-sample
+integer expansion makes them both vendorable and analytically
+replayable by the DuckDB oracle (predictive codecs — ADPCM, MP3, AAC —
+remain external plug points: their decoder state has no closed form an
+oracle could replay).
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ import numpy as np
 
 _PCM = 1
 _IEEE_FLOAT = 3
+_ALAW = 6
 _MULAW = 7
 _EXTENSIBLE = 0xFFFE
 
@@ -68,6 +70,31 @@ def mulaw_decode(codes: np.ndarray) -> np.ndarray:
     return np.where(sign != 0, -t, t).astype(np.int16)
 
 
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear samples → uint8 G.711 A-law codes (vectorized Sun
+    g711.c segment encoder; even bits inverted on the wire per spec)."""
+    v = samples.astype(np.int64) >> 3  # 13-bit domain
+    mask = np.where(v >= 0, 0xD5, 0x55)
+    mag = np.where(v >= 0, v, -v - 1)
+    # segment = index of the first seg_aend bound >= mag (8 = overflow)
+    bounds = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+    seg = np.searchsorted(bounds, mag, side="left")
+    shift = np.where(seg < 2, 1, np.minimum(seg, 7))
+    aval = (np.minimum(seg, 7) << 4) | ((mag >> shift) & 0x0F)
+    aval = np.where(seg >= 8, 0x7F, aval)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 G.711 A-law codes → int16 linear samples (exact integer
+    expansion, max |value| = 32256)."""
+    a = codes.astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     """Encode int16 samples — shape (n,) mono or (n, channels) — as a
     canonical 44-byte-header RIFF/WAVE PCM blob (the round-trip twin for
@@ -86,24 +113,33 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     return out
 
 
-def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8_000) -> bytes:
-    """Encode int16 samples — shape (n,) mono or (n, channels) — as a
-    RIFF/WAVE G.711 mu-law blob (format tag 7, 8 bits/sample, 18-byte
-    fmt chunk with cbSize=0 per the non-PCM convention)."""
+def _encode_wav_g711(samples: np.ndarray, sample_rate: int, tag: int, enc) -> bytes:
     if samples.dtype != np.int16:
-        raise ValueError("encode_wav_mulaw expects int16 samples")
+        raise ValueError("G.711 encoders expect int16 samples")
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
-    data = mulaw_encode(samples.ravel()).tobytes()
+    data = enc(samples.ravel()).tobytes()
     block = ch  # one byte per sample per channel
-    fmt = struct.pack(
-        "<HHIIHHH", _MULAW, ch, sample_rate, sample_rate * block, block, 8, 0
-    )
+    fmt = struct.pack("<HHIIHHH", tag, ch, sample_rate, sample_rate * block, block, 8, 0)
     out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     out += b"data" + struct.pack("<I", len(data)) + data
     return out
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8_000) -> bytes:
+    """Encode int16 samples — shape (n,) mono or (n, channels) — as a
+    RIFF/WAVE G.711 mu-law blob (format tag 7, 8 bits/sample, 18-byte
+    fmt chunk with cbSize=0 per the non-PCM convention)."""
+    return _encode_wav_g711(samples, sample_rate, _MULAW, mulaw_encode)
+
+
+def encode_wav_alaw(samples: np.ndarray, sample_rate: int = 8_000) -> bytes:
+    """Encode int16 samples as a RIFF/WAVE G.711 A-law blob (format tag
+    6) — the European telephony half of G.711, same 2:1 stateless
+    contract as mu-law."""
+    return _encode_wav_g711(samples, sample_rate, _ALAW, alaw_encode)
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
@@ -164,12 +200,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             arr = np.frombuffer(raw, dtype="<f8").astype(np.float64)
         else:
             raise ValueError(f"{bits}-bit float PCM unsupported")
-    elif tag == _MULAW:
+    elif tag in (_MULAW, _ALAW):
         if bits != 8:
-            raise ValueError(f"{bits}-bit mu-law unsupported (spec is 8)")
+            raise ValueError(f"{bits}-bit G.711 unsupported (spec is 8)")
         # expansion lands on the 16-bit grid; scale like 16-bit PCM so
         # downstream rint(x*32768) recovers the exact integers
-        arr = mulaw_decode(np.frombuffer(raw, dtype=np.uint8)).astype(np.float64)
+        dec = mulaw_decode if tag == _MULAW else alaw_decode
+        arr = dec(np.frombuffer(raw, dtype=np.uint8)).astype(np.float64)
         arr /= 32768.0
     else:
         raise ValueError(f"compressed WAV format tag {tag} needs an external codec")

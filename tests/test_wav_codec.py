@@ -165,3 +165,35 @@ def test_mulaw_wav_roundtrip_through_decode_wav():
     rec = np.rint(arr * 32768.0).astype(np.int64)
     want = mulaw_decode(mulaw_encode(v.ravel())).reshape(500, 2).astype(np.int64)
     assert (rec == want).all()
+
+
+def test_alaw_codec_conformance():
+    """G.711 A-law (r12): E(D(c)) == c for ALL 256 codes (A-law has no
+    negative-zero ambiguity), expansion range is the spec's ±32256,
+    idempotent on the grid, and decode_wav handles tag 6 on the exact
+    16-bit grid."""
+    import numpy as np
+
+    from duckpipe_spark.functions.wav import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav,
+        encode_wav_alaw,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    dec = alaw_decode(codes)
+    assert (alaw_encode(dec) == codes).all()
+    assert dec.min() == -32256 and dec.max() == 32256
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(-32768, 32768, 50_000).astype(np.int16)
+    v2 = alaw_decode(alaw_encode(v))
+    assert (alaw_decode(alaw_encode(v2)) == v2).all()
+    assert np.abs(v2.astype(np.int64) - v.astype(np.int64)).max() <= 512
+
+    blob = encode_wav_alaw(v[:300], 8_000)
+    arr, rate = decode_wav(blob)
+    assert rate == 8_000
+    rec = np.rint(arr * 32768.0).astype(np.int64).ravel()
+    assert (rec == v2[:300].astype(np.int64)).all()
