@@ -377,3 +377,51 @@ def test_fingerprint_kernels_skip_null_blobs(spark):
         pd.DataFrame({"blob_id": [1, 2], "blob": [bytearray(mp4), None]}), schema
     )
     assert video_fingerprint(vid_df).count() == 1
+
+
+def test_fingerprint_invariant_across_pcm_and_g711(spark):
+    """Cross-codec invariance (r12): the SAME audio content stored as
+    16-bit PCM, G.711 mu-law, or G.711 A-law must produce IDENTICAL
+    fingerprints — the point of perceptual fingerprinting over byte-level
+    dedup. Sample values are pre-projected onto each codec's expansion
+    grid, so every container decodes to exactly the same integers."""
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import audio_fingerprint
+    from duckpipe_spark.functions.wav import (
+        alaw_decode,
+        alaw_encode,
+        encode_wav_alaw,
+        encode_wav_mulaw,
+        encode_wav_pcm16,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    rng = np.random.default_rng(17)
+    raw = rng.integers(-30000, 30000, 65 * 16).astype(np.int16)
+    # grid-project per codec: decode(encode(v)) is idempotent, so the
+    # PCM16 container of the projected values decodes bit-identically to
+    # the compressed container of the same content
+    vm = mulaw_decode(mulaw_encode(raw))
+    va = alaw_decode(alaw_encode(raw))
+    rows = pd.DataFrame(
+        {
+            "blob_id": [1, 2, 3, 4],
+            "blob": [
+                bytearray(encode_wav_pcm16(vm, 8_000)),
+                bytearray(encode_wav_mulaw(vm, 8_000)),
+                bytearray(encode_wav_pcm16(va, 8_000)),
+                bytearray(encode_wav_alaw(va, 8_000)),
+            ],
+        }
+    )
+    got = {
+        r.blob_id: (r.h0, r.h1)
+        for r in audio_fingerprint(
+            spark.createDataFrame(rows, "blob_id bigint, blob binary")
+        ).collect()
+    }
+    assert got[1] == got[2]  # PCM == mu-law container, same content
+    assert got[3] == got[4]  # PCM == A-law container, same content
