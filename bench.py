@@ -238,6 +238,16 @@ def _sweep_leftover_jvms() -> None:
                     os.kill(int(pid), signal.SIGTERM)
                     killed += 1
                 else:
+                    if cwd == repo and kill_live and age_s is None:
+                        # the live-kill opt-in needs process age to avoid
+                        # killing a just-launched sibling; without
+                        # /proc/uptime it degrades to counting the JVM as
+                        # live — say so instead of silently no-opping
+                        print(
+                            f"# live-kill opt-in skipped for pid {pid}: "
+                            "process age unknown (/proc/uptime unreadable)",
+                            file=sys.stderr,
+                        )
                     live.append((pid, cwd))
             except (OSError, ValueError, IndexError):
                 continue  # raced exit / no permission / no procfs

@@ -269,6 +269,11 @@ def phash_neardup_pairs(
     integers (same xor+popcount kernel as the Hamming-ANN family), so
     results are bit-portable across engines.
 
+    When ``partition_col`` is set it joins as an equi-key, so rows whose
+    partition value is NULL can never pair with anything (SQL NULL never
+    equals NULL) — callers with possibly-NULL partition values must
+    filter or fill them first (`media_neardup_drops` filters).
+
     ``partition_col`` (r12, the media-curation stage's contract): when the
     code table mixes MODALITIES (image dHash, audio/video fingerprints in
     the same 64-bit layout), a band match across modalities is numerology,
@@ -343,11 +348,17 @@ def media_neardup_drops(
     Scale shape: banding cost is the per-modality pair join (hot-band
     guarded), the closure shuffles only the pair graph (tiny versus the
     corpus), and the result is a drop-id list sized by the duplicate
-    mass — the anti-join shape the pipeline consumes."""
+    mass — the anti-join shape the pipeline consumes.
+
+    Rows with a NULL ``modality_col`` are dropped up front: a NULL
+    partition key never equi-joins, so such codes could never pair (or be
+    dropped) anyway — the explicit filter makes that contract visible
+    instead of leaving NULL-modality rows to vanish inside the band
+    join."""
     from duckpipe_spark.functions.dedup import connected_components
 
     pairs = phash_neardup_pairs(
-        codes,
+        codes.where(F.col(modality_col).isNotNull()),
         max_distance=max_distance,
         max_band_df=max_band_df,
         id_col=id_col,
@@ -381,7 +392,8 @@ def audio_fingerprint(
 
     Determinism contract: samples requantize deterministically to the
     16-bit grid via rint(x·32768) — exact recovery for 8/16-bit PCM and
-    G.711 mu-law (whose expansion lands ON the 16-bit grid; power-of-two
+    both G.711 halves, mu-law AND A-law (their expansions land ON the
+    16-bit grid — mu-law max ±32124, A-law max ±32256; power-of-two
     scaling is lossless in float64), a deterministic but lossy
     requantization for 24/32-bit and IEEE-float WAV — channels are
     integer-summed, frame energies are int64 sums

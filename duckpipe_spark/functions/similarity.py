@@ -83,8 +83,6 @@ def planes_for_recall(
     mid-similarity top-k retrieval the IVF/SQ8 rungs are the right
     ladder. This helper makes that boundary computable instead of
     folklore."""
-    import math
-
     if not 0.0 < target_recall < 1.0:
         raise ValueError("target_recall must be in (0, 1)")
     p = 1.0 - math.acos(max(-1.0, min(1.0, neighbor_cos))) / math.pi
