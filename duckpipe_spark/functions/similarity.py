@@ -733,7 +733,7 @@ def ivfpq_topk(
     n_probe: int = 2,
     m: int = PQ_M,
     pq_cells: int = PQ_CELLS,
-    rerank: int = 50,
+    rerank: int | None = None,
     scale: int = PQ_SCALE,
     dim: int = _DIM,
     id_col: str = "vec_id",
@@ -746,6 +746,21 @@ def ivfpq_topk(
     byte-sized scan representation, ADC scores ONLY the probed cells'
     codes through a per-(query, probed-cell) lookup table, and the exact
     cosine reranks just the ADC top-``rerank`` shortlist.
+
+    ``rerank=None`` (the default) derives the width that COVERS the probed
+    candidate budget: ``max(8·k, ceil(1.5·N·n_probe/n_cells))`` with N the
+    corpus count, in pure integer math (``ceil(a/b)`` as
+    ``(a + b - 1) // b``) so an oracle can replay it exactly. Covering the
+    probed cells makes the shortlist the WHOLE candidate set, so the exact
+    rerank sees everything trained-IVF sees — recall equals the
+    trained-cell ceiling by construction (VERDICT r12 item 3: the old
+    fixed 50 delivered 0.23 vs the 0.44 ceiling; BASELINE §24.2 measured
+    covering rerank at the SAME wall, because Lloyd training dominates).
+    The 1.5 margin absorbs balanced-partition occupancy skew (measured
+    max/mean ≈ 1.17). At 100 TB the derived default deliberately degrades
+    IVFADC to trained-IVF-with-ADC-preorder — never WORSE recall than the
+    coarse quantizer allows; pass an explicit ``rerank`` to buy back the
+    PQ scan economy once a recall target is known.
 
     Determinism contract (the same all-integer discipline as
     ``kmeans_cells``/``pq_codes``): vectors quantize to round(x·scale)
@@ -768,6 +783,14 @@ def ivfpq_topk(
     back to the corpus."""
     spark = embeddings.sparkSession
     sub_dim = dim // m
+    if rerank is None:
+        # covering width: 1.5× the expected probed population (integer
+        # ceil), floored at 8·k; count() is parquet-metadata cheap next
+        # to the Lloyd chain below
+        n_vec = embeddings.count()
+        rerank = max(
+            8 * k, (3 * n_vec * n_probe + 2 * n_cells - 1) // (2 * n_cells)
+        )
     _, cents = kmeans_cells(
         embeddings, k=n_cells, iters=iters, scale=scale,
         id_col=id_col, vec_col=vec_col, return_centroids=True,

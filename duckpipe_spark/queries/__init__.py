@@ -92,6 +92,13 @@ CHANGED_THIS_ROUND: list[str] = [
     # the trained-cell ceiling; windowed r12 at the old default, so the
     # new default leads the r14 window
     "embedding_ivfpq_topk",
+    # NEW in r13 (VERDICT r12 item 2): the media near-dup stage's
+    # PRODUCTION shape — fingerprint codes served from a persisted
+    # parquet artifact instead of the inline 3-modality decode; same
+    # oracle as doc_curation_medianear pins persist→reload as
+    # value-preserving; hash-green at sf0.001/0.01/0.1 locally,
+    # registered after the r13 window froze so it leads r14
+    "doc_curation_medianear_artifact",
 ]
 
 base.DRIVER_ORDER[:] = [

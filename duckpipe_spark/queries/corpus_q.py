@@ -876,6 +876,72 @@ def doc_curation_medianear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_codes_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the PRECOMPUTED media fingerprint-code parquet
+    → `.artifacts/media_codes_{sf}_{mtime}` with columns (blob_id,
+    modality, h0, h1): the production artifact a 100 TB curation run
+    would persist from its fingerprint pass instead of re-decoding three
+    modalities inside every downstream pipeline. Keyed by corpus mtime (a
+    regenerated corpus rebuilds the codes rather than serving stale ones)
+    — the same contract as text_q's ``_bm25_index_artifact`` and bpe_q's
+    ``_tokenizer_artifact``. Completeness check is Spark's own _SUCCESS
+    marker, written last by the parquet committer."""
+    import os
+
+    from duckpipe_spark.queries.multimodal_q import media_fixture_codes
+
+    corpus = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mt = os.stat(corpus).st_mtime_ns
+    except OSError:
+        mt = -1
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+    )
+    tag = f"{os.path.basename(os.path.abspath(sf_dir))}_{mt}"
+    path = os.path.join(root, f"media_codes_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        media_fixture_codes(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return path
+
+
+@register(
+    "doc_curation_medianear_artifact",
+    _medianear_pipeline_oracle(),
+    "curation pipeline with media near-dup served from a PRECOMPUTED code artifact (production shape)",
+)
+def doc_curation_medianear_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r12 item 2 — the media stage's PRODUCTION shape as its own
+    first-class row: fingerprint codes are built ONCE and persisted to
+    parquet (`_media_codes_artifact`), and the curation chain consumes the
+    LOADED artifact — the incremental cost over ``doc_curation_pipeline``
+    is one survivor semi-join plus the band/verify/closure pass on the
+    code table, NOT the 3-modality decode (which `doc_curation_medianear`
+    retains as the fixture-integrity pin). Reusing the decode-inline
+    oracle pins the persist→reload round trip as value-preserving on the
+    full corpus, the same artifact-serve contract as
+    ``doc_bm25_artifact_topk`` / ``doc_bpe_artifact_encode``. At 100 TB
+    this is the shape that matters: the decode pass is embarrassingly
+    parallel and runs once per blob EVER, while every curation rerun pays
+    only the code-table join."""
+    from duckpipe_spark.functions.corpus import curation_pipeline
+
+    path = _media_codes_artifact(spark, sf_dir)
+    return curation_pipeline(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=_PIPE_MIN_TOKENS,
+        min_points=_PIPE_MIN_POINTS,
+        span_window=_PIPE_SPAN_W,
+        decontam_k=_PIPE_DECON_K,
+        bench_bucket_min=_PIPE_BENCH_MIN,
+        max_contamination=_PIPE_MAX_CONTAM,
+        mix_weights=_PIPE_WEIGHTS,
+        n_shards=_PIPE_SHARDS,
+        media_codes=spark.read.parquet(path),
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-source curation rollup
 # ---------------------------------------------------------------------------

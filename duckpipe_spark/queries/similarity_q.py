@@ -602,12 +602,15 @@ def embedding_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-PQ (IVFADC): trained-cell probe + residual-PQ ADC + exact rerank ---
 
 _IVFPQ_M, _IVFPQ_CELLS, _IVFPQ_SUB = 8, 16, 8
-_IVFPQ_RERANK = 50
+# r13 (VERDICT r12 item 3): rerank defaults to the DERIVED covering width
+# — max(8·topk, ceil(1.5·N·n_probe/n_cells)) in integer math — instead of
+# the fixed 50 that delivered half the trained-cell recall ceiling.
+_IVFPQ_RERANK: int | None = None
 
 
 def _ivfpq_oracle(
     k: int, iters: int, scale: int, n_probe: int,
-    m: int, pq_cells: int, rerank: int,
+    m: int, pq_cells: int, rerank: int | None,
 ) -> str:
     """SQL twin of ``ivfpq_topk`` (Jégou'11 IVFADC): the shared unrolled
     k-means chain exposes the trained centroid table and assignment;
@@ -615,11 +618,24 @@ def _ivfpq_oracle(
     per-(query, probed cell) ADC LUT, the ADC shortlist and the exact
     rerank are all re-derived from first principles. The multiply-read
     CTEs (trained cells, assignment, residuals, codebook) are MATERIALIZED
-    so DuckDB does not re-run the Lloyd chain once per reference."""
+    so DuckDB does not re-run the Lloyd chain once per reference.
+
+    ``rerank=None`` replays ``ivfpq_topk``'s derived covering default —
+    ``GREATEST(8·topk, (3·N·n_probe + 2·n_cells − 1) // (2·n_cells))`` —
+    as a scalar subquery over the corpus count, the same integer-ceil
+    arithmetic, so the literal-free default stays hash-identical across
+    engines at every scale."""
     chain = _km_farthest_init_chain(k, scale) + _km_lloyd_tail(
         f"cu{k - 1}", iters, final_select=False
     )
     ids = ", ".join(map(str, _QUERY_IDS))
+    if rerank is None:
+        rerank_sql = (
+            f"(SELECT GREATEST({8 * _K}, "
+            f"(3 * count(*) * {n_probe} + {2 * k - 1}) // {2 * k}) FROM qv)"
+        )
+    else:
+        rerank_sql = str(rerank)
     sd = _IVFPQ_SUB
     sqd = (
         "CAST(list_sum(list_transform(range(1, len({a}) + 1), "
@@ -679,7 +695,7 @@ short AS (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
     FROM adc
-  ) WHERE rn <= {rerank}
+  ) WHERE rn <= {rerank_sql}
 ),
 ranked AS (
   SELECT s.query_id, s.neighbor_id,

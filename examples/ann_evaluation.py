@@ -42,7 +42,8 @@ Methodology now:
   ivf        seed-centroid cells, 16c/4p
   ivf_train  k-means-TRAINED cells, 16c/4p (equal budget)
   ivfpq      IVFADC: trained-cell probe + residual-PQ ADC + exact rerank,
-             16c/4p (rerank 50 and 400 — the shortlist-cost curve)
+             16c/4p (derived covering default, plus rerank 50 and 400 —
+             the shortlist-cost curve)
   sq8        global-scale int8 candidate scan + exact rerank
   pq_adc     product-quantization asymmetric distance (16 B/vec codes)
   hamming    binary sign codes, xor+popcount (16 B/vec, exact integer)
@@ -117,8 +118,15 @@ def main() -> None:
         "ivf_train": lambda: ivf_trained_topk(
             emb, QUERY_IDS, K, n_cells=N_CELLS, n_probe=N_PROBE
         ),
+        # default = derived covering rerank (r13): must read the
+        # trained-cell ceiling, i.e. equal ivf_train's recall
         "ivfpq": lambda: ivfpq_topk(
             emb, QUERY_IDS, K, n_cells=N_CELLS, n_probe=N_PROBE
+        ),
+        # the shortlist-cost curve: the old fixed-50 default and the 400
+        # width the r12 ceiling diagnosis used
+        "ivfpq_rerank50": lambda: ivfpq_topk(
+            emb, QUERY_IDS, K, n_cells=N_CELLS, n_probe=N_PROBE, rerank=50
         ),
         "ivfpq_rerank400": lambda: ivfpq_topk(
             emb, QUERY_IDS, K, n_cells=N_CELLS, n_probe=N_PROBE, rerank=400

@@ -494,6 +494,15 @@ def test_ivfpq_equals_ivf_trained_when_rerank_covers_cell(spark, planted_vectors
         dim=32, rerank=30,
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+    # r13: the DERIVED default (rerank=None → max(8k, ceil(1.5·N·p/c)))
+    # covers the probed population by construction, so the default call
+    # must ALSO reproduce trained-IVF exactly — the covering guarantee is
+    # the shipped behavior now, not an opt-in width
+    default = ivfpq_topk(
+        planted_vectors, query_ids=qs, k=5, n_cells=5, iters=3, n_probe=1,
+        dim=32,
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, ref))
     narrow = ivfpq_topk(
         planted_vectors, query_ids=qs, k=5, n_cells=5, iters=3, n_probe=1,
         dim=32, rerank=8,
