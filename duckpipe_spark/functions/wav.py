@@ -5,8 +5,9 @@ Third vendored media codec after `functions/png.py` and
 honest stub into a REAL decode for the format a curation pipeline meets
 first — RIFF/WAVE containers holding integer PCM (8/16/24/32-bit) or
 IEEE-float samples, mono or multi-channel — plus both G.711 halves
-(mu-law tag 7, A-law tag 6) since r12. Predictive compressed codecs
-(MP3, AAC, ADPCM...) remain the documented external-codec plug point.
+(mu-law tag 7, A-law tag 6) since r12 and IMA/DVI ADPCM (tag 0x11)
+since r13, the first PREDICTIVE codec vendored here. Transform-domain
+codecs (MP3, AAC) remain the documented external-codec plug point.
 
 From-scratch implementation of the public RIFF/WAVE layout (the original
 Microsoft/IBM multimedia spec, mirrored in RFC 2361's format registry):
@@ -16,9 +17,15 @@ layout; ``data`` carries little-endian interleaved frames.
 r12 adds both G.711 halves (mu-law tag 7, A-law tag 6) — the first
 COMPRESSED codecs with a native decode here: stateless per-sample
 integer expansion makes them both vendorable and analytically
-replayable by the DuckDB oracle (predictive codecs — ADPCM, MP3, AAC —
-remain external plug points: their decoder state has no closed form an
-oracle could replay).
+replayable by the DuckDB oracle.
+
+r13 adds IMA ADPCM (tag 0x11, VERDICT r12 item 5) — the first
+PREDICTIVE codec: block-stateful but fully deterministic integer math.
+No closed form exists for its decoder state, but the state RECURSION
+is replayable per block (this encoder deliberately resets the step
+index at each block header, a spec-legal choice that makes blocks
+independent), so the oracle runs it as a recursive CTE. Transform-
+domain codecs (MP3, AAC) remain external plug points.
 """
 
 from __future__ import annotations
@@ -31,7 +38,212 @@ _PCM = 1
 _IEEE_FLOAT = 3
 _ALAW = 6
 _MULAW = 7
+_IMA_ADPCM = 0x11
 _EXTENSIBLE = 0xFFFE
+
+# --- IMA/DVI ADPCM (r13): the first PREDICTIVE compressed codec with a
+# real decode (VERDICT r12 item 5). 4:1 compression, RFC 2361 format
+# tag 0x11; block-stateful but fully deterministic integer math: each
+# block carries an int16 predictor seed + step index, then 4-bit codes
+# adapt both per sample. Public tables from the IMA Digital Audio
+# Compatibility specification (the same constants every open
+# implementation ships).
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+# index adjustment for code & 7 (sign bit never moves the index)
+_IMA_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_reconstruct(pred, idx, code):
+    """One decoder step, vectorized over any shape: (pred, idx, code) →
+    (pred', idx'). The ENCODER calls this too — mirroring the decoder's
+    reconstruction is what keeps both state machines in lockstep."""
+    step = _IMA_STEPS[idx]
+    diff = (
+        (step >> 3)
+        + np.where(code & 4, step, 0)
+        + np.where(code & 2, step >> 1, 0)
+        + np.where(code & 1, step >> 2, 0)
+    )
+    pred = np.clip(
+        np.where(code & 8, pred - diff, pred + diff), -32768, 32767
+    )
+    idx = np.clip(idx + _IMA_ADJ[code & 7], 0, 88)
+    return pred, idx
+
+
+def adpcm_encode_mono(
+    samples: np.ndarray, samples_per_block: int = 505
+) -> bytes:
+    """int16 mono samples → IMA ADPCM block stream (the data-chunk
+    payload): per block a 4-byte header (int16 predictor = the block's
+    first sample VERBATIM, uint8 step index, uint8 reserved 0) then
+    (samples_per_block − 1) 4-bit codes, low nibble first, zero-padded
+    to the full block. THIS encoder resets the step index to 0 at every
+    block header (a spec-legal encoder choice — the header index is the
+    encoder's to pick) so blocks are fully independent: the oracle can
+    replay each block's state recursion in parallel instead of
+    serializing the whole stream. Vectorized ACROSS blocks; the inner
+    loop runs once per in-block position."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("adpcm_encode_mono expects 1-D int16 samples")
+    if samples_per_block < 9 or (samples_per_block - 1) % 8 != 0:
+        # 1 header sample + whole 4-byte nibble words (8 samples each):
+        # the IMA layout is word-granular, so spb ≡ 1 (mod 8)
+        raise ValueError("samples_per_block must be 8k+1 and >= 9")
+    n = len(samples)
+    if n == 0:
+        return b""
+    spb = samples_per_block
+    n_blocks = (n + spb - 1) // spb
+    padded = np.zeros(n_blocks * spb, dtype=np.int64)
+    padded[:n] = samples.astype(np.int64)
+    # padding repeats the last real sample: code 0 keeps pred almost
+    # still, and the fact-chunk trim drops these samples anyway
+    if n < len(padded):
+        padded[n:] = padded[n - 1]
+    return _adpcm_encode_blocks(padded.reshape(n_blocks, spb)).tobytes()
+
+
+def _adpcm_encode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n_blocks, spb) int64 samples → (n_blocks, 4 + (spb−1)//2) uint8
+    encoded blocks. The vectorized core of `adpcm_encode_mono`, exposed
+    at block granularity so fixtures can batch MANY equal-geometry
+    streams through ONE call (blocks are independent by this encoder's
+    index-reset design, so streams just concatenate along axis 0)."""
+    n_blocks, spb = blocks.shape
+    pred = blocks[:, 0].copy()
+    idx = np.zeros(n_blocks, dtype=np.int64)
+    nibbles = np.zeros((n_blocks, spb - 1), dtype=np.uint8)
+    for pos in range(1, spb):
+        s = blocks[:, pos]
+        step = _IMA_STEPS[idx]
+        delta = s - pred
+        sign = np.where(delta < 0, 8, 0)
+        d = np.abs(delta)
+        b4 = d >= step
+        d = d - np.where(b4, step, 0)
+        b2 = d >= (step >> 1)
+        d = d - np.where(b2, step >> 1, 0)
+        b1 = d >= (step >> 2)
+        code = sign | (b4 << 2) | (b2 << 1) | b1.astype(np.int64)
+        nibbles[:, pos - 1] = code
+        pred, idx = _ima_reconstruct(pred, idx, code)
+    # pack: low nibble first, pad the odd tail nibble with 0
+    n_bytes = (spb - 1 + 1) // 2
+    packed = np.zeros((n_blocks, n_bytes), dtype=np.uint8)
+    packed |= nibbles[:, 0::2][:, : n_bytes]
+    if spb > 2:
+        hi = nibbles[:, 1::2]
+        packed[:, : hi.shape[1]] |= hi << 4
+    header = np.zeros((n_blocks, 4), dtype=np.uint8)
+    p16 = blocks[:, 0].astype("<i2").view(np.uint8).reshape(n_blocks, 2)
+    header[:, :2] = p16
+    # header[:, 2] stays 0 = the reset step index; header[:, 3] reserved
+    return np.concatenate([header, packed], axis=1)
+
+
+def adpcm_decode(
+    data: bytes, channels: int, block_align: int, samples_per_block: int,
+    total_samples: int | None = None,
+) -> np.ndarray:
+    """IMA ADPCM data-chunk payload → int16 samples of shape (n_frames,
+    channels): per block and channel a 4-byte header seeds (predictor,
+    step index) — TRUSTED from the wire, any encoder's choice decodes —
+    then 4-byte nibble groups interleave per channel (8 samples each,
+    low nibble first). Vectorized across blocks and channels; the inner
+    loop runs once per in-block sample position. ``total_samples``
+    (the fact chunk) trims the final block's padding."""
+    if block_align < 4 * channels:
+        raise ValueError("ADPCM block_align smaller than its headers")
+    blob = np.frombuffer(data, dtype=np.uint8)
+    n_blocks = len(blob) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, channels), dtype=np.int16)
+    blocks = blob[: n_blocks * block_align].reshape(n_blocks, block_align)
+    spb = samples_per_block
+    hdr = blocks[:, : 4 * channels].reshape(n_blocks, channels, 4)
+    pred = (
+        hdr[:, :, :2].reshape(n_blocks, channels * 2)
+        .view("<i2").astype(np.int64)
+    )
+    idx = np.clip(hdr[:, :, 2].astype(np.int64), 0, 88)
+    body = blocks[:, 4 * channels :]
+    # nibble i of channel c lives in 4-byte group (i // 8) of that
+    # channel; groups interleave across channels
+    n_groups = body.shape[1] // (4 * channels)
+    groups = body[:, : n_groups * 4 * channels].reshape(
+        n_blocks, n_groups, channels, 4
+    )
+    lo = groups & 0x0F
+    hi = groups >> 4
+    nib = np.stack([lo, hi], axis=-1).reshape(n_blocks, n_groups, channels, 8)
+    # → (n_blocks, channels, n_groups*8) in sample order
+    nib = nib.transpose(0, 2, 1, 3).reshape(n_blocks, channels, n_groups * 8)
+    max_pos = min(spb - 1, nib.shape[2])
+    out = np.zeros((n_blocks, channels, max_pos + 1), dtype=np.int64)
+    out[:, :, 0] = pred
+    for pos in range(max_pos):
+        pred, idx = _ima_reconstruct(pred, idx, nib[:, :, pos].astype(np.int64))
+        out[:, :, pos + 1] = pred
+    # (n_blocks, ch, spb) → frame-major (n_blocks*spb, ch)
+    frames = out.transpose(0, 2, 1).reshape(-1, channels)
+    if total_samples is not None:
+        frames = frames[:total_samples]
+    return frames.astype(np.int16)
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray,
+    sample_rate: int = 8_000,
+    samples_per_block: int = 505,
+) -> bytes:
+    """Encode int16 MONO samples as a RIFF/WAVE IMA ADPCM blob (format
+    tag 0x11, 4 bits/sample, fact chunk carrying the true frame count so
+    the final block's padding trims on decode). Multi-channel encode is
+    out of scope (decode handles any channel count); block_align =
+    4 + (samples_per_block − 1) / 2."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_adpcm expects 1-D int16 mono samples")
+    return wav_adpcm_container(
+        adpcm_encode_mono(samples, samples_per_block),
+        len(samples), sample_rate, samples_per_block,
+    )
+
+
+def wav_adpcm_container(
+    data: bytes, n_samples: int, sample_rate: int, samples_per_block: int
+) -> bytes:
+    """Wrap an already-encoded mono IMA ADPCM block stream in the
+    RIFF/WAVE container (fmt tag 0x11 + fact + data) — split out of
+    `encode_wav_adpcm` so batched fixtures can encode many streams in
+    one `_adpcm_encode_blocks` call and container-wrap each slice."""
+    spb = samples_per_block
+    block = 4 + (spb - 1) // 2
+    byte_rate = (sample_rate * block + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", _IMA_ADPCM, 1, sample_rate, byte_rate, block, 4, 2, spb
+    )
+    fact = struct.pack("<I", n_samples)
+    out = b"RIFF" + struct.pack(
+        "<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data)
+    ) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<I", len(fact)) + fact
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
 
 # --- G.711 mu-law (r12): the first COMPRESSED audio codec with a real
 # decode (not an ffmpeg plug point). Chosen because it is STATELESS
@@ -152,6 +364,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     raw = None
+    spb = None
+    fact = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -167,7 +381,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 # WAVE_FORMAT_EXTENSIBLE: the real tag is the first two
                 # bytes of the SubFormat GUID
                 (tag,) = struct.unpack_from("<H", body, 24)
+            if tag == _IMA_ADPCM and size >= 20:
+                # cbSize (offset 16) then wSamplesPerBlock
+                (spb,) = struct.unpack_from("<H", body, 18)
             fmt = (tag, ch, rate, block, bits)
+        elif cid == b"fact" and size >= 4:
+            (fact,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             raw = body
             if fmt is not None:
@@ -208,6 +427,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         dec = mulaw_decode if tag == _MULAW else alaw_decode
         arr = dec(np.frombuffer(raw, dtype=np.uint8)).astype(np.float64)
         arr /= 32768.0
+    elif tag == _IMA_ADPCM:
+        if bits != 4:
+            raise ValueError(f"{bits}-bit IMA ADPCM unsupported (spec is 4)")
+        if spb is None:
+            # derive the spec default from the block geometry
+            spb = (block - 4 * ch) * 2 // ch + 1
+        frames = adpcm_decode(raw, ch, block, spb, total_samples=fact)
+        # reconstruction lands on the 16-bit grid; scale like 16-bit PCM
+        # so downstream rint(x*32768) recovers the exact integers
+        return frames.astype(np.float64) / 32768.0, rate
     else:
         raise ValueError(f"compressed WAV format tag {tag} needs an external codec")
     n = len(arr) - len(arr) % ch

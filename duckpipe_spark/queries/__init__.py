@@ -99,6 +99,13 @@ CHANGED_THIS_ROUND: list[str] = [
     # value-preserving; hash-green at sf0.001/0.01/0.1 locally,
     # registered after the r13 window froze so it leads r14
     "doc_curation_medianear_artifact",
+    # NEW in r13 (VERDICT r12 item 5): first PREDICTIVE-codec oracle row
+    # — IMA ADPCM (tag 0x11) near-dup with CROSS-CODEC twins (ADPCM blob
+    # vs PCM16 of the same reconstruction); the oracle replays the
+    # encoder/decoder state machine as a per-(pair, block) recursive CTE
+    # (blocks independent by the encoder's index-reset design);
+    # hash-green at sf0.001/0.01/0.1 locally, leads r14
+    "audio_adpcm_fingerprint_neardup",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -425,3 +425,63 @@ def test_fingerprint_invariant_across_pcm_and_g711(spark):
     }
     assert got[1] == got[2]  # PCM == mu-law container, same content
     assert got[3] == got[4]  # PCM == A-law container, same content
+
+
+def test_fingerprint_invariant_across_adpcm_reencode(spark):
+    """Cross-codec invariance for the PREDICTIVE codec (r13): ADPCM is
+    lossy WITH state, so (unlike G.711) no input projection makes the
+    PCM container of the ORIGINAL samples match — the invariance that
+    does hold, and the one production re-encoding produces, is between
+    the ADPCM blob and a PCM16 blob of its RECONSTRUCTION (both decode
+    to the identical 16-bit-grid integers). For SMOOTH audio — the
+    signal class adaptive prediction is built for — a PCM16 blob of the
+    original samples must also stay CLOSE in Hamming (perceptual
+    robustness through a lossy re-encode); white noise is the honest
+    counter-case (the predictor cannot track it) and only carries the
+    exact reconstruction invariance, which is asserted on noise too."""
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import audio_fingerprint
+    from duckpipe_spark.functions.wav import (
+        adpcm_decode,
+        adpcm_encode_mono,
+        encode_wav_adpcm,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(29)
+    noise = rng.integers(-30000, 30000, 65 * 16).astype(np.int16)
+    t = np.arange(65 * 16, dtype=np.float64)
+    smooth = np.rint(
+        12000.0 * np.sin(t * 0.041) + 6000.0 * np.sin(t * 0.013 + 1.0)
+    ).astype(np.int16)
+    spb, block = 505, 256
+
+    def reencode(raw):
+        return adpcm_decode(
+            adpcm_encode_mono(raw, spb), 1, block, spb, total_samples=len(raw)
+        ).ravel()
+
+    rows = pd.DataFrame(
+        {
+            "blob_id": [1, 2, 3, 4, 5],
+            "blob": [
+                bytearray(encode_wav_adpcm(smooth, 8_000, spb)),
+                bytearray(encode_wav_pcm16(reencode(smooth), 8_000)),
+                bytearray(encode_wav_pcm16(smooth, 8_000)),
+                bytearray(encode_wav_adpcm(noise, 8_000, spb)),
+                bytearray(encode_wav_pcm16(reencode(noise), 8_000)),
+            ],
+        }
+    )
+    got = {
+        r.blob_id: (r.h0, r.h1)
+        for r in audio_fingerprint(
+            spark.createDataFrame(rows, "blob_id bigint, blob binary")
+        ).collect()
+    }
+    assert got[1] == got[2]  # ADPCM blob == PCM16 of its reconstruction
+    assert got[4] == got[5]  # ... and on noise too (exact invariance)
+    ham = bin((got[1][0] ^ got[3][0]) | (got[1][1] ^ got[3][1]) << 32).count("1")
+    assert ham <= 3  # smooth audio: lossy re-encode stays a near-dup

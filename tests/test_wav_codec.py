@@ -197,3 +197,118 @@ def test_alaw_codec_conformance():
     assert rate == 8_000
     rec = np.rint(arr * 32768.0).astype(np.int64).ravel()
     assert (rec == v2[:300].astype(np.int64)).all()
+
+
+def test_adpcm_codec_conformance_vs_scalar_reference():
+    """IMA ADPCM (r13): the vectorized block codec must agree sample-for-
+    sample with an independent SCALAR transcription of the IMA spec's
+    state machine (predictor + step index, clamps at ±32767/0..88),
+    across waveform classes that stress every branch — the fixture-family
+    quadratic-residue wave, a full-scale square wave (predictor clamps),
+    a near-silent ramp (index pinned at 0), and a full-range
+    pseudo-random stream — and across block geometries incl. a partial
+    final block trimmed by the fact count."""
+    import numpy as np
+
+    from duckpipe_spark.functions.wav import (
+        _IMA_ADJ,
+        _IMA_STEPS,
+        adpcm_decode,
+        adpcm_encode_mono,
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    def ref_codec(samples, spb):
+        n = len(samples)
+        out = []
+        nblocks = (n + spb - 1) // spb
+        padded = list(samples) + [samples[-1]] * (nblocks * spb - n)
+        for b in range(nblocks):
+            blk = padded[b * spb : (b + 1) * spb]
+            pred, idx = int(blk[0]), 0
+            out.append(pred)
+            for s in blk[1:]:
+                step = int(_IMA_STEPS[idx])
+                delta = int(s) - pred
+                code = 8 if delta < 0 else 0
+                d = abs(delta)
+                if d >= step:
+                    code |= 4
+                    d -= step
+                if d >= step >> 1:
+                    code |= 2
+                    d -= step >> 1
+                if d >= step >> 2:
+                    code |= 1
+                diff = step >> 3
+                if code & 4:
+                    diff += step
+                if code & 2:
+                    diff += step >> 1
+                if code & 1:
+                    diff += step >> 2
+                pred = pred - diff if code & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(_IMA_ADJ[code & 7])))
+                out.append(pred)
+        return np.array(out[:n], dtype=np.int16)
+
+    i = np.arange(1040, dtype=np.int64)
+    seed = (7 * 1000003 + i + 1) % 1000000007
+    qr = (
+        (seed * seed % 1000000007 * 2654435761 % 1000000007) % 60000 - 30000
+    ).astype(np.int16)
+    square = np.array(
+        [0, 32767, -32768, 32767, -32768, 0, 100, -100] * 130, np.int16
+    )
+    ramp = (np.arange(1040) % 7 - 3).astype(np.int16)
+    rng = (np.arange(2000, dtype=np.int64) * 2654435761 % (1 << 16)) - 32768
+
+    for s in (qr, square, ramp, rng.astype(np.int16)):
+        for spb in (505, 9, 1025):
+            block = 4 + (spb - 1) // 2
+            data = adpcm_encode_mono(s, spb)
+            got = adpcm_decode(data, 1, block, spb, total_samples=len(s)).ravel()
+            ref = ref_codec(s, spb)
+            assert np.array_equal(got, ref), (spb, int(np.argmax(got != ref)))
+            frames, rate = decode_wav(encode_wav_adpcm(s, 8_000, spb))
+            assert rate == 8_000 and frames.shape == (len(s), 1)
+            ints = np.rint(frames.ravel() * 32768).astype(np.int64)
+            assert np.array_equal(ints, ref.astype(np.int64))
+
+
+def test_adpcm_stereo_decode_and_validation():
+    """IMA ADPCM decode handles the spec's per-channel 4-byte-word
+    interleave (headers per channel, then alternating nibble groups);
+    the mono encoder rejects non-word-granular block sizes (spb must be
+    8k+1 — the layout is 4-byte-word granular)."""
+    import numpy as np
+    import pytest
+
+    from duckpipe_spark.functions.wav import (
+        _IMA_ADJ,
+        _IMA_STEPS,
+        adpcm_decode,
+        adpcm_encode_mono,
+    )
+
+    spb = 9
+    a = (np.arange(25) * 311 % 2000 - 1000).astype(np.int16)
+    b = (np.arange(25) * 157 % 1500 - 700).astype(np.int16)
+    da = np.frombuffer(adpcm_encode_mono(a, spb), np.uint8).reshape(-1, 8)
+    db = np.frombuffer(adpcm_encode_mono(b, spb), np.uint8).reshape(-1, 8)
+    stereo = b"".join(
+        bytes(ba[:4]) + bytes(bb[:4]) + bytes(ba[4:]) + bytes(bb[4:])
+        for ba, bb in zip(da, db)
+    )
+    fr = adpcm_decode(stereo, 2, 16, spb, total_samples=25)
+    mono_a = adpcm_decode(adpcm_encode_mono(a, spb), 1, 8, spb, total_samples=25)
+    mono_b = adpcm_decode(adpcm_encode_mono(b, spb), 1, 8, spb, total_samples=25)
+    assert np.array_equal(fr[:, 0], mono_a.ravel())
+    assert np.array_equal(fr[:, 1], mono_b.ravel())
+
+    with pytest.raises(ValueError, match="8k"):
+        adpcm_encode_mono(a, 11)
+    with pytest.raises(ValueError, match="8k"):
+        adpcm_encode_mono(a, 8)
