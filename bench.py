@@ -291,25 +291,48 @@ def main(reps: int = 1) -> None:
         df = REGISTRY[name].fn(spark, sf_dir)
         return df.count() if name in ("custkey_status_skeleton",) else len(df.collect())
 
-    # warm pass (codegen compile + shuffle-file setup), then `reps` timed
-    # passes INTERLEAVED across the query list — per-query median. reps=1
-    # is the classic warm-once/time-second protocol the DuckDB twin uses;
-    # --interleave N is the cross-round comparison protocol (BASELINE §5:
-    # box jitter swings sub-second queries ±40%, medians of interleaved
-    # reps are stable).
+    # warm pass (codegen compile + shuffle-file setup) on BOTH engines,
+    # then `reps` timed passes with the ENGINE ORDER ALTERNATING per rep
+    # (ABBA: rep 0 Spark→DuckDB, rep 1 DuckDB→Spark, ...) — VERDICT r12
+    # item 4: the r12 driver artifact (1.157) and the defended sidecar
+    # (0.944) disagreed by 22% under the same quiet-box protocol because
+    # all Spark reps ran before all DuckDB reps, so slow inter-phase
+    # drift (page cache, JVM background threads, thermal) loaded one
+    # engine only. Alternating order puts both engines on both sides of
+    # any drift inside ONE artifact, and the per-rep totals below make a
+    # 20% swing visible instead of silently folding into the medians.
     samples: dict[str, list[float]] = {n: [] for n in names}
+    duck_bench = None
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_ORACLE"):
+        duck_bench = _DuckDBBench(sf_dir, names, reps=reps)
     for name in names:
         _run(name)
-    for rep in range(reps):
+    if duck_bench is not None:
+        duck_bench.run_pass()  # warm (buffer/catalog setup)
+
+    def _spark_pass(last: bool) -> None:
         for name in names:
             t0 = time.perf_counter()
             n = _run(name)
             samples[name].append(time.perf_counter() - t0)
-            if rep == reps - 1:
+            if last:
                 print(
                     f"# {name}: {_median(samples[name]):.3f}s ({n} rows)",
                     file=sys.stderr,
                 )
+
+    rep_order = []
+    for rep in range(reps):
+        spark_first = rep % 2 == 0
+        rep_order.append("spark,duckdb" if spark_first else "duckdb,spark")
+        if spark_first:
+            _spark_pass(rep == reps - 1)
+            if duck_bench is not None:
+                duck_bench.run_pass(record=True)
+        else:
+            if duck_bench is not None:
+                duck_bench.run_pass(record=True)
+            _spark_pass(rep == reps - 1)
     timings = {n: round(_median(v), 3) for n, v in samples.items()}
 
     total = round(sum(timings.values()), 3)
@@ -320,12 +343,20 @@ def main(reps: int = 1) -> None:
         "queries": timings,
         "sf": sf,
         "reps": reps,
+        "rep_order": rep_order,
+        # per-rep pass totals: cross-rep drift (the r12 error term) is
+        # readable from the artifact itself
+        "spark_rep_totals": [
+            round(sum(samples[n][r] for n in names if len(samples[n]) > r), 3)
+            for r in range(reps)
+        ],
         **load,
     }
 
-    if not os.environ.get("SPARK_GRAFT_BENCH_NO_ORACLE"):
-        duck, rep_counts, budget_skipped = _duckdb_timings(sf_dir, names, reps=reps)
+    if duck_bench is not None:
+        duck, rep_counts, budget_skipped = duck_bench.results()
         out["duckdb"] = duck
+        out["duckdb_rep_totals"] = duck_bench.rep_totals()
         # ADVICE r9 item 3: achieved rep count per oracle query — a median
         # degraded by budget exhaustion (fewer than `reps` samples) is
         # identifiable from the artifact, and the budget-skipped names are
@@ -366,6 +397,13 @@ def main(reps: int = 1) -> None:
         out["loadavg_after"] = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover
         pass
+    # full per-query per-rep samples go to the sidecar only (VERDICT r12
+    # item 4: a 20% swing must be visible INSIDE one artifact)
+    out["spark_samples"] = {n: [round(x, 3) for x in v] for n, v in samples.items()}
+    if duck_bench is not None:
+        out["duckdb_samples"] = {
+            n: [round(x, 3) for x in v] for n, v in duck_bench.samples.items()
+        }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as f:
@@ -375,7 +413,7 @@ def main(reps: int = 1) -> None:
     compact = {
         k: v
         for k, v in out.items()
-        if k not in ("duckdb", "ratio", "duckdb_rep_counts")
+        if k not in ("duckdb", "ratio", "duckdb_rep_counts", "spark_samples", "duckdb_samples")
     }
     compact["n_queries"] = len(timings)
     if detail_path:
@@ -383,71 +421,98 @@ def main(reps: int = 1) -> None:
     print(json.dumps(compact))
 
 
-def _duckdb_timings(
-    sf_dir: str, names: list[str], reps: int = 1
-) -> dict[str, float | None]:
-    """DuckDB oracle wall-clock for each named query — warm pass, then the
-    SAME interleaved median-of-``reps`` protocol the Spark side uses (both
-    engines get identical treatment, so the per-query ratios compare like
-    with like). Queries without oracle SQL, or whose oracle errors, record
-    null rather than aborting the bench line. Defensive bounds so the whole
-    bench stays inside any driver timeout: each query execution gets a hard
-    interrupt at PER_QUERY_S, and once the pass has spent TOTAL_BUDGET_S
-    the remaining executions record null (a partial oracle side beats a
-    missing BENCH artifact)."""
-    import threading
-
-    import duckdb
-
-    from duckpipe_spark.queries import REGISTRY
-    from duckpipe_spark.sources.tables import TABLE_NAMES
+class _DuckDBBench:
+    """DuckDB oracle wall-clock, one pass at a time, so `main` can
+    alternate Spark/DuckDB passes per rep (ABBA — VERDICT r12 item 4)
+    instead of running one engine's full schedule after the other's.
+    Same per-query treatment as the Spark side (warm once, median of
+    recorded passes). Queries without oracle SQL, or whose oracle
+    errors, record null rather than aborting the bench line. Defensive
+    bounds so the whole bench stays inside any driver timeout: each
+    execution gets a hard interrupt at PER_QUERY_S, and once DuckDB has
+    spent TOTAL_BUDGET_S the remaining executions record null (a
+    partial oracle side beats a missing BENCH artifact). The budget
+    clock counts DUCKDB time only — Spark passes between duckdb passes
+    must not eat the oracle's budget."""
 
     PER_QUERY_S = 45.0  # single-execution interrupt window
-    TOTAL_BUDGET_S = 150.0 * max(1, reps)  # scales with the rep count
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    started = time.perf_counter()
-    budget_skipped: set[str] = set()  # vs errored/interrupted — see below
 
-    def _timed(q: str, name: str) -> float | None:
-        if time.perf_counter() - started > TOTAL_BUDGET_S:
+    def __init__(self, sf_dir: str, names: list[str], reps: int = 1):
+        import duckdb
+
+        from duckpipe_spark.queries import REGISTRY
+        from duckpipe_spark.sources.tables import TABLE_NAMES
+
+        self._registry = REGISTRY
+        self._names = names
+        self._with_oracle = [n for n in names if REGISTRY[n].oracle is not None]
+        self.samples: dict[str, list[float]] = {n: [] for n in self._with_oracle}
+        self.budget_skipped: set[str] = set()
+        self._spent = 0.0
+        self._budget = 150.0 * max(1, reps)
+        self._recorded_passes = 0
+        self._con = duckdb.connect()
+        for t in TABLE_NAMES:
+            self._con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+
+    def _timed(self, q: str, name: str) -> float | None:
+        import threading
+
+        if self._spent > self._budget:
             # ADVICE r9 item 3: a silent None here made a 1-of-3-rep median
             # indistinguishable from the full protocol — say so, per skip,
             # and record the CAUSE (a degraded median from budget pressure
             # reads differently than one from a failing/interrupted oracle)
-            budget_skipped.add(name)
+            self.budget_skipped.add(name)
             print(f"# duckdb skipped (budget spent): {name}", file=sys.stderr)
             return None
-        timer = threading.Timer(PER_QUERY_S, con.interrupt)
+        timer = threading.Timer(self.PER_QUERY_S, self._con.interrupt)
         timer.start()
         try:
             t0 = time.perf_counter()
-            con.execute(q).fetchall()
-            return time.perf_counter() - t0
+            self._con.execute(q).fetchall()
+            dt = time.perf_counter() - t0
+            self._spent += dt
+            return dt
         except Exception as exc:  # pragma: no cover - diagnostic path
+            self._spent += time.perf_counter() - t0
             print(f"# duckdb failed/interrupted: {exc}", file=sys.stderr)
             return None
         finally:
             timer.cancel()
 
-    with_oracle = [n for n in names if REGISTRY[n].oracle is not None]
-    samples: dict[str, list[float]] = {n: [] for n in with_oracle}
-    for name in with_oracle:  # warm pass (buffer/catalog setup)
-        _timed(REGISTRY[name].oracle, name)
-    for _ in range(reps):
-        for name in with_oracle:
-            t = _timed(REGISTRY[name].oracle, name)
-            if t is not None:
-                samples[name].append(t)
-    duck: dict[str, float | None] = {}
-    rep_counts: dict[str, int] = {}
-    for name in names:
-        xs = samples.get(name, [])
-        duck[name] = round(_median(xs), 3) if xs else None
-        if name in samples:
-            rep_counts[name] = len(xs)
-    return duck, rep_counts, sorted(budget_skipped)
+    def run_pass(self, record: bool = False) -> None:
+        for name in self._with_oracle:
+            t = self._timed(self._registry[name].oracle, name)
+            if record and t is not None:
+                self.samples[name].append(t)
+        if record:
+            self._recorded_passes += 1
+
+    def rep_totals(self) -> list[float]:
+        return [
+            round(
+                sum(
+                    xs[r]
+                    for xs in self.samples.values()
+                    if len(xs) > r
+                ),
+                3,
+            )
+            for r in range(self._recorded_passes)
+        ]
+
+    def results(self):
+        duck: dict[str, float | None] = {}
+        rep_counts: dict[str, int] = {}
+        for name in self._names:
+            xs = self.samples.get(name, [])
+            duck[name] = round(_median(xs), 3) if xs else None
+            if name in self.samples:
+                rep_counts[name] = len(xs)
+        return duck, rep_counts, sorted(self.budget_skipped)
 
 
 if __name__ == "__main__":
