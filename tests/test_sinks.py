@@ -275,7 +275,23 @@ def test_s3a_parquet_read_e2e(spark, tmp_path):
     distribution (this sandbox included) ships no S3AFileSystem, so the
     read path cannot be exercised here — on any cluster image that
     carries hadoop-aws + aws-sdk-bundle (every production Spark-on-cloud
-    image does) this test runs the real path end-to-end."""
+    image does) this test runs the real path end-to-end.
+
+    EXACT JAR RECIPE (verified unavailable in this sandbox r13: no
+    hadoop-aws*.jar anywhere on disk, no ~/.ivy2 cache, and no network —
+    DNS resolution to repo1.maven.org fails — so neither vendoring nor
+    `spark.jars.packages` can provision it here). To run this test for
+    real, pick ONE of:
+      (a) `pyspark --packages org.apache.hadoop:hadoop-aws:3.4.1`
+          (pyspark 4.x builds against Hadoop 3.4; ivy pulls the matching
+          software.amazon.awssdk:bundle transitively), or
+      (b) drop these two jars in $SPARK_HOME/jars:
+          hadoop-aws-3.4.1.jar + bundle-2.24.6.jar (the AWS SDK v2
+          bundle hadoop-aws 3.4.1 declares), or
+      (c) any vendor Spark-on-cloud image (EMR, Dataproc, Databricks) —
+          all ship S3AFileSystem already.
+    Then `pytest tests/test_sinks.py -k s3a` — no credentials or real
+    bucket needed; the test brings its own S3 server."""
     import http.server
     import threading
 
