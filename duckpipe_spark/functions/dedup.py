@@ -787,17 +787,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # carry the OLD label through the checkpoint so convergence is a
+        # filter-count on the materialized frame instead of a second
+        # join per round (r13: halves the per-round job count — on tiny
+        # pair graphs the rounds are pure scheduling overhead)
+        upd = (
             labels.join(nbr, "u", "left")
-            .select("u", F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"))
+            .select(
+                "u",
+                F.col("comp").alias("old"),
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.select("u", F.col("comp").alias("old")), "u")
-            .where(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.where(F.col("comp") != F.col("old")).count()
+        labels = upd.select("u", "comp")
         if changed == 0:
             break
     sym.unpersist()

@@ -106,6 +106,25 @@ CHANGED_THIS_ROUND: list[str] = [
     # (blocks independent by the encoder's index-reset design);
     # hash-green at sf0.001/0.01/0.1 locally, leads r14
     "audio_adpcm_fingerprint_neardup",
+    # r13: connected_components now carries the old label through the
+    # per-round checkpoint (convergence = filter-count, not a second
+    # join) — labels provably unchanged (min-propagation is
+    # partitioning- and bookkeeping-independent), closure wall 12.1 →
+    # 8.2 s on the sf1 50k-code pair graph; direct CC consumers listed
+    # so the sf0.01 differential re-attests them
+    "doc_dup_components",
+    "doc_fingerprint_dedup",
+    "embedding_semantic_dedup",
+    "doc_curation_semdedup",
+    "doc_dedup_keep_best",
+    "doc_incremental_dedup",
+    # r13: the base curation-pipeline oracle now MATERIALIZEs uniq (the
+    # UN-hinted CTE re-ran the gate+dedup subtree per reference at sf1 —
+    # 36.6 s vs 7 s for the already-hinted splices; Spark side untouched)
+    # — every _pipeline_oracle consumer re-attested
+    "doc_curation_pipeline",
+    "doc_curation_lmgate",
+    "doc_curation_lmgate_pruned",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -409,7 +409,7 @@ WITH q AS (
        + (CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END)) >= {_PIPE_MIN_POINTS}
 ){lm_block},
 {canon},
-uniq AS (SELECT g.doc_id, g.text, g.lang FROM {src} g JOIN canon USING (doc_id)),{_PIPELINE_REST}"""
+uniq AS MATERIALIZED (SELECT g.doc_id, g.text, g.lang FROM {src} g JOIN canon USING (doc_id)),{_PIPELINE_REST}"""
 
 
 _PIPELINE_REST = f"""
@@ -646,9 +646,11 @@ sduniq AS (
   WHERE c.component IS NULL OR c.component = u.doc_id
 )"""
     base = _pipeline_oracle()
-    uniq_cte = "uniq AS (SELECT g.doc_id, g.text, g.lang FROM gated g JOIN canon USING (doc_id))"
-    uniq_mat = uniq_cte.replace("uniq AS (", "uniq AS MATERIALIZED (", 1)
-    assert base.count(uniq_cte) == 1
+    # base already materializes uniq (r13: the UN-hinted base-pipeline
+    # oracle re-ran the gate+dedup subtree per reference at sf1 — 36.6 s
+    # vs 7 s for this hinted splice — same inlining pathology)
+    uniq_mat = "uniq AS MATERIALIZED (SELECT g.doc_id, g.text, g.lang FROM gated g JOIN canon USING (doc_id))"
+    assert base.count(uniq_mat) == 1
     assert base.count("AS t FROM uniq") == 1  # stoks source
     assert base.count("WITH q AS") == 1
     # MATERIALIZED is load-bearing: uniq is referenced 3x here (sdb, sduniq,
@@ -657,7 +659,7 @@ sduniq AS (
     # reference (measured 215 s vs ~2 s at sf0.01)
     return (
         base.replace("WITH q AS", "WITH RECURSIVE q AS", 1)
-        .replace(uniq_cte, uniq_mat + sem_ctes, 1)
+        .replace(uniq_mat, uniq_mat + sem_ctes, 1)
         .replace("AS t FROM uniq", "AS t FROM sduniq", 1)
     )
 
@@ -830,9 +832,11 @@ mduniq AS (
   WHERE c.component IS NULL OR c.component = u.doc_id
 )"""
     base = _pipeline_oracle()
-    uniq_cte = "uniq AS (SELECT g.doc_id, g.text, g.lang FROM gated g JOIN canon USING (doc_id))"
-    uniq_mat = uniq_cte.replace("uniq AS (", "uniq AS MATERIALIZED (", 1)
-    assert base.count(uniq_cte) == 1
+    # base already materializes uniq (r13: the UN-hinted base-pipeline
+    # oracle re-ran the gate+dedup subtree per reference at sf1 — 36.6 s
+    # vs 7 s for this hinted splice — same inlining pathology)
+    uniq_mat = "uniq AS MATERIALIZED (SELECT g.doc_id, g.text, g.lang FROM gated g JOIN canon USING (doc_id))"
+    assert base.count(uniq_mat) == 1
     assert base.count("AS t FROM uniq") == 1  # stoks source
     assert base.count("WITH q AS") == 1
     # MATERIALIZED on uniq is load-bearing here too: the three code CTEs,
@@ -840,7 +844,7 @@ mduniq AS (
     # splice's measured 215 s inlining pathology)
     return (
         base.replace("WITH q AS", "WITH RECURSIVE q AS", 1)
-        .replace(uniq_cte, uniq_mat + mn_ctes, 1)
+        .replace(uniq_mat, uniq_mat + mn_ctes, 1)
         .replace("AS t FROM uniq", "AS t FROM mduniq", 1)
     )
 
