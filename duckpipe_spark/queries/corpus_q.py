@@ -914,6 +914,7 @@ def _media_codes_artifact(spark: SparkSession, sf_dir: str) -> str:
     "doc_curation_medianear_artifact",
     _medianear_pipeline_oracle(),
     "curation pipeline with media near-dup served from a PRECOMPUTED code artifact (production shape)",
+    bench=True,  # VERDICT r12 item 2: the production media shape carries its own perf row
 )
 def doc_curation_medianear_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VERDICT r12 item 2 — the media stage's PRODUCTION shape as its own
