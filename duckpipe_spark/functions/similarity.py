@@ -15,6 +15,8 @@ matrix so bucket assignment is reproducible everywhere.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
@@ -53,8 +55,6 @@ def planes_for_corpus(n_rows: int, target_bucket_rows: int = TARGET_BUCKET_ROWS)
     count must grow with the corpus for the pair count to stay ~linear.
     Clamped to [N_PLANES, MAX_PLANES] (2^24 buckets ≈ 16M — enough for
     10B rows at ~600 rows/bucket)."""
-    import math
-
     if n_rows <= target_bucket_rows:
         return N_PLANES
     return min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(n_rows / target_bucket_rows))))
