@@ -759,3 +759,34 @@ def test_medianear_stage_banded_join_no_cartesian(spark):
     assert "CartesianProduct" not in a.text
     assert "LeftAnti" in a.text, a.text
     assert a.broadcast_hash_joins >= 1, a.text
+
+
+def test_medianear_artifact_serves_codes_without_decode(spark, monkeypatch):
+    """doc_curation_medianear_artifact (r13): once the code artifact
+    exists on disk, the query must NEVER invoke the decode/fingerprint
+    path — the serve contract the BM25 index pin above checks for
+    retrieval, pinned at the EXECUTION level (a plan-text pin is unsound
+    here: the 400+-node pipeline plan gets string-truncated and stage
+    persists hide upstream lineage behind InMemoryRelation). Method:
+    poison the code BUILDER after ensuring the artifact exists; the
+    artifact query must still produce its full result from the parquet
+    alone, while the decode-inline twin trips the poison immediately."""
+    import duckpipe_spark.queries.multimodal_q as mq
+    from duckpipe_spark.queries.base import REGISTRY
+    from duckpipe_spark.queries.corpus_q import _media_codes_artifact
+
+    _media_codes_artifact(spark, SF_SMOKE)  # build once, for real
+
+    def _poisoned(*a, **k):
+        raise AssertionError(
+            "artifact query invoked the decode path despite a persisted artifact"
+        )
+
+    monkeypatch.setattr(mq, "media_fixture_codes", _poisoned)
+    rows = REGISTRY["doc_curation_medianear_artifact"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="decode path"):
+        REGISTRY["doc_curation_medianear"].fn(spark, SF_SMOKE).collect()
