@@ -24,8 +24,12 @@ PREDICTIVE codec: block-stateful but fully deterministic integer math.
 No closed form exists for its decoder state, but the state RECURSION
 is replayable per block (this encoder deliberately resets the step
 index at each block header, a spec-legal choice that makes blocks
-independent), so the oracle runs it as a recursive CTE. Transform-
-domain codecs (MP3, AAC) remain external plug points.
+independent), so the oracle runs it as a recursive CTE — and MS ADPCM
+(tag 0x02), the second predictive codec, same design with a different
+state machine (per-block coefficient set + initial delta + two history
+samples, all trusted from the wire on decode; this encoder fixes
+coefficient set 0 and a constant initial delta). Transform-domain
+codecs (MP3, AAC) remain external plug points.
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ _IEEE_FLOAT = 3
 _ALAW = 6
 _MULAW = 7
 _IMA_ADPCM = 0x11
+_MS_ADPCM = 0x02
 _EXTENSIBLE = 0xFFFE
 
 # --- IMA/DVI ADPCM (r13): the first PREDICTIVE compressed codec with a
@@ -205,6 +210,184 @@ def adpcm_decode(
     return frames.astype(np.int16)
 
 
+# --- MS ADPCM (r13, tag 0x02): the SECOND predictive codec, proving the
+# IMA pattern generalizes. Per-block header carries a coefficient-set
+# index (into the fmt chunk's table), an initial adaptive delta and TWO
+# history samples; each 4-bit SIGNED code then scales the delta. This
+# encoder always picks coefficient set 0 (coef1=256, coef2=0 ⇒ predictor
+# = previous sample) and a FIXED initial delta — both spec-legal encoder
+# choices (the header fields exist precisely so decoders obey whatever
+# the encoder chose) that keep every block's state recursion closed-form-
+# free but REPLAYABLE, exactly like IMA's index reset.
+
+_MSADPCM_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int64,
+)
+_MSADPCM_COEFS = np.array(
+    [[256, 0], [512, -256], [0, 0], [192, 64], [240, 0], [460, -208], [392, -232]],
+    dtype=np.int64,
+)
+_MSADPCM_INIT_DELTA = 128  # this encoder's fixed initial delta (header field)
+
+
+def _msadpcm_encode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n_blocks, spb) int64 samples → (n_blocks, 7 + (spb−2)//2) uint8
+    MS ADPCM blocks (mono geometry), coefficient set 0, initial delta
+    ``_MSADPCM_INIT_DELTA``. spb must be even (2 header samples + whole
+    bytes of 2 nibbles); nibbles pack HIGH-first per the MS layout."""
+    n_blocks, spb = blocks.shape
+    s2 = blocks[:, 0].copy()  # older sample, emitted first
+    s1 = blocks[:, 1].copy()
+    delta = np.full(n_blocks, _MSADPCM_INIT_DELTA, dtype=np.int64)
+    nibbles = np.zeros((n_blocks, spb - 2), dtype=np.uint8)
+    for pos in range(2, spb):
+        s = blocks[:, pos]
+        pred = (s1 * 256 + s2 * 0) >> 8  # coef set 0: pred == s1, exact
+        err = s - pred
+        # truncate toward zero (C semantics), delta > 0 always
+        n = np.sign(err) * (np.abs(err) // delta)
+        n = np.clip(n, -8, 7)
+        code = (n & 15).astype(np.int64)
+        new = np.clip(pred + n * delta, -32768, 32767)
+        s2 = s1
+        s1 = new
+        delta = np.maximum(16, (_MSADPCM_ADAPT[code] * delta) >> 8)
+        nibbles[:, pos - 2] = code
+    n_bytes = (spb - 2) // 2
+    packed = (nibbles[:, 0::2] << 4) | nibbles[:, 1::2]
+    header = np.zeros((n_blocks, 7), dtype=np.uint8)
+    # [bpred u8][idelta i16][sample1 i16][sample2 i16], little-endian
+    header[:, 0] = 0  # coefficient set 0
+    header[:, 1:3] = (
+        np.full(n_blocks, _MSADPCM_INIT_DELTA, np.int64)
+        .astype("<i2").view(np.uint8).reshape(n_blocks, 2)
+    )
+    header[:, 3:5] = blocks[:, 1].astype("<i2").view(np.uint8).reshape(n_blocks, 2)
+    header[:, 5:7] = blocks[:, 0].astype("<i2").view(np.uint8).reshape(n_blocks, 2)
+    return np.concatenate([header, packed.astype(np.uint8)], axis=1)
+
+
+def msadpcm_encode_mono(samples: np.ndarray, samples_per_block: int = 500) -> bytes:
+    """int16 mono samples → MS ADPCM block stream (the data-chunk
+    payload). spb must be EVEN and >= 4 (2 verbatim header samples +
+    whole bytes); the final partial block pads by repeating the last
+    sample (trimmed on decode via the fact chunk)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("msadpcm_encode_mono expects 1-D int16 samples")
+    spb = samples_per_block
+    if spb < 4 or spb % 2 != 0:
+        raise ValueError("samples_per_block must be even and >= 4")
+    n = len(samples)
+    if n == 0:
+        return b""
+    n_blocks = (n + spb - 1) // spb
+    padded = np.zeros(n_blocks * spb, dtype=np.int64)
+    padded[:n] = samples.astype(np.int64)
+    if n < len(padded):
+        padded[n:] = padded[n - 1]
+    return _msadpcm_encode_blocks(padded.reshape(n_blocks, spb)).tobytes()
+
+
+def msadpcm_decode(
+    data: bytes, channels: int, block_align: int, samples_per_block: int,
+    total_samples: int | None = None, coefs: np.ndarray | None = None,
+) -> np.ndarray:
+    """MS ADPCM data-chunk payload → int16 samples of shape (n_frames,
+    channels). Header fields (coefficient-set index, initial delta, two
+    history samples) are TRUSTED from the wire per channel — any
+    encoder's choices decode; ``coefs`` is the fmt-chunk coefficient
+    table (defaults to the 7 standard pairs). Vectorized across blocks
+    and channels; the inner loop runs once per in-block position."""
+    if coefs is None:
+        coefs = _MSADPCM_COEFS
+    hdr_bytes = 7 * channels
+    if block_align < hdr_bytes:
+        raise ValueError("MS ADPCM block_align smaller than its headers")
+    blob = np.frombuffer(data, dtype=np.uint8)
+    n_blocks = len(blob) // block_align
+    if n_blocks == 0:
+        return np.zeros((0, channels), dtype=np.int16)
+    blocks = blob[: n_blocks * block_align].reshape(n_blocks, block_align)
+    ch = channels
+    bpred = np.clip(blocks[:, 0:ch].astype(np.int64), 0, len(coefs) - 1)
+    def _i16(lo):  # field of ch int16s starting at byte lo
+        return (
+            blocks[:, lo : lo + 2 * ch].reshape(n_blocks, ch, 2)
+            .reshape(n_blocks, 2 * ch).view("<i2").astype(np.int64)
+        )
+    delta = _i16(ch).astype(np.int64)
+    s1 = _i16(3 * ch)
+    s2 = _i16(5 * ch)
+    c1 = coefs[bpred, 0]
+    c2 = coefs[bpred, 1]
+    body = blocks[:, hdr_bytes:]
+    hi = body >> 4
+    lo = body & 0x0F
+    nib = np.stack([hi, lo], axis=-1).reshape(n_blocks, -1)  # high first
+    # nibble k belongs to channel k % ch, in sample order per channel
+    n_codes = nib.shape[1] // ch
+    nib = nib[:, : n_codes * ch].reshape(n_blocks, n_codes, ch).transpose(0, 2, 1)
+    spb = samples_per_block
+    max_pos = min(spb - 2, n_codes)
+    out = np.zeros((n_blocks, ch, max_pos + 2), dtype=np.int64)
+    out[:, :, 0] = s2
+    out[:, :, 1] = s1
+    delta = np.maximum(delta, 16)
+    for pos in range(max_pos):
+        code = nib[:, :, pos].astype(np.int64)
+        signed = np.where(code >= 8, code - 16, code)
+        pred = (s1 * c1 + s2 * c2) >> 8
+        new = np.clip(pred + signed * delta, -32768, 32767)
+        s2 = s1
+        s1 = new
+        delta = np.maximum(16, (_MSADPCM_ADAPT[code] * delta) >> 8)
+        out[:, :, pos + 2] = new
+    frames = out.transpose(0, 2, 1).reshape(-1, ch)
+    if total_samples is not None:
+        frames = frames[:total_samples]
+    return frames.astype(np.int16)
+
+
+def wav_msadpcm_container(
+    data: bytes, n_samples: int, sample_rate: int, samples_per_block: int
+) -> bytes:
+    """Wrap an encoded mono MS ADPCM block stream in RIFF/WAVE: fmt tag
+    0x02 with the standard extra block (wSamplesPerBlock, wNumCoef=7 and
+    the 7 coefficient pairs), a fact chunk with the true frame count,
+    then data."""
+    spb = samples_per_block
+    block = 7 + (spb - 2) // 2
+    byte_rate = (sample_rate * block + spb - 1) // spb
+    extra = struct.pack("<HH", spb, len(_MSADPCM_COEFS))
+    for c1, c2 in _MSADPCM_COEFS:
+        extra += struct.pack("<hh", int(c1), int(c2))
+    fmt = struct.pack(
+        "<HHIIHHH", _MS_ADPCM, 1, sample_rate, byte_rate, block, 4, len(extra)
+    ) + extra
+    fact = struct.pack("<I", n_samples)
+    out = b"RIFF" + struct.pack(
+        "<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data)
+    ) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<I", len(fact)) + fact
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def encode_wav_msadpcm(
+    samples: np.ndarray, sample_rate: int = 8_000, samples_per_block: int = 500
+) -> bytes:
+    """Encode int16 MONO samples as a RIFF/WAVE MS ADPCM blob (format
+    tag 0x02, 4 bits/sample, coefficient set 0, fixed initial delta)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_msadpcm expects 1-D int16 mono samples")
+    return wav_msadpcm_container(
+        msadpcm_encode_mono(samples, samples_per_block),
+        len(samples), sample_rate, samples_per_block,
+    )
+
+
 def encode_wav_adpcm(
     samples: np.ndarray,
     sample_rate: int = 8_000,
@@ -366,6 +549,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     raw = None
     spb = None
     fact = None
+    ms_coefs = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -381,9 +565,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 # WAVE_FORMAT_EXTENSIBLE: the real tag is the first two
                 # bytes of the SubFormat GUID
                 (tag,) = struct.unpack_from("<H", body, 24)
-            if tag == _IMA_ADPCM and size >= 20:
+            if tag in (_IMA_ADPCM, _MS_ADPCM) and size >= 20:
                 # cbSize (offset 16) then wSamplesPerBlock
                 (spb,) = struct.unpack_from("<H", body, 18)
+            if tag == _MS_ADPCM and size >= 22:
+                (ncoef,) = struct.unpack_from("<H", body, 20)
+                if size >= 22 + 4 * ncoef and ncoef > 0:
+                    ms_coefs = np.array(
+                        struct.unpack_from(f"<{2 * ncoef}h", body, 22),
+                        dtype=np.int64,
+                    ).reshape(ncoef, 2)
             fmt = (tag, ch, rate, block, bits)
         elif cid == b"fact" and size >= 4:
             (fact,) = struct.unpack_from("<I", body, 0)
@@ -436,6 +627,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         frames = adpcm_decode(raw, ch, block, spb, total_samples=fact)
         # reconstruction lands on the 16-bit grid; scale like 16-bit PCM
         # so downstream rint(x*32768) recovers the exact integers
+        return frames.astype(np.float64) / 32768.0, rate
+    elif tag == _MS_ADPCM:
+        if bits != 4:
+            raise ValueError(f"{bits}-bit MS ADPCM unsupported (spec is 4)")
+        if spb is None:
+            spb = (block - 7 * ch) * 2 // ch + 2
+        frames = msadpcm_decode(
+            raw, ch, block, spb, total_samples=fact, coefs=ms_coefs
+        )
         return frames.astype(np.float64) / 32768.0, rate
     else:
         raise ValueError(f"compressed WAV format tag {tag} needs an external codec")

@@ -106,6 +106,12 @@ CHANGED_THIS_ROUND: list[str] = [
     # (blocks independent by the encoder's index-reset design);
     # hash-green at sf0.001/0.01/0.1 locally, leads r14
     "audio_adpcm_fingerprint_neardup",
+    # NEW in r13: SECOND predictive codec (MS ADPCM tag 0x02) — same
+    # cross-codec-twin + per-(pair, block) recursive-CTE-replay design
+    # with a different state machine (coefficient prediction + signed-
+    # nibble delta scaling), proving the pattern generalizes;
+    # hash-green at sf0.001/0.01/0.1 locally, leads r14
+    "audio_msadpcm_fingerprint_neardup",
     # r13: connected_components now carries the old label through the
     # per-round checkpoint (convergence = filter-count, not a second
     # join) — labels provably unchanged (min-propagation is

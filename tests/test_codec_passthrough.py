@@ -485,3 +485,53 @@ def test_fingerprint_invariant_across_adpcm_reencode(spark):
     assert got[4] == got[5]  # ... and on noise too (exact invariance)
     ham = bin((got[1][0] ^ got[3][0]) | (got[1][1] ^ got[3][1]) << 32).count("1")
     assert ham <= 3  # smooth audio: lossy re-encode stays a near-dup
+
+
+def test_fingerprint_invariant_across_msadpcm_reencode(spark):
+    """MS ADPCM twin of the IMA invariance pin: the MS ADPCM blob and a
+    PCM16 blob of its reconstruction fingerprint IDENTICALLY (both
+    decode to the same 16-bit-grid integers), on smooth AND noise
+    content."""
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.multimodal import audio_fingerprint
+    from duckpipe_spark.functions.wav import (
+        encode_wav_msadpcm,
+        encode_wav_pcm16,
+        msadpcm_decode,
+        msadpcm_encode_mono,
+    )
+
+    rng = np.random.default_rng(31)
+    noise = rng.integers(-30000, 30000, 65 * 16).astype(np.int16)
+    t = np.arange(65 * 16, dtype=np.float64)
+    smooth = np.rint(
+        12000.0 * np.sin(t * 0.041) + 6000.0 * np.sin(t * 0.013 + 1.0)
+    ).astype(np.int16)
+    spb, block = 500, 7 + (500 - 2) // 2
+
+    def reencode(raw):
+        return msadpcm_decode(
+            msadpcm_encode_mono(raw, spb), 1, block, spb, total_samples=len(raw)
+        ).ravel()
+
+    rows = pd.DataFrame(
+        {
+            "blob_id": [1, 2, 3, 4],
+            "blob": [
+                bytearray(encode_wav_msadpcm(smooth, 8_000, spb)),
+                bytearray(encode_wav_pcm16(reencode(smooth), 8_000)),
+                bytearray(encode_wav_msadpcm(noise, 8_000, spb)),
+                bytearray(encode_wav_pcm16(reencode(noise), 8_000)),
+            ],
+        }
+    )
+    got = {
+        r.blob_id: (r.h0, r.h1)
+        for r in audio_fingerprint(
+            spark.createDataFrame(rows, "blob_id bigint, blob binary")
+        ).collect()
+    }
+    assert got[1] == got[2]
+    assert got[3] == got[4]

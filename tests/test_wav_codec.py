@@ -312,3 +312,109 @@ def test_adpcm_stereo_decode_and_validation():
         adpcm_encode_mono(a, 11)
     with pytest.raises(ValueError, match="8k"):
         adpcm_encode_mono(a, 8)
+
+
+def test_msadpcm_codec_conformance_vs_scalar_reference():
+    """MS ADPCM (r13): the vectorized block codec must agree sample-for-
+    sample with an independent scalar transcription of the MS state
+    machine (coefficient prediction, signed-nibble delta scaling,
+    adaptation-table delta update with the 16 floor), across the same
+    waveform battery as the IMA pin and block geometries incl. partial
+    final blocks."""
+    import numpy as np
+
+    from duckpipe_spark.functions.wav import (
+        _MSADPCM_ADAPT,
+        _MSADPCM_INIT_DELTA,
+        decode_wav,
+        encode_wav_msadpcm,
+        msadpcm_decode,
+        msadpcm_encode_mono,
+    )
+
+    def ref_codec(samples, spb):
+        n = len(samples)
+        out = []
+        nb = (n + spb - 1) // spb
+        padded = list(samples) + [samples[-1]] * (nb * spb - n)
+        for b in range(nb):
+            blk = padded[b * spb : (b + 1) * spb]
+            s2, s1, delta = int(blk[0]), int(blk[1]), _MSADPCM_INIT_DELTA
+            out += [s2, s1]
+            for s in blk[2:]:
+                pred = (s1 * 256 + s2 * 0) >> 8
+                err = int(s) - pred
+                q = abs(err) // delta
+                nn = max(-8, min(7, q if err >= 0 else -q))
+                code = nn & 15
+                new = max(-32768, min(32767, pred + nn * delta))
+                s2, s1 = s1, new
+                delta = max(16, (int(_MSADPCM_ADAPT[code]) * delta) >> 8)
+                out.append(new)
+        return np.array(out[:n], dtype=np.int16)
+
+    i = np.arange(1040, dtype=np.int64)
+    seed = (7 * 1000003 + i + 1) % 1000000007
+    qr = (
+        (seed * seed % 1000000007 * 2654435761 % 1000000007) % 60000 - 30000
+    ).astype(np.int16)
+    square = np.array(
+        [0, 32767, -32768, 32767, -32768, 0, 100, -100] * 130, np.int16
+    )
+    ramp = (np.arange(1040) % 7 - 3).astype(np.int16)
+    rng = ((np.arange(2000, dtype=np.int64) * 2654435761 % (1 << 16)) - 32768).astype(
+        np.int16
+    )
+
+    for s in (qr, square, ramp, rng):
+        for spb in (500, 4, 1024):
+            block = 7 + (spb - 2) // 2
+            data = msadpcm_encode_mono(s, spb)
+            got = msadpcm_decode(data, 1, block, spb, total_samples=len(s)).ravel()
+            ref = ref_codec(s, spb)
+            assert np.array_equal(got, ref), (spb, int(np.argmax(got != ref)))
+            frames, rate = decode_wav(encode_wav_msadpcm(s, 8_000, spb))
+            assert rate == 8_000 and frames.shape == (len(s), 1)
+            ints = np.rint(frames.ravel() * 32768).astype(np.int64)
+            assert np.array_equal(ints, ref.astype(np.int64))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="even"):
+        msadpcm_encode_mono(qr, 501)
+
+
+def test_msadpcm_decode_honors_wire_coefficients():
+    """The decoder must obey the HEADER's coefficient-set index and
+    initial delta (any encoder's choices decode): re-point a block's
+    bpredictor at coefficient set 2 ((0, 0) — predictor always 0) and
+    the reconstruction must change accordingly, computed against the
+    scalar model with those coefficients."""
+    import numpy as np
+
+    from duckpipe_spark.functions.wav import (
+        _MSADPCM_ADAPT,
+        msadpcm_decode,
+        msadpcm_encode_mono,
+    )
+
+    s = (np.arange(20, dtype=np.int64) * 311 % 2000 - 1000).astype(np.int16)
+    spb = 20
+    raw = bytearray(msadpcm_encode_mono(s, spb))
+    raw[0] = 2  # coefficient set (0, 0): predictor == 0 for every sample
+    got = msadpcm_decode(bytes(raw), 1, 7 + (spb - 2) // 2, spb, total_samples=spb)
+
+    s2, s1, delta = int(s[0]), int(s[1]), 128
+    want = [s2, s1]
+    body = bytes(raw[7:])
+    nibs = []
+    for byte in body:
+        nibs += [byte >> 4, byte & 15]
+    for code in nibs[: spb - 2]:
+        nn = code - 16 if code >= 8 else code
+        pred = 0  # coef set 2
+        new = max(-32768, min(32767, pred + nn * delta))
+        s2, s1 = s1, new
+        delta = max(16, (int(_MSADPCM_ADAPT[code]) * delta) >> 8)
+        want.append(new)
+    assert got.ravel().tolist() == want
