@@ -65,10 +65,18 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # (doc_feature_hash_embed .. video_frame_sample, alphabetical); being 4
 # rounds old at r14, they are scheduled to LEAD the r14 window:
 # r14 window plan: any queries NEW in r13 or r13-changed-and-not-windowed
-# FIRST (see CHANGED_THIS_ROUND below for the running list — e.g.
-# doc_curation_medianear_artifact / audio_adpcm_fingerprint_neardup if
-# registered this round, and embedding_ivfpq_topk whose default rerank
-# changed per VERDICT r12 item 3), then the 29 r10-cohort leftovers
+# FIRST (final r13 list — the THREE never-attested new queries
+# doc_curation_medianear_artifact, audio_adpcm_fingerprint_neardup,
+# audio_msadpcm_fingerprint_neardup; then embedding_ivfpq_topk whose
+# default rerank changed per VERDICT r12 item 3 after its r12
+# attestation; then the changed-not-windowed CHANGED_THIS_ROUND members
+# whose VALUES are provably unchanged but whose lineage was touched —
+# embedding_semantic_dedup, doc_curation_semdedup, doc_dedup_keep_best,
+# doc_incremental_dedup, doc_curation_pipeline,
+# doc_curation_lmgate_pruned — all locally re-attested at sf0.01 this
+# round, the r11/r12-cohort ones also inside the 100/100 sf0.1 sweep;
+# the remaining CHANGED members sit inside the r13 window and get
+# driver-attested there), then the 29 r10-cohort leftovers
 # ALPHABETICALLY (doc_feature_hash_embed, doc_gopher_quality,
 # doc_incremental_dedup, doc_jaccard_pairs, doc_lm_quality_pruned,
 # doc_lm_serve_scores, doc_lsh_candidates, doc_minhash_signatures,
