@@ -48,46 +48,52 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 
 
 # First 50 names are what the driver's correctness gate will actually check.
-# Round-13 rotation — held EXACTLY to the composition published in the r12
-# comment block and re-stated by VERDICT r12 item 1:
-#   * the TWO queries NEW in r12 FIRST (registered after the r12 window
-#     froze at 50, so the only 2 of the 179-query catalog with no
-#     driver-green row ever): doc_curation_medianear,
-#     audio_mulaw_fingerprint_neardup (both judge-verified green at
-#     sf0.01 in VERDICT r12);
-#   * then the 34 r9-cohort leftovers (latest driver row r9 — 4 rounds
-#     old; pre-swept 34/34 at sf0.1 in r12 per the aging cadence)
-#     ALPHABETICALLY: doc_dsir_scores .. lang_tokenizer_fertility;
-#   * the remaining 14 slots: the r10 cohort (latest green r10;
-#     43 queries; pre-swept 43/43 at sf0.1 in r12) ALPHABETICALLY —
-#     doc_boilerplate .. doc_dup_components_star.
-# That leaves 29 r10-cohort queries NOT in the r13 window
-# (doc_feature_hash_embed .. video_frame_sample, alphabetical); being 4
-# rounds old at r14, they are scheduled to LEAD the r14 window:
-# r14 window plan: any queries NEW in r13 or r13-changed-and-not-windowed
-# FIRST (final r13 list — the THREE never-attested new queries
-# doc_curation_medianear_artifact, audio_adpcm_fingerprint_neardup,
-# audio_msadpcm_fingerprint_neardup; then embedding_ivfpq_topk whose
-# default rerank changed per VERDICT r12 item 3 after its r12
-# attestation; then the changed-not-windowed CHANGED_THIS_ROUND members
-# whose VALUES are provably unchanged but whose lineage was touched —
-# embedding_semantic_dedup, doc_curation_semdedup, doc_dedup_keep_best,
-# doc_incremental_dedup, doc_curation_pipeline,
-# doc_curation_lmgate_pruned — all locally re-attested at sf0.01 this
-# round, the r11/r12-cohort ones also inside the 100/100 sf0.1 sweep;
-# the remaining CHANGED members sit inside the r13 window and get
-# driver-attested there), then the 29 r10-cohort leftovers
-# ALPHABETICALLY (doc_feature_hash_embed, doc_gopher_quality,
-# doc_incremental_dedup, doc_jaccard_pairs, doc_lm_quality_pruned,
-# doc_lm_serve_scores, doc_lsh_candidates, doc_minhash_signatures,
-# doc_simhash, doc_strip_boilerplate, embedding_int8_quant,
-# embedding_kmeanspar_cells, events_anomaly_zscore, events_dau_wau,
-# events_funnel, events_gap_fill, events_hourly_rollup,
-# events_json_extract, events_ohlc_bars, events_props_rollup,
-# geo_elevation_pipeline, image_decode_jpeg, lang_top_bigrams,
-# lang_unimax_budgets, lineitem_price_quantiles, orders_bloom_blocklist,
-# parts_triangle_counts, sessionize_users, video_frame_sample); remaining
-# slots take the r11 cohort (latest green r11) alphabetically.
+# Round-14 rotation — held EXACTLY to the composition published in the r13
+# comment block and re-stated by VERDICT r13 item 2:
+#   * the r13-new / r13-changed-not-windowed queries FIRST: the THREE
+#     never-attested new queries (doc_curation_medianear_artifact,
+#     audio_adpcm_fingerprint_neardup, audio_msadpcm_fingerprint_neardup
+#     — all judge-green at sf0.01 in VERDICT r13), then
+#     embedding_ivfpq_topk at its new derived-covering rerank default
+#     (VERDICT r12 item 3; windowed r12 at the OLD default), then the
+#     changed-not-windowed CHANGED lineage members in the published
+#     order: embedding_semantic_dedup, doc_curation_semdedup,
+#     doc_dedup_keep_best, doc_incremental_dedup, doc_curation_pipeline,
+#     doc_curation_lmgate_pruned. (doc_incremental_dedup is ALSO one of
+#     the 29 r10-cohort leftovers; it appears once, here, so the
+#     r10-cohort block below carries the remaining 28.)
+#   * then the 28 remaining r10-cohort leftovers (latest driver row r10
+#     — 4 rounds old; pre-swept 43/43 at sf0.1 in r12 per the aging
+#     cadence) ALPHABETICALLY: doc_feature_hash_embed ..
+#     video_frame_sample;
+#   * the remaining 12 slots: the r11 cohort (latest green r11; 50
+#     queries, 4 of which already lead this window via the CHANGED
+#     group; pre-swept 50/50 at sf0.1 in r13) ALPHABETICALLY —
+#     blob_byte_entropy .. doc_winnow_decontam.
+# That leaves 34 r11-cohort queries NOT in the r14 window
+# (doc_winnow_fingerprints .. parts_hll_distinct, the full list below);
+# being 4 rounds old at r15, they are scheduled to LEAD the r15 window:
+# r15 window plan: any queries NEW in r14 or r14-changed-and-not-
+# windowed FIRST (r14-new: image_gif_phash_neardup if registered this
+# round; r14 CHANGED members not inside the r14 window), then the 34
+# r11-cohort leftovers ALPHABETICALLY (doc_winnow_fingerprints,
+# doc_winnow_matches, embedding_cosine_topk,
+# embedding_hamming_external_topk, embedding_hamming_topk,
+# embedding_ivf_recall, embedding_ivf_trained_topk,
+# embedding_lsh_multiprobe_topk, embedding_lsh_recall,
+# embedding_lsh_topk, embedding_multiprobe_recall,
+# embedding_neardup_pairs, events_moving_avg,
+# events_purchase_window_clicks, events_retention_cohorts,
+# events_salted_counts, events_salted_join, events_session_window,
+# events_sliding_rollup, events_transition_matrix,
+# events_value_quantiles, features_within_radius,
+# first_order_per_customer, geo_buffer_clip_pipeline,
+# geo_pivot_pipeline, image_decode_png, lang_id_confusion,
+# lineitem_column_stats, lineitem_price_histogram, nation_stats_unpivot,
+# nearest_feature_distance, orders_merge_upsert, parts_cm_frequencies,
+# parts_hll_distinct — exactly the r11 cohort minus the 16 queries used
+# in the r14 window); remaining slots take the r12 cohort (latest green
+# r12) alphabetically.
 # Queries whose implementation changed this round. The local oracle
 # mirror runs the whole catalog at sf0.001; this list gets an ADDITIONAL
 # sf0.01 differential run (tests/test_queries_oracle.py::
@@ -95,106 +101,64 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # scale — so scale-sensitive divergence in touched code surfaces locally
 # before the gate does. Update each round alongside DRIVER_ORDER.
 CHANGED_THIS_ROUND: list[str] = [
-    # r13 (VERDICT r12 item 3): ivfpq default rerank re-sized from the
-    # fixed 50 to cover the probed candidate budget — recall@10 rises to
-    # the trained-cell ceiling; windowed r12 at the old default, so the
-    # new default leads the r14 window
-    "embedding_ivfpq_topk",
-    # NEW in r13 (VERDICT r12 item 2): the media near-dup stage's
-    # PRODUCTION shape — fingerprint codes served from a persisted
-    # parquet artifact instead of the inline 3-modality decode; same
-    # oracle as doc_curation_medianear pins persist→reload as
-    # value-preserving; hash-green at sf0.001/0.01/0.1 locally,
-    # registered after the r13 window froze so it leads r14
+    # r14 changes land here as they are made (single-pass LM/DSIR
+    # training, CC closure round cut, GIF codec, ADVICE fixes)
+]
+
+base.DRIVER_ORDER[:] = [
+    # r13-new (never driver-attested) + changed-not-windowed lead
     "doc_curation_medianear_artifact",
-    # NEW in r13 (VERDICT r12 item 5): first PREDICTIVE-codec oracle row
-    # — IMA ADPCM (tag 0x11) near-dup with CROSS-CODEC twins (ADPCM blob
-    # vs PCM16 of the same reconstruction); the oracle replays the
-    # encoder/decoder state machine as a per-(pair, block) recursive CTE
-    # (blocks independent by the encoder's index-reset design);
-    # hash-green at sf0.001/0.01/0.1 locally, leads r14
     "audio_adpcm_fingerprint_neardup",
-    # NEW in r13: SECOND predictive codec (MS ADPCM tag 0x02) — same
-    # cross-codec-twin + per-(pair, block) recursive-CTE-replay design
-    # with a different state machine (coefficient prediction + signed-
-    # nibble delta scaling), proving the pattern generalizes;
-    # hash-green at sf0.001/0.01/0.1 locally, leads r14
     "audio_msadpcm_fingerprint_neardup",
-    # r13: connected_components now carries the old label through the
-    # per-round checkpoint (convergence = filter-count, not a second
-    # join) — labels provably unchanged (min-propagation is
-    # partitioning- and bookkeeping-independent), closure wall 12.1 →
-    # 8.2 s on the sf1 50k-code pair graph; direct CC consumers listed
-    # so the sf0.01 differential re-attests them
-    "doc_dup_components",
-    "doc_fingerprint_dedup",
+    "embedding_ivfpq_topk",
     "embedding_semantic_dedup",
     "doc_curation_semdedup",
     "doc_dedup_keep_best",
     "doc_incremental_dedup",
-    # r13: the base curation-pipeline oracle now MATERIALIZEs uniq (the
-    # UN-hinted CTE re-ran the gate+dedup subtree per reference at sf1 —
-    # 36.6 s vs 7 s for the already-hinted splices; Spark side untouched)
-    # — every _pipeline_oracle consumer re-attested
     "doc_curation_pipeline",
-    "doc_curation_lmgate",
     "doc_curation_lmgate_pruned",
-]
-
-base.DRIVER_ORDER[:] = [
-    # the 2 never-attested new-r12 queries (published r13 plan)
-    "doc_curation_medianear",
-    "audio_mulaw_fingerprint_neardup",
-    # the 34 r9-cohort leftovers, alphabetical (published r13 plan)
-    "doc_dsir_scores",
-    "doc_encoded",
-    "doc_epoch_order",
-    "doc_fim_transform",
-    "doc_fingerprint_dedup",
-    "doc_hash_split",
-    "doc_language_guess",
-    "doc_length_bucketed_pack",
-    "doc_lm_buckets",
-    "doc_lm_quality",
-    "doc_maxmatch_encoded",
-    "doc_mixture_resample",
-    "doc_ngram_novelty",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality_calibration",
-    "doc_quality_percentile",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "doc_source_rollup",
-    "doc_span_dedup",
-    "doc_stratified_sample",
-    "doc_temperature_resample",
-    "doc_tfidf_topterms",
-    "doc_token_stats",
-    "doc_train_shards",
-    "doc_vocab",
-    "embedding_cluster_profile",
-    "embedding_ivf_topk",
-    "embedding_kmeans_cells",
-    "embedding_pq_adc_topk",
-    "embedding_pq_codes",
-    "embedding_prototype_prune",
-    "lang_tokenizer_fertility",
-    # r10-cohort alphabetical fill (first 14 of 43)
-    "doc_boilerplate",
-    "doc_bpe_bytefallback",
-    "doc_bpe_encoded",
-    "doc_bpe_merges",
-    "doc_bpe_merges_batched",
-    "doc_bpe_pack",
-    "doc_bpe_token_counts",
-    "doc_chunks",
-    "doc_curation_keepbest",
-    "doc_decontam_lsh_join",
-    "doc_decontamination",
-    "doc_dsir_serve_scores",
-    "doc_dup_components",
-    "doc_dup_components_star",
+    # 28 remaining r10-cohort leftovers, alphabetical
+    "doc_feature_hash_embed",
+    "doc_gopher_quality",
+    "doc_jaccard_pairs",
+    "doc_lm_quality_pruned",
+    "doc_lm_serve_scores",
+    "doc_lsh_candidates",
+    "doc_minhash_signatures",
+    "doc_simhash",
+    "doc_strip_boilerplate",
+    "embedding_int8_quant",
+    "embedding_kmeanspar_cells",
+    "events_anomaly_zscore",
+    "events_dau_wau",
+    "events_funnel",
+    "events_gap_fill",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_ohlc_bars",
+    "events_props_rollup",
+    "geo_elevation_pipeline",
+    "image_decode_jpeg",
+    "lang_top_bigrams",
+    "lang_unimax_budgets",
+    "lineitem_price_quantiles",
+    "orders_bloom_blocklist",
+    "parts_triangle_counts",
+    "sessionize_users",
+    "video_frame_sample",
+    # r11-cohort alphabetical fill (first 12 not already above)
+    "blob_byte_entropy",
+    "brand_min_price",
+    "custkeys_f_and_o_intersect",
+    "customer_cumulative_spend",
+    "customers_without_orders",
+    "doc_bm25_topk",
+    "doc_bpe_artifact_encode",
+    "doc_lm_auc",
+    "doc_lm_bucket_sample",
+    "doc_mask_contaminated",
+    "doc_priority_sample",
+    "doc_winnow_decontam",
 ]
 
 
