@@ -322,6 +322,7 @@ def main(reps: int = 1) -> None:
                 )
 
     rep_order = []
+    rep_loadavg = []
     for rep in range(reps):
         spark_first = rep % 2 == 0
         rep_order.append("spark,duckdb" if spark_first else "duckdb,spark")
@@ -333,6 +334,13 @@ def main(reps: int = 1) -> None:
             if duck_bench is not None:
                 duck_bench.run_pass(record=True)
             _spark_pass(rep == reps - 1)
+        try:
+            # informational: carries OUR OWN executor decay tail, so it is
+            # not the degradation criterion (rep spread below is) — but a
+            # big asymmetric jump corroborates WHERE contention arrived
+            rep_loadavg.append(round(os.getloadavg()[0], 2))
+        except OSError:  # pragma: no cover
+            pass
     timings = {n: round(_median(v), 3) for n, v in samples.items()}
 
     total = round(sum(timings.values()), 3)
@@ -350,8 +358,15 @@ def main(reps: int = 1) -> None:
             round(sum(samples[n][r] for n in names if len(samples[n]) > r), 3)
             for r in range(reps)
         ],
+        "rep_loadavg": rep_loadavg,
         **load,
     }
+    # min-of-reps aggregate alongside the median (VERDICT r13 item 1): the
+    # per-query MIN is the least-contaminated sample each engine achieved,
+    # so a mid-run load spike inflates the median totals but not these
+    out["spark_total_min"] = round(
+        sum(min(v) for v in samples.values() if v), 3
+    )
 
     if duck_bench is not None:
         duck, rep_counts, budget_skipped = duck_bench.results()
@@ -382,6 +397,56 @@ def main(reps: int = 1) -> None:
         out["common_spark_total"] = common_spark
         if out["duckdb_total"]:
             out["ratio_total"] = round(common_spark / out["duckdb_total"], 3)
+        # min-of-reps companion ratio over the same common subset
+        duck_min = {
+            n: min(x for x in xs if x is not None)
+            for n, xs in duck_bench.samples.items()
+            if any(x is not None for x in xs)
+        }
+        out["duckdb_total_min"] = round(sum(duck_min.values()), 3)
+        common_min_spark = round(
+            sum(min(samples[n]) for n in samples if samples[n] and n in duck_min), 3
+        )
+        if out["duckdb_total_min"]:
+            out["ratio_total_min"] = round(common_min_spark / out["duckdb_total_min"], 3)
+
+    # VERDICT r13 item 1: the r13 driver artifact read degraded:false at
+    # ratio_total 1.843 because the flag was decided ONLY by pre-run
+    # loadavg — load arriving MID-run landed in the medians undetected
+    # (spark rep totals [54.7, 143.5, 111.2] vs duckdb's flat ~56).
+    # Post-hoc criterion: if either engine's composition-comparable
+    # per-rep totals spread beyond REP_SPREAD_DEGRADED, something other
+    # than the benchmarked code moved the clock mid-run — flag it.
+    REP_SPREAD_DEGRADED = 1.3
+    out["rep_spread_criterion"] = REP_SPREAD_DEGRADED
+
+    def _spread(totals):
+        vals = [t for t in totals if t and t > 0]
+        if len(vals) < 2:
+            return None
+        return round(max(vals) / min(vals), 2)
+
+    causes = []
+    spark_spread = _spread(out["spark_rep_totals"])
+    if spark_spread is not None:
+        out["spark_rep_spread"] = spark_spread
+        if spark_spread > REP_SPREAD_DEGRADED:
+            causes.append(f"spark_rep_spread {spark_spread}x")
+    if duck_bench is not None:
+        duck_spread = _spread(out["duckdb_rep_totals"])
+        if duck_spread is not None:
+            out["duckdb_rep_spread"] = duck_spread
+            if duck_spread > REP_SPREAD_DEGRADED:
+                causes.append(f"duckdb_rep_spread {duck_spread}x")
+    if causes:
+        out["degraded"] = True
+        out["degraded_cause"] = causes
+        print(
+            f"# WARNING: mid-run contamination detected ({', '.join(causes)} "
+            f"> {REP_SPREAD_DEGRADED}x) — medians are suspect, read the "
+            f"*_total_min / ratio_total_min fields",
+            file=sys.stderr,
+        )
 
     # The driver captures ONE stdout JSON line of bounded length; r7's line
     # (3 per-query maps x 32 queries) outgrew the capture and the artifact
@@ -402,7 +467,8 @@ def main(reps: int = 1) -> None:
     out["spark_samples"] = {n: [round(x, 3) for x in v] for n, v in samples.items()}
     if duck_bench is not None:
         out["duckdb_samples"] = {
-            n: [round(x, 3) for x in v] for n, v in duck_bench.samples.items()
+            n: [None if x is None else round(x, 3) for x in v]
+            for n, v in duck_bench.samples.items()
         }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -486,21 +552,29 @@ class _DuckDBBench:
     def run_pass(self, record: bool = False) -> None:
         for name in self._with_oracle:
             t = self._timed(self._registry[name].oracle, name)
-            if record and t is not None:
+            if record:
+                # ADVICE r13 item 1: record a None PLACEHOLDER for a
+                # budget-skipped/failed execution so sample index == rep
+                # index; without it, a query that skips in rep r and
+                # succeeds in rep r+1 shifts left and rep-attribution of
+                # every later sample (the drift diagnostic) is wrong
                 self.samples[name].append(t)
         if record:
             self._recorded_passes += 1
 
     def rep_totals(self) -> list[float]:
+        # totals over queries with a recorded (non-None) sample in EVERY
+        # pass, so per-rep totals are composition-comparable — a rep is
+        # bigger only if the box was slower, never because a different
+        # query subset landed in it (that comparability is what the
+        # rep-spread degradation criterion reads)
+        complete = [
+            n
+            for n, xs in self.samples.items()
+            if len(xs) == self._recorded_passes and all(x is not None for x in xs)
+        ]
         return [
-            round(
-                sum(
-                    xs[r]
-                    for xs in self.samples.values()
-                    if len(xs) > r
-                ),
-                3,
-            )
+            round(sum(self.samples[n][r] for n in complete), 3)
             for r in range(self._recorded_passes)
         ]
 
@@ -508,7 +582,7 @@ class _DuckDBBench:
         duck: dict[str, float | None] = {}
         rep_counts: dict[str, int] = {}
         for name in self._names:
-            xs = self.samples.get(name, [])
+            xs = [x for x in self.samples.get(name, []) if x is not None]
             duck[name] = round(_median(xs), 3) if xs else None
             if name in self.samples:
                 rep_counts[name] = len(xs)
