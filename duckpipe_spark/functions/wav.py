@@ -310,7 +310,15 @@ def msadpcm_decode(
         return np.zeros((0, channels), dtype=np.int16)
     blocks = blob[: n_blocks * block_align].reshape(n_blocks, block_align)
     ch = channels
-    bpred = np.clip(blocks[:, 0:ch].astype(np.int64), 0, len(coefs) - 1)
+    bpred = blocks[:, 0:ch].astype(np.int64)
+    if np.any(bpred >= len(coefs)):
+        # ADVICE r13 item 3: an out-of-table coefficient-set index means a
+        # malformed file (or a truncated fmt coefficient table) — raising
+        # keeps the trusted-from-the-wire contract scoped to VALID indices
+        # instead of silently decoding wrong samples via a clamped index
+        raise ValueError(
+            "MS ADPCM block predictor index out of coefficient-table range"
+        )
     def _i16(lo):  # field of ch int16s starting at byte lo
         return (
             blocks[:, lo : lo + 2 * ch].reshape(n_blocks, ch, 2)

@@ -889,8 +889,13 @@ def _media_codes_artifact(spark: SparkSession, sf_dir: str) -> str:
     regenerated corpus rebuilds the codes rather than serving stale ones)
     — the same contract as text_q's ``_bm25_index_artifact`` and bpe_q's
     ``_tokenizer_artifact``. Completeness check is Spark's own _SUCCESS
-    marker, written last by the parquet committer."""
+    marker, written last by the parquet committer; publication is a
+    write-to-temp + atomic rename (ADVICE r13 item 2) so a concurrent
+    builder can never observe a half-written or mid-overwrite artifact —
+    losers of the rename race discard their temp dir and serve the
+    winner's."""
     import os
+    import shutil
 
     from duckpipe_spark.queries.multimodal_q import media_fixture_codes
 
@@ -906,7 +911,23 @@ def _media_codes_artifact(spark: SparkSession, sf_dir: str) -> str:
     tag = f"{os.path.basename(os.path.abspath(sf_dir))}_{mt}"
     path = os.path.join(root, f"media_codes_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        media_fixture_codes(spark, sf_dir).write.mode("overwrite").parquet(path)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        media_fixture_codes(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            # stale partial from a crashed builder — clear it so the
+            # rename below can land
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if os.path.exists(os.path.join(path, "_SUCCESS")):
+                # a concurrent builder published first; ours is identical
+                # by construction — discard and serve the winner's
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
     return path
 
 

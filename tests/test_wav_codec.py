@@ -418,3 +418,28 @@ def test_msadpcm_decode_honors_wire_coefficients():
         delta = max(16, (int(_MSADPCM_ADAPT[code]) * delta) >> 8)
         want.append(new)
     assert got.ravel().tolist() == want
+
+
+def test_msadpcm_decode_rejects_out_of_table_predictor():
+    """ADVICE r13 item 3: a block-header coefficient-set index beyond the
+    fmt coefficient table is a malformed file — the decoder must raise
+    (like the other malformed-WAV paths), not clamp to the last set and
+    decode wrong samples silently."""
+    import numpy as np
+    import pytest
+
+    from duckpipe_spark.functions.wav import msadpcm_decode, msadpcm_encode_mono
+
+    s = (np.arange(20, dtype=np.int64) * 173 % 1500 - 700).astype(np.int16)
+    spb = 20
+    raw = bytearray(msadpcm_encode_mono(s, spb))
+    raw[0] = 7  # one past the 7 standard coefficient pairs (valid: 0..6)
+    with pytest.raises(ValueError, match="predictor index"):
+        msadpcm_decode(bytes(raw), 1, 7 + (spb - 2) // 2, spb, total_samples=spb)
+    # a truncated coefficient table must reject indices it no longer covers
+    with pytest.raises(ValueError, match="predictor index"):
+        raw[0] = 2
+        msadpcm_decode(
+            bytes(raw), 1, 7 + (spb - 2) // 2, spb, total_samples=spb,
+            coefs=np.array([[256, 0], [512, -256]], dtype=np.int64),
+        )
