@@ -91,45 +91,53 @@ def lm_train(
     bigrams at all yields V = 0 and NULL scores (0/0) — the same
     degenerate contract as the join path; train on a non-empty in-domain
     slice."""
-    bks, pks = _bigram_cols(text_col)
-    pairs = (
-        docs.where(train_pred)
-        .select(F.explode(F.arrays_zip(bks.alias("bk"), pks.alias("pk"))).alias("s"))
-        .select(F.col("s.bk").alias("bk"), F.col("s.pk").alias("pk"))
+    # ONE pass over the train slice (VERDICT r13 item 3): each document
+    # row emits its bigram keys (kind 'b'), its prefix keys (kind 'u')
+    # AND its word hashes (kind 'w') as one concatenated entry array, so
+    # a single explode + a single grouped count feeds ALL THREE model
+    # components — the maps assemble from the vocabulary-bounded result
+    # in one final aggregation, and V is simply the number of grouped
+    # rows with kind 'w' (each distinct word hash is one group). The
+    # earlier shape computed V via a SECOND tokenize+explode over the
+    # train slice (the pair stream alone cannot see a document's last
+    # token, nor single-token documents — exactly the rows the 'w'
+    # entries add).
+    t = _lower_tokens(text_col)
+    wh = F.transform(t, lambda w: char_poly_hash(w))
+    n = F.size(t)
+    left = F.slice(wh, 1, n - 1)
+    right = F.slice(wh, 2, n - 1)
+    bks = F.zip_with(left, right, lambda a, b: (a * WORD_BASE + b) % POLY_MOD)
+    entries = F.concat(
+        F.transform(bks, lambda x: F.struct(F.lit("b").alias("kind"), x.alias("key"))),
+        F.transform(left, lambda x: F.struct(F.lit("u").alias("kind"), x.alias("key"))),
+        F.transform(wh, lambda x: F.struct(F.lit("w").alias("kind"), x.alias("key"))),
     )
-    # ONE pass over the pair explode: each bigram slot contributes its
-    # bigram key (kind 'b') and its prefix key (kind 'u') to one grouped
-    # count, and both maps assemble from that single vocabulary-bounded
-    # table in one final aggregation. The earlier big/uni/tp branch tree
-    # re-executed the explode per branch when the model was built lazily
-    # inside a larger plan — three train passes where one suffices.
-    kk = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("b").alias("kind"), F.col("bk").alias("key")),
-                F.struct(F.lit("u").alias("kind"), F.col("pk").alias("key")),
-            )
-        ).alias("e")
-    ).select("e.kind", "e.key")
+    kk = (
+        docs.where(train_pred)
+        .select(F.explode(entries).alias("e"))
+        .select("e.kind", "e.key")
+    )
     counts = kk.groupBy("kind", "key").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     if min_count > 1:  # the floor prunes BIGRAM types only (see above)
         counts = counts.where((F.col("kind") != "b") | (F.col("c") >= min_count))
-    # collect_list skips the NULLs the non-matching kind produces
-    maps = counts.groupBy().agg(
-        F.map_from_entries(
-            F.collect_list(F.when(F.col("kind") == "b", F.struct("key", "c")))
-        ).alias("big"),
-        F.map_from_entries(
-            F.collect_list(F.when(F.col("kind") == "u", F.struct("key", "c")))
-        ).alias("uni"),
+    # collect_list skips the NULLs the non-matching kinds produce
+    return (
+        counts.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.when(F.col("kind") == "b", F.struct("key", "c")))
+            ).alias("big"),
+            F.map_from_entries(
+                F.collect_list(F.when(F.col("kind") == "u", F.struct("key", "c")))
+            ).alias("uni"),
+            F.coalesce(
+                F.sum(F.when(F.col("kind") == "w", 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
     )
-    vstats = (
-        docs.where(train_pred)
-        .select(F.explode(_lower_tokens(text_col)).alias("w"))
-        .select(char_poly_hash(F.col("w")).alias("wh"))
-        .agg(F.count_distinct("wh").cast("bigint").alias("v"))
-    )
-    return maps.crossJoin(vstats)
 
 
 def lm_score_with_model(
@@ -199,84 +207,24 @@ def lm_quality_score(
     identically in both engines (the same hashed-LM quantization KenLM-style
     deployments accept).
 
-    Scale shape: the LM side aggregates the TRAIN subset only (map-side
-    combinable groupBys over vocabulary-bounded keys); the trained tables
-    broadcast (they are vocabulary-sized, not corpus-sized); the corpus
-    side is explode → two broadcast joins → one groupBy on the document id.
-    No corpus-sized shuffle carries anything wider than (id, pos, 2 hashes).
+    Scale shape: ONE train-slice pass builds the model (``lm_train``'s
+    concatenated b/u/w kind stream — a single explode + grouped count),
+    the 1-row model broadcasts, and scoring is ``lm_score_with_model``'s
+    pure projection over a stateless cross join — no corpus-side explode,
+    no per-document re-aggregation. The model row carries exactly the
+    bytes the former broadcast-join count TABLES shipped (a broadcast
+    collects to the driver either way, so the map has no extra memory
+    wall); ``min_count`` bounds it on web-scale train slices. Before r14
+    this function kept a separate broadcast-join scoring path whose
+    train side re-executed per branch (8 parquet scans at runtime —
+    Spark did not reuse the exchanges); the model path is pinned
+    bit-identical by pytest, so the delegation is value-free.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        train_pred.alias("is_train"),
-        _lower_tokens(text_col).alias("t"),
-    )
-    n = F.size("t")
-    # bigram slots with position: struct(w1, w2) per adjacent pair
-    pairs = (
-        toks.where(n >= 2)
-        .select(
-            "id",
-            "is_train",
-            F.posexplode(
-                F.arrays_zip(
-                    F.slice("t", 1, n - 1).alias("a"),
-                    F.slice(F.col("t"), 2, n - 1).alias("b"),
-                )
-            ).alias("pos", "s"),
-        )
-        .select(
-            "id",
-            "is_train",
-            "pos",
-            ((char_poly_hash(F.col("s.a")) * WORD_BASE + char_poly_hash(F.col("s.b")))
-             % POLY_MOD).alias("bk"),
-            char_poly_hash(F.col("s.a")).alias("pk"),
-        )
-    )
-    # ONE corpus-side aggregation for the whole LM: group the train bigram
-    # slots by (prefix, bigram) once, then derive both count tables from
-    # the vocabulary-bounded result — bigram counts as a sum over bk,
-    # prefix counts as a sum over pk (identical values to direct counts;
-    # saves a second full pass over the train explode)
-    tp = (
-        pairs.where("is_train")
-        .groupBy("pk", "bk")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    big = tp.groupBy("bk").agg(F.sum("c").cast("bigint").alias("c_bi"))
-    if min_count > 1:  # CCNet-style count-floor prune — see lm_train
-        big = big.where(F.col("c_bi") >= min_count)
-    uni = tp.groupBy("pk").agg(F.sum("c").cast("bigint").alias("c_uni"))
-    # V = train token vocabulary (ALL positions, not just bigram prefixes)
-    vstats = (
-        toks.where("is_train")
-        .select(F.explode("t").alias("w"))
-        .select(char_poly_hash(F.col("w")).alias("wh"))
-        .agg(F.count_distinct("wh").cast("bigint").alias("v"))
-    )
-    p = (F.coalesce(F.col("c_bi"), F.lit(0)) + 1).cast("double") / (
-        F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v")
-    )
-    scored = (
-        pairs.join(F.broadcast(big), "bk", "left")
-        .join(F.broadcast(uni), "pk", "left")
-        .crossJoin(F.broadcast(vstats))
-        .select("id", "pos", p.alias("p"))
-    )
-    # ordered fold by position (the dot-product pattern): both engines sum
-    # the same doubles in the same order
-    total = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "p"))), lambda s: s["p"]
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nb = F.count(F.lit(1)).cast("bigint")
-    return (
-        scored.groupBy("id")
-        .agg(nb.alias("n_bigrams"), F.round(total / nb, 6).alias("lm_score"))
-        .select("id", "n_bigrams", "lm_score")
+    return lm_score_with_model(
+        docs,
+        lm_train(docs, train_pred, text_col=text_col, min_count=min_count),
+        id_col=id_col,
+        text_col=text_col,
     )
 
 
@@ -342,21 +290,34 @@ def dsir_scores(
         .cast("bigint")
         .alias("t"),
     )
-    totals = raw_tgt.agg(
+    # VERDICT r13 item 3: the model collapses to ONE ROW in a single
+    # aggregation chain (doc_counts → B-row rollup → 1-row collect with
+    # the totals folded into the SAME agg), instead of the former
+    # raw_tgt ⨯ broadcast(totals) table whose two broadcast builds each
+    # re-executed the corpus explode at runtime. doc_counts now has
+    # exactly two consumers — the model chain and the probe — sharing
+    # one shuffle exchange (AQE reuses it), so the corpus is tokenized
+    # once. Per-bucket ratios are the identical integer expression,
+    # evaluated in a projection over the collected B-row array.
+    model_src = raw_tgt.groupBy().agg(
+        F.collect_list(F.struct("b", "r", "t")).alias("ent"),
         F.sum("r").cast("bigint").alias("big_r"),
         F.sum("t").cast("bigint").alias("big_t"),
     )
-    # every bucket a document can hit appears in raw_tgt (doc tokens ⊆
-    # corpus tokens), and a bucket with no target tokens has t = 0 from
-    # the conditional sum — full support, no outer join needed
-    ratio = (
-        ((F.col("t") + 1) * (F.col("big_r") + n_buckets)
-         - (F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
-        / ((F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
+    ratio_of = lambda e: (  # noqa: E731 - local expression builder
+        (
+            (e["t"] + 1) * (F.col("big_r") + n_buckets)
+            - (e["r"] + 1) * (F.col("big_t") + n_buckets)
+        ).cast("double")
+        / ((e["r"] + 1) * (F.col("big_t") + n_buckets)).cast("double")
     )
-    buckets = (
-        raw_tgt.crossJoin(F.broadcast(totals))
-        .select("b", ratio.alias("lr"))
+    model = model_src.select(
+        F.map_from_entries(
+            F.transform(
+                "ent",
+                lambda e: F.struct(e["b"].alias("key"), ratio_of(e).alias("value")),
+            )
+        ).alias("lr")
     )
     total = F.aggregate(
         F.transform(
@@ -366,9 +327,18 @@ def dsir_scores(
         lambda acc, x: acc + x,
     )
     n_tok = F.sum("c").cast("bigint")
+    # every bucket a document can hit appears in the model (doc tokens ⊆
+    # corpus tokens), so element_at never NULLs the contribution
     return (
-        doc_counts.join(F.broadcast(buckets), "b")
-        .select("id", "b", "c", (F.col("c").cast("double") * F.col("lr")).alias("contrib"))
+        doc_counts.crossJoin(F.broadcast(model))
+        .select(
+            "id",
+            "b",
+            "c",
+            (F.col("c").cast("double") * F.element_at("lr", F.col("b"))).alias(
+                "contrib"
+            ),
+        )
         .groupBy("id")
         .agg(n_tok.alias("n_tokens"), F.round(total / n_tok, 6).alias("dsir_score"))
         .select("id", "n_tokens", "dsir_score")
@@ -411,19 +381,31 @@ def dsir_train(
         F.coalesce("r", F.lit(0)).cast("bigint").alias("r"),
         F.coalesce("t", F.lit(0)).cast("bigint").alias("t"),
     )
-    totals = full.agg(
-        F.sum("r").cast("bigint").alias("big_r"), F.sum("t").cast("bigint").alias("big_t")
+    # one-row collapse in a SINGLE aggregation (totals folded into the
+    # same agg as the bucket collect — the former full ⨯ broadcast(totals)
+    # re-executed the explode subtree for each broadcast build); the
+    # per-bucket ratio is the identical integer expression, evaluated in
+    # the final projection over the collected B-row array
+    row = full.groupBy().agg(
+        F.collect_list(F.struct("b", "r", "t")).alias("ent"),
+        F.sum("r").cast("bigint").alias("big_r"),
+        F.sum("t").cast("bigint").alias("big_t"),
     )
-    ratio = (
-        ((F.col("t") + 1) * (F.col("big_r") + n_buckets)
-         - (F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
-        / ((F.col("r") + 1) * (F.col("big_t") + n_buckets)).cast("double")
+    ratio_of = lambda e: (  # noqa: E731 - local expression builder
+        (
+            (e["t"] + 1) * (F.col("big_r") + n_buckets)
+            - (e["r"] + 1) * (F.col("big_t") + n_buckets)
+        ).cast("double")
+        / ((e["r"] + 1) * (F.col("big_t") + n_buckets)).cast("double")
     )
-    return (
-        full.crossJoin(F.broadcast(totals))
-        .select("b", ratio.alias("lr"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("b", "lr"))).alias("lr"))
-        .select("lr", F.lit(n_buckets).cast("int").alias("nb"))
+    return row.select(
+        F.map_from_entries(
+            F.transform(
+                "ent",
+                lambda e: F.struct(e["b"].alias("key"), ratio_of(e).alias("value")),
+            )
+        ).alias("lr"),
+        F.lit(n_buckets).cast("int").alias("nb"),
     )
 
 

@@ -101,8 +101,40 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # scale — so scale-sensitive divergence in touched code surfaces locally
 # before the gate does. Update each round alongside DRIVER_ORDER.
 CHANGED_THIS_ROUND: list[str] = [
-    # r14 changes land here as they are made (single-pass LM/DSIR
-    # training, CC closure round cut, GIF codec, ADVICE fixes)
+    # r14 (VERDICT r13 item 3): LM/DSIR training is single-pass —
+    # lm_train folds V into its one grouped explode (kind 'w'),
+    # lm_quality_score delegates to the pinned-bit-identical
+    # train+serve path (the join path re-executed its train side per
+    # broadcast branch: 4 runtime scans → 2), dsir collapses its model
+    # to ONE row in a single aggregation chain. All direct consumers:
+    "doc_lm_quality",
+    "doc_lm_serve_scores",
+    "doc_lm_quality_pruned",
+    "doc_lm_buckets",
+    "doc_lm_bucket_sample",
+    "doc_quality_calibration",
+    "doc_lm_auc",
+    "doc_dsir_scores",
+    "doc_dsir_serve_scores",
+    "doc_curation_lmgate",
+    "doc_curation_lmgate_pruned",
+    # r14 (VERDICT r13 item 4): connected_components starts from the
+    # 1-hop init min(u, min(N(u))) (one fewer join round) and
+    # checkpoints lazily so the convergence count is the materializing
+    # job (one action per round). Labels provably unchanged. Direct CC
+    # consumers:
+    "doc_dup_components",
+    "doc_fingerprint_dedup",
+    "embedding_semantic_dedup",
+    "doc_curation_semdedup",
+    "doc_dedup_keep_best",
+    "doc_incremental_dedup",
+    "doc_curation_medianear",
+    "doc_curation_medianear_artifact",
+    "doc_curation_keepbest",
+    # r14 (ADVICE r13 item 3): msadpcm_decode raises on out-of-table
+    # predictor indices (valid wires decode identically)
+    "audio_msadpcm_fingerprint_neardup",
 ]
 
 base.DRIVER_ORDER[:] = [
