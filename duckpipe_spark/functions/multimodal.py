@@ -59,6 +59,8 @@ def _sniff_format(blob: bytes) -> str:
         return "png"
     if blob[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
     if blob[4:8] == b"ftyp":
@@ -202,6 +204,7 @@ def image_dhash(
     cols = grid + 1
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from duckpipe_spark.functions.gif import decode_gif
         from duckpipe_spark.functions.jpeg import decode_jpeg
         from duckpipe_spark.functions.png import decode_png
 
@@ -219,6 +222,11 @@ def image_dhash(
                         arr = decode_png(blob)
                     elif fmt == "jpeg":
                         arr = decode_jpeg(blob)
+                    elif fmt == "gif":
+                        # first frame carries the perceptual identity (the
+                        # same convention as MJPEG's frame-0 anchor); GIF
+                        # frames decode to (h, w, 3) via the color table
+                        arr = decode_gif(blob)[0]
                     else:
                         continue
                 except (ValueError, NotImplementedError):

@@ -135,6 +135,13 @@ CHANGED_THIS_ROUND: list[str] = [
     # r14 (ADVICE r13 item 3): msadpcm_decode raises on out-of-table
     # predictor indices (valid wires decode identically)
     "audio_msadpcm_fingerprint_neardup",
+    # NEW in r14 (VERDICT r13 item 5): third vendored image codec — GIF
+    # (LZW) as CROSS-CODEC dHash twins (PNG even docs vs animated-GIF
+    # odd docs); conformance-pinned against an independent scalar LZW
+    # transcription and real encoder-written files; hash-green at
+    # sf0.001/0.01/0.1 locally; registered after the r14 window froze,
+    # so it leads the r15 window
+    "image_gif_phash_neardup",
 ]
 
 base.DRIVER_ORDER[:] = [

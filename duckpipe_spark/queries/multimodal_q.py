@@ -1315,3 +1315,126 @@ def audio_msadpcm_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataF
     return phash_neardup_pairs(
         audio_fingerprint(blobs), max_distance=3, max_band_df=50
     )
+
+
+# --- GIF (LZW) cross-codec perceptual near-dup (r14) -------------------------
+#
+# VERDICT r13 item 5 — the third vendored image-side codec: each doc pair
+# (2j, 2j+1) carries the SAME 8x9 brightness grid upscaled to 16x18, but in
+# TWO DIFFERENT CODECS: doc 2j is a PNG, doc 2j+1 is an ANIMATED GIF whose
+# frame 0 is the block-sum-preserving perturbation of the grid (+1
+# top-left / -1 bottom-right per 2x2 block) and whose frame 1 is an
+# inverted decoy (the frame-sampling contract: image_dhash anchors on
+# frame 0, like MJPEG's frame-0 convention). Byte-level the pair shares
+# NOTHING — different container, different compression (DEFLATE vs LZW),
+# different pixels — so this is a pair byte dedup can never see; the
+# perceptual engine must surface it at Hamming 0 because the 2x2 block
+# sums (hence every dHash bit) are unchanged. The engine runs the full
+# real path — PNG/GIF encode, vendored DEFLATE/LZW decode, gray fold
+# (1-channel PNG vs palette-tripled GIF — a pure scale the
+# cross-multiplied block compare cancels), dHash, banded pair join,
+# xor+popcount verify — while the oracle recomputes the dHash
+# analytically from the grid formula (LZW is lossless, so decoded pixels
+# ARE the formula's values: the same replay lemma the PNG query uses,
+# with the codec itself conformance-pinned in tests/test_gif_codec.py
+# against an independent scalar LZW transcription and real
+# encoder-written files) and replays band/verify in SQL.
+_IMAGE_GIF_PHASH_ORACLE = """
+WITH g AS (
+  SELECT doc_id, R, C,
+         1 + ((((doc_id // 2) * 1299709 + R * 17 + C + 3) % 1000000007)
+              * (((doc_id // 2) * 1299709 + R * 17 + C + 3) % 1000000007)
+              % 1000000007 * 2654435761 % 1000000007) % 254 AS v
+  FROM documents,
+       (SELECT unnest(range(0, 8)) AS R),
+       (SELECT unnest(range(0, 9)) AS C)
+),
+bits AS (
+  SELECT a.doc_id, a.R AS r, a.C AS c,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.R = b.R AND b.C = a.C + 1
+  WHERE a.C < 8
+),
+codes AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN r < 4
+              THEN bit * (CAST(1 AS BIGINT) << CAST(31 - r * 8 - c AS INT))
+              ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN r >= 4
+              THEN bit * (CAST(1 AS BIGINT) << CAST(31 - (r - 4) * 8 - c AS INT))
+              ELSE 0 END) AS BIGINT) AS h1
+  FROM bits GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, h0, h1,
+         unnest([h0 // 65536, h0 % 65536, h1 // 65536, h1 % 65536]) AS bv,
+         unnest([0, 1, 2, 3]) AS bi
+  FROM codes
+),
+hot AS (
+  SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) > 50
+),
+rare AS MATERIALIZED (
+  SELECT b.doc_id, b.h0, b.h1, b.bi, b.bv
+  FROM bands b ANTI JOIN hot h ON b.bi = h.bi AND b.bv = h.bv
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.h0 AS h0a, a.h1 AS h1a, b.h0 AS h0b, b.h1 AS h1b
+  FROM rare a JOIN rare b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 3
+"""
+
+
+@register(
+    "image_gif_phash_neardup",
+    _IMAGE_GIF_PHASH_ORACLE,
+    "cross-codec (PNG vs animated GIF/LZW) dHash near-dup over 64-bit codes",
+)
+def image_gif_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r13 item 5 — vendored GIF (LZW) wired into the dHash
+    near-dup path as CROSS-CODEC twins: even docs encode the grid as PNG,
+    odd docs as a two-frame animated GIF (frame 0 = block-sum-preserving
+    perturbation, frame 1 = inverted decoy exercising the frame-0
+    anchor). The planted pair (2j, 2j+1) must band-join and verify at
+    Hamming 0 across codecs."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from duckpipe_spark.functions.gif import encode_gif
+    from duckpipe_spark.functions.multimodal import image_dhash, phash_neardup_pairs
+    from duckpipe_spark.functions.png import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                j = d // 2
+                rr = np.arange(8, dtype=np.int64)
+                cc = np.arange(9, dtype=np.int64)
+                # quadratic congruential mix (see image_phash_neardup's
+                # orbit argument); distinct constants keep this fixture's
+                # codes independent of the PNG-only query's
+                seed = (j * 1299709 + rr[:, None] * 17 + cc[None, :] + 3) % 1000000007
+                grid = 1 + (seed * seed % 1000000007 * 2654435761 % 1000000007) % 254
+                img = np.repeat(np.repeat(grid, 2, axis=0), 2, axis=1).astype(np.uint8)
+                if d % 2 == 0:
+                    blobs.append(encode_png(img, filter_type=1))
+                else:
+                    img[0::2, 0::2] += 1  # near-identical: block sums unchanged
+                    img[1::2, 1::2] -= 1
+                    decoy = (255 - img).astype(np.uint8)
+                    blobs.append(encode_gif([img, decoy], delay_cs=6))
+            yield pd.DataFrame({"blob_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = docs.mapInPandas(gen, "blob_id bigint, blob binary")
+    return phash_neardup_pairs(image_dhash(blobs), max_distance=3, max_band_df=50)
