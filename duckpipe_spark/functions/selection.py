@@ -207,24 +207,106 @@ def lm_quality_score(
     identically in both engines (the same hashed-LM quantization KenLM-style
     deployments accept).
 
-    Scale shape: ONE train-slice pass builds the model (``lm_train``'s
-    concatenated b/u/w kind stream — a single explode + grouped count),
-    the 1-row model broadcasts, and scoring is ``lm_score_with_model``'s
-    pure projection over a stateless cross join — no corpus-side explode,
-    no per-document re-aggregation. The model row carries exactly the
-    bytes the former broadcast-join count TABLES shipped (a broadcast
-    collects to the driver either way, so the map has no extra memory
-    wall); ``min_count`` bounds it on web-scale train slices. Before r14
-    this function kept a separate broadcast-join scoring path whose
-    train side re-executed per branch (8 parquet scans at runtime —
-    Spark did not reuse the exchanges); the model path is pinned
-    bit-identical by pytest, so the delegation is value-free.
+    Scale shape (r14, measured at sf0.1): ONE pass over the train slice
+    builds a single vocabulary-bounded (kind, key, count) table — the
+    same concatenated b/u/w kind stream as ``lm_train`` — which is
+    materialized once with a ``localCheckpoint`` (bounded by the SAME
+    vocabulary-size argument that lets the count tables broadcast at
+    all, so the checkpoint adds no new memory wall) and then sliced into
+    the bigram/prefix/vocab broadcast inputs without re-executing the
+    explode (Spark did not reuse the three branch exchanges: 4 runtime
+    parquet scans before, 2 after — the full corpus scoring scan plus
+    this one train-slice scan). Scoring stays the EXPLODED broadcast-join
+    pipeline: corpus explode → two broadcast joins → one groupBy(id)
+    with the position-ordered fold. The 1-row-model serve path
+    (``lm_score_with_model``) computes bit-identical scores (pytest pins
+    it) but evaluates its per-document array fold outside whole-stage
+    codegen, which measures ~3x slower per corpus pass at sf0.1 — the
+    exploded pipeline is the batch shape, the model row the
+    streaming/serve shape.
     """
-    return lm_score_with_model(
-        docs,
-        lm_train(docs, train_pred, text_col=text_col, min_count=min_count),
-        id_col=id_col,
-        text_col=text_col,
+    # train side: one explode pass over the train slice → (kind, key, c),
+    # materialized once, sliced three ways (values identical to the
+    # separate big/uni/vstats aggregations by construction)
+    t = _lower_tokens(text_col)
+    wh = F.transform(t, lambda w: char_poly_hash(w))
+    nw = F.size(t)
+    tleft = F.slice(wh, 1, nw - 1)
+    tright = F.slice(wh, 2, nw - 1)
+    tbks = F.zip_with(tleft, tright, lambda a, b: (a * WORD_BASE + b) % POLY_MOD)
+    entries = F.concat(
+        F.transform(tbks, lambda x: F.struct(F.lit("b").alias("kind"), x.alias("key"))),
+        F.transform(tleft, lambda x: F.struct(F.lit("u").alias("kind"), x.alias("key"))),
+        F.transform(wh, lambda x: F.struct(F.lit("w").alias("kind"), x.alias("key"))),
+    )
+    counts = (
+        docs.where(train_pred)
+        .select(F.explode(entries).alias("e"))
+        .groupBy(F.col("e.kind").alias("kind"), F.col("e.key").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    if min_count > 1:  # CCNet-style count-floor prune — see lm_train
+        counts = counts.where((F.col("kind") != "b") | (F.col("c") >= min_count))
+    counts = counts.localCheckpoint()
+    big = counts.where(F.col("kind") == "b").select(
+        F.col("key").alias("bk"), F.col("c").alias("c_bi")
+    )
+    uni = counts.where(F.col("kind") == "u").select(
+        F.col("key").alias("pk"), F.col("c").alias("c_uni")
+    )
+    vstats = (
+        counts.where(F.col("kind") == "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+
+    # corpus side: bigram slots with position, hashed after the explode so
+    # every expression runs inside whole-stage codegen
+    toks = docs.select(
+        F.col(id_col).alias("id"), _lower_tokens(text_col).alias("t")
+    )
+    n = F.size("t")
+    pairs = (
+        toks.where(n >= 2)
+        .select(
+            "id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice("t", 1, n - 1).alias("a"),
+                    F.slice(F.col("t"), 2, n - 1).alias("b"),
+                )
+            ).alias("pos", "s"),
+        )
+        .select(
+            "id",
+            "pos",
+            ((char_poly_hash(F.col("s.a")) * WORD_BASE + char_poly_hash(F.col("s.b")))
+             % POLY_MOD).alias("bk"),
+            char_poly_hash(F.col("s.a")).alias("pk"),
+        )
+    )
+    p = (F.coalesce(F.col("c_bi"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v")
+    )
+    scored = (
+        pairs.join(F.broadcast(big), "bk", "left")
+        .join(F.broadcast(uni), "pk", "left")
+        .crossJoin(F.broadcast(vstats))
+        .select("id", "pos", p.alias("p"))
+    )
+    # ordered fold by position (the dot-product pattern): both engines sum
+    # the same doubles in the same order
+    total = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))), lambda s: s["p"]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nb = F.count(F.lit(1)).cast("bigint")
+    return (
+        scored.groupBy("id")
+        .agg(nb.alias("n_bigrams"), F.round(total / nb, 6).alias("lm_score"))
+        .select("id", "n_bigrams", "lm_score")
     )
 
 
