@@ -74,8 +74,14 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # (doc_winnow_fingerprints .. parts_hll_distinct, the full list below);
 # being 4 rounds old at r15, they are scheduled to LEAD the r15 window:
 # r15 window plan: any queries NEW in r14 or r14-changed-and-not-
-# windowed FIRST (r14-new: image_gif_phash_neardup if registered this
-# round; r14 CHANGED members not inside the r14 window), then the 34
+# windowed FIRST — the never-attested r14-new image_gif_phash_neardup
+# (registered after the r14 window froze; judge-attestable from the
+# local 3-scale runs), then the r14 CHANGED members whose latest driver
+# row predates their r14 change, in this order: doc_lm_quality,
+# doc_lm_buckets, doc_quality_calibration, doc_dsir_scores,
+# doc_dsir_serve_scores, doc_curation_lmgate, doc_dup_components,
+# doc_fingerprint_dedup, doc_curation_medianear, doc_curation_keepbest
+# (all re-attested locally at sf0.001/0.01/0.1 in r14) — then the 34
 # r11-cohort leftovers ALPHABETICALLY (doc_winnow_fingerprints,
 # doc_winnow_matches, embedding_cosine_topk,
 # embedding_hamming_external_topk, embedding_hamming_topk,
