@@ -530,14 +530,21 @@ def test_lm_quality_broadcast_lm_tables_no_smj(spark):
 
 
 def test_dsir_bucket_table_broadcast_no_smj(spark):
-    """doc_dsir_scores: the B-row bucket distribution table broadcasts;
-    the corpus side is explode -> map-combinable (id, bucket) count ->
-    broadcast join -> one groupBy(id). No SMJ/SHJ anywhere."""
+    """doc_dsir_scores (single-pass r14 shape): the bucket model collapses
+    to ONE broadcast row (B-entry map) riding a single cross
+    BroadcastNestedLoopJoin onto the (id, bucket) counts; the corpus
+    explode feeds model and probe through ONE shared exchange
+    (ReusedExchange). No SMJ/SHJ, no equi-broadcast needed anymore, and
+    never a CartesianProduct."""
     with no_aqe(spark):
         a = audit_plan(_q("doc_dsir_scores")(spark, SF_SMOKE))
     assert a.sort_merge_joins == 0
     assert a.shuffle_hash_joins == 0
-    assert a.broadcast_hash_joins >= 1
+    # formatted explain prints each node twice (tree + detail header), so
+    # one physical BNLJ node == 2 matches; the 1-row model join is the
+    # ONLY nested-loop join allowed
+    assert a.broadcast_nl_joins == 2, a.text
+    assert "ReusedExchange" in a.text  # corpus explode tokenized once
     assert a.python_stages == 0
     assert "CartesianProduct" not in a.text
 
