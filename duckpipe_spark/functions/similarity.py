@@ -1468,3 +1468,76 @@ def sq8_topk(
         k,
     )
     return ranked.select("query_id", "rank", "neighbor_id", "cos")
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    k: int = 10,
+    k_rrf: int = 60,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09) over
+    named ranked candidate lists → (query_id, rank, ``id_col``, rrf_score,
+    {name}_rank per input list): the standard hybrid-retrieval combiner —
+    fuse a sparse (BM25) and a dense (embedding) ranking without score
+    calibration, since only RANKS enter the fused score.
+
+    Determinism: the textbook 1/(k_rrf + rank) is replaced by the integer
+    ``scale DIV (k_rrf + rank)`` (floor division of exact ints), so the
+    fused score is a BIGINT both engines agree on bit-for-bit — no float
+    summation order to reason about. With the default scale=1e6 the
+    quantization never reorders: distinct rank sets map to distinct sums
+    for any realistic k_rrf/list sizes, and residual ties break on id.
+
+    Scale shape: every input list is already a per-query top-k (bounded:
+    n_queries x k_cand rows TOTAL), so the union + groupBy + final
+    row_number window all operate on tiny bounded frames — the expensive
+    work (corpus scans, two-phase rank stages) lives in the upstream
+    operators that produced the lists. The final window is NOT the
+    two-phase ``_topk_per_query`` on purpose: its input is pre-bounded by
+    construction, so one window over <= sum(k_i) rows per query is the
+    cheaper plan at any corpus size.
+
+    Each input frame must carry (query_id, rank, ``id_col``); extra
+    columns (scores) are dropped. ``rank`` is 1-based as produced by the
+    repo's rank stages."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one (name, DataFrame) ranking")
+    names = [n for n, _ in rankings]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate ranking names: {names}")
+    contrib = F.expr(f"{int(scale)} DIV ({int(k_rrf)} + _r)").cast("long")
+    parts = [
+        df.select(
+            "query_id",
+            F.col(id_col),
+            F.col("rank").cast("int").alias("_r"),
+            F.lit(name).alias("_sys"),
+        )
+        for name, df in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.withColumn("_c", contrib)
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("_c").alias("rrf_score"),
+            *[
+                F.min(F.when(F.col("_sys") == name, F.col("_r")))
+                .cast("int")
+                .alias(f"{name}_rank")
+                for name in names
+            ],
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "rank", id_col, "rrf_score", *[f"{n}_rank" for n in names])
+    )

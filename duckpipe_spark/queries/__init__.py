@@ -75,8 +75,9 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # being 4 rounds old at r15, they are scheduled to LEAD the r15 window:
 # r15 window plan: any queries NEW in r14 or r14-changed-and-not-
 # windowed FIRST — the never-attested r14-new image_gif_phash_neardup
-# (registered after the r14 window froze; judge-attestable from the
-# local 3-scale runs), then the r14 CHANGED members whose latest driver
+# and doc_hybrid_rrf_topk (both registered after the r14 window froze;
+# judge-attestable from the local 3-scale runs), then the r14 CHANGED
+# members whose latest driver
 # row predates their r14 change, in this order: doc_lm_quality,
 # doc_lm_buckets, doc_quality_calibration, doc_dsir_scores,
 # doc_dsir_serve_scores, doc_curation_lmgate, doc_dup_components,
@@ -148,6 +149,13 @@ CHANGED_THIS_ROUND: list[str] = [
     # sf0.001/0.01/0.1 locally; registered after the r14 window froze,
     # so it leads the r15 window
     "image_gif_phash_neardup",
+    # NEW in r14: hybrid sparse+dense retrieval — BM25 top-20 and exact
+    # cosine top-20 over the shared doc/vec id space fused by integer
+    # Reciprocal Rank Fusion (1e6 DIV (60 + rank), rank-only → no new
+    # float surface); hash-green at sf0.001/0.01/0.1 locally; registered
+    # after the r14 window froze, so it leads the r15 window with the GIF
+    # query
+    "doc_hybrid_rrf_topk",
 ]
 
 base.DRIVER_ORDER[:] = [

@@ -1296,3 +1296,108 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=_SQ8_RERANK,
         scale=_SQ8_SCALE,
     )
+
+
+# --- hybrid sparse+dense retrieval fused by integer RRF (r14) ----------------
+
+# The standard RAG/hard-negative-mining retrieval shape the catalog lacked:
+# BM25 keyword ranking (sparse) and embedding cosine ranking (dense) over
+# the SAME id space (documents.doc_id == embeddings.vec_id in the corpus),
+# combined by Reciprocal Rank Fusion. RRF only consumes RANKS, so the two
+# rankers' already-deterministic (rounded score, id) orders make the fused
+# BIGINT score — scale DIV (k_rrf + rank) — hash-exact cross-engine with
+# no new float surface at all.
+_HYBRID_K = 10
+_HYBRID_CAND_K = 20
+_HYBRID_RRF_K = 60
+_HYBRID_SCALE = 1_000_000
+# dense-side query vectors: the vec_ids matching the BM25 query ids, so
+# every fused query has both a sparse and a dense leg
+_HYBRID_QUERY_IDS = [0, 1, 2, 3]
+
+
+def _cos_topk_oracle_body(qids: list[int], k: int) -> str:
+    """The brute-force cosine oracle as a parameterized WITH-subquery body
+    (same expression tree as _TOPK_ORACLE, which pins qids/k statically)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, qids))})
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {int(k)}
+"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    from duckpipe_spark.queries.text_q import _bm25_oracle
+
+    return f"""
+WITH sparse AS ({_bm25_oracle(_HYBRID_CAND_K)}),
+dense AS ({_cos_topk_oracle_body(_HYBRID_QUERY_IDS, _HYBRID_CAND_K)}),
+u AS (
+  SELECT query_id, doc_id, rank, 's' AS sys FROM sparse
+  UNION ALL
+  SELECT query_id, neighbor_id AS doc_id, rank, 'd' AS sys FROM dense
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(sum({_HYBRID_SCALE} // ({_HYBRID_RRF_K} + rank)) AS BIGINT) AS rrf_score,
+         CAST(min(CASE WHEN sys = 's' THEN rank END) AS INT) AS sparse_rank,
+         CAST(min(CASE WHEN sys = 'd' THEN rank END) AS INT) AS dense_rank
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rk AS INT) AS rank, doc_id, rrf_score, sparse_rank, dense_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+  ) AS rk FROM fused
+) WHERE rk <= {_HYBRID_K}
+"""
+
+
+@register(
+    "doc_hybrid_rrf_topk",
+    _hybrid_rrf_oracle(),
+    "hybrid retrieval: BM25 + cosine top-k fused by integer Reciprocal Rank Fusion",
+)
+def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — hybrid retrieval over one id space: the sparse leg is the
+    BM25 rank stage (text.bm25_topk, candidate depth 20), the dense leg is
+    the exact-cosine rank stage (brute_force_topk, depth 20, self
+    excluded), and rrf_fuse combines them with the integer RRF score
+    1e6 DIV (60 + rank). Both legs keep their two-phase top-k scale shape;
+    the fusion itself touches only n_queries x 40 pre-bounded rows."""
+    from duckpipe_spark.functions.text import bm25_topk
+    from duckpipe_spark.functions.similarity import rrf_fuse
+    from duckpipe_spark.queries.text_q import _BM25_QUERIES
+
+    sparse = bm25_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=_HYBRID_CAND_K
+    )
+    dense = brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _HYBRID_QUERY_IDS, _HYBRID_CAND_K
+    )
+    return rrf_fuse(
+        [
+            ("sparse", sparse.select("query_id", "rank", "doc_id")),
+            (
+                "dense",
+                dense.select(
+                    "query_id", "rank", F.col("neighbor_id").alias("doc_id")
+                ),
+            ),
+        ],
+        k=_HYBRID_K,
+        k_rrf=_HYBRID_RRF_K,
+        scale=_HYBRID_SCALE,
+    )

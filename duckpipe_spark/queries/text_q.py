@@ -521,8 +521,12 @@ _BM25_QT_VALUES = ", ".join(
 # in exact integer aggregates; the Spark side mirrors this expression tree
 # token for token, and the per-(query, doc) sum is an ordered left fold
 # over term-sorted contributions (the dot-product pattern) rounded to 6 dp
-# before ranking
-_BM25_ORACLE = f"""
+# before ranking.
+#
+# Parameterized on k so the hybrid-RRF oracle (similarity_q.py) can reuse
+# the exact same scoring tree at a wider candidate depth.
+def _bm25_oracle(k: int) -> str:
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
   FROM documents
@@ -563,8 +567,11 @@ SELECT query_id, CAST(rk AS INT) AS rank, doc_id, score FROM (
            ), 6) AS score
     FROM contrib GROUP BY query_id, doc_id
   )
-) WHERE rk <= {_BM25_K}
+) WHERE rk <= {int(k)}
 """
+
+
+_BM25_ORACLE = _bm25_oracle(_BM25_K)
 
 
 @register(

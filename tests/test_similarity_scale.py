@@ -255,3 +255,50 @@ def test_planes_for_recall_model():
         planes_for_recall(0.9, 0.0)
     with pytest.raises(ValueError):
         planes_for_recall(0.9, 1.0)
+
+
+# --- rrf_fuse (r14): hybrid-retrieval rank fusion ----------------------------
+
+
+def test_rrf_fuse_semantics(spark):
+    """A doc ranked by BOTH systems must outscore a doc holding the same
+    single rank in one system; per-system rank columns surface the
+    provenance; ties break on doc id; k truncates the fused list."""
+    from duckpipe_spark.functions.similarity import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12)], "query_id int, rank int, doc_id long"
+    )
+    dense = spark.createDataFrame(
+        [(0, 1, 11), (0, 2, 20), (0, 3, 21)], "query_id int, rank int, doc_id long"
+    )
+    out = rrf_fuse(
+        [("sparse", sparse), ("dense", dense)], k=3, k_rrf=60, scale=1_000_000
+    ).orderBy("rank")
+    rows = out.collect()
+    # doc 11 appears in both lists (sparse 2, dense 1) and outscores every
+    # single-list doc; then sparse rank 1 (10) beats dense rank 2 (20)
+    assert [r["doc_id"] for r in rows] == [11, 10, 20]
+    assert rows[0]["rrf_score"] == 1_000_000 // 62 + 1_000_000 // 61
+    assert (rows[0]["sparse_rank"], rows[0]["dense_rank"]) == (2, 1)
+    assert rows[1]["rrf_score"] == 1_000_000 // 61
+    assert rows[1]["dense_rank"] is None
+    full = rrf_fuse(
+        [("sparse", sparse), ("dense", dense)], k=10, k_rrf=60, scale=1_000_000
+    ).orderBy("rank").collect()
+    assert [r["doc_id"] for r in full] == [11, 10, 20, 12, 21]
+    # cross-system same-rank symmetry: rank 3 in either system scores the
+    # same integer, and the residual tie breaks on doc_id (12 before 21)
+    assert full[3]["rrf_score"] == full[4]["rrf_score"] == 1_000_000 // 63
+
+
+def test_rrf_fuse_guards(spark):
+    import pytest as _pytest
+
+    from duckpipe_spark.functions.similarity import rrf_fuse
+
+    df = spark.createDataFrame([(0, 1, 1)], "query_id int, rank int, doc_id long")
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="duplicate"):
+        rrf_fuse([("a", df), ("a", df)])
