@@ -1541,3 +1541,67 @@ def rrf_fuse(
         .where(F.col("rank") <= int(k))
         .select("query_id", "rank", id_col, "rrf_score", *[f"{n}_rank" for n in names])
     )
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    prefix_dim: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka adaptive retrieval (Kusupati et al., NeurIPS'22 MRL;
+    the OpenAI/Nomic truncatable-embedding serving pattern): candidate
+    scan by cosine over the FIRST ``prefix_dim`` components only — an
+    MRL-trained embedding packs a usable coarse representation into every
+    prefix — then exact full-dimension cosine rerank of the ``rerank``
+    survivors. Cuts candidate-scan flops and scan bytes by
+    dim/prefix_dim (4x here at 64->16) with no auxiliary structure at
+    all: no codebooks (PQ), no planes (LSH), no centroids (IVF) — the
+    index IS the embedding column, sliced.
+
+    Determinism contract (house ANN discipline): both stages score by an
+    ordered left-fold dot (float->double) rounded to 6 dp with
+    (score desc, neighbor id asc) ties, so ranks are bit-identical
+    cross-engine; the DuckDB oracle mirrors the prefix stage by list
+    slicing ``embedding[1:prefix_dim]`` through the same fold. Zero
+    vectors would NaN either engine identically (none in the corpus —
+    same exposure as every cosine rung).
+
+    Scale shape: the corpus-side scan is ONE projection (the prefix
+    slice never materializes as extra rows), queries broadcast, and both
+    rank stages are the two-phase per-query top-k — no task ever sorts
+    the corpus. Identical plan skeleton to ``sq8_topk`` with the int8
+    fold replaced by a prefix-slice fold."""
+    if prefix_dim < 1:
+        raise ValueError(f"matryoshka_topk needs prefix_dim >= 1, got {prefix_dim}")
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    q = base.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    pairs = base.crossJoin(F.broadcast(q)).where(F.col("id") != F.col("query_id"))
+    pcos = F.round(
+        cosine_col(
+            F.slice(F.col("qvec"), 1, prefix_dim), F.slice(F.col("vec"), 1, prefix_dim)
+        ),
+        6,
+    )
+    cand = _topk_per_query(
+        pairs.select(
+            "query_id", F.col("id").alias("neighbor_id"), pcos.alias("pcos"),
+            "qvec", "vec",
+        ),
+        [F.col("pcos").desc(), F.col("neighbor_id").asc()],
+        rerank,
+    ).drop("rank")
+    cos = F.round(cosine_col(F.col("qvec"), F.col("vec")), 6)
+    ranked = _topk_per_query(
+        cand.select("query_id", "neighbor_id", cos.alias("cos")),
+        [F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+    return ranked.select("query_id", "rank", "neighbor_id", "cos")

@@ -74,9 +74,10 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # (doc_winnow_fingerprints .. parts_hll_distinct, the full list below);
 # being 4 rounds old at r15, they are scheduled to LEAD the r15 window:
 # r15 window plan: any queries NEW in r14 or r14-changed-and-not-
-# windowed FIRST — the never-attested r14-new image_gif_phash_neardup
-# and doc_hybrid_rrf_topk (both registered after the r14 window froze;
-# judge-attestable from the local 3-scale runs), then the r14 CHANGED
+# windowed FIRST — the never-attested r14-new image_gif_phash_neardup,
+# doc_hybrid_rrf_topk, and embedding_matryoshka_topk (all registered
+# after the r14 window froze; judge-attestable from the local 3-scale
+# runs), then the r14 CHANGED
 # members whose latest driver
 # row predates their r14 change, in this order: doc_lm_quality,
 # doc_lm_buckets, doc_quality_calibration, doc_dsir_scores,
@@ -156,6 +157,12 @@ CHANGED_THIS_ROUND: list[str] = [
     # after the r14 window froze, so it leads the r15 window with the GIF
     # query
     "doc_hybrid_rrf_topk",
+    # NEW in r14: Matryoshka adaptive retrieval — prefix-16 cosine
+    # candidate scan + full-dim exact rerank (the MRL truncatable-
+    # embedding serving shape; 4x scan cut with zero auxiliary index
+    # structure); hash-green at sf0.001/0.01/0.1 locally; registered
+    # after the r14 window froze, leads the r15 window
+    "embedding_matryoshka_topk",
 ]
 
 base.DRIVER_ORDER[:] = [

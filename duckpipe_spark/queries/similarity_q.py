@@ -1401,3 +1401,57 @@ def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_rrf=_HYBRID_RRF_K,
         scale=_HYBRID_SCALE,
     )
+
+
+# --- Matryoshka (prefix-dim) adaptive retrieval (r14) ------------------------
+
+_MRL_PREFIX = 16
+_MRL_RERANK = 32
+
+_MRL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS nvec, q.qvec,
+         {_cos_sql(f'(q.qvec[1:{_MRL_PREFIX}])', f'(e.embedding[1:{_MRL_PREFIX}])')} AS pcos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, nvec, qvec,
+         row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rn
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         {_cos_sql('qvec', 'nvec')} AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_cos_sql('qvec', 'nvec')} DESC, neighbor_id
+         ) AS INT) AS rank
+  FROM cand WHERE rn <= {_MRL_RERANK}
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "embedding_matryoshka_topk",
+    _MRL_ORACLE,
+    "Matryoshka adaptive retrieval: prefix-dim candidate scan + full-dim exact rerank",
+)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — the MRL truncatable-embedding serving shape (prefix-16 of 64
+    cuts candidate-scan flops/bytes 4x with NO auxiliary index structure);
+    two-phase top-k at both stages, ordered-fold + 6 dp determinism."""
+    from duckpipe_spark.functions.similarity import matryoshka_topk
+
+    return matryoshka_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        _K,
+        prefix_dim=_MRL_PREFIX,
+        rerank=_MRL_RERANK,
+    )

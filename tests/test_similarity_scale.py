@@ -302,3 +302,37 @@ def test_rrf_fuse_guards(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError, match="duplicate"):
         rrf_fuse([("a", df), ("a", df)])
+
+
+# --- matryoshka_topk (r14): prefix-dim candidate scan + full rerank ----------
+
+
+def test_matryoshka_identities(spark):
+    """prefix_dim == full dim makes the candidate stage THE exact ranking,
+    and a rerank window covering the corpus recovers brute force for ANY
+    prefix — the two ends of the MRL accuracy dial."""
+    import numpy as np
+
+    from duckpipe_spark.functions.similarity import brute_force_topk, matryoshka_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 1]
+    exact = brute_force_topk(emb, qids, 5).collect()
+    full_prefix = matryoshka_topk(emb, qids, 5, prefix_dim=8, rerank=8).collect()
+    assert sorted(map(tuple, full_prefix)) == sorted(map(tuple, exact))
+    wide_rerank = matryoshka_topk(emb, qids, 5, prefix_dim=2, rerank=40).collect()
+    assert sorted(map(tuple, wide_rerank)) == sorted(map(tuple, exact))
+
+
+def test_matryoshka_guards(spark):
+    import pytest as _pytest
+
+    from duckpipe_spark.functions.similarity import matryoshka_topk
+
+    emb = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="prefix_dim"):
+        matryoshka_topk(emb, [0], 5, prefix_dim=0)
+    with _pytest.raises(ValueError, match="rerank"):
+        matryoshka_topk(emb, [0], 5, rerank=3)
