@@ -797,3 +797,32 @@ def test_medianear_artifact_serves_codes_without_decode(spark, monkeypatch):
 
     with _pytest.raises(AssertionError, match="decode path"):
         REGISTRY["doc_curation_medianear"].fn(spark, SF_SMOKE).collect()
+
+
+def test_matryoshka_jvm_only_two_phase(spark):
+    """embedding_matryoshka_topk (r14): the prefix-slice candidate scan is
+    a pure JVM projection (slice + fold inside codegen — zero Python
+    stages), the 5-row query side broadcasts (tiny BNLJ crossJoin is the
+    intended shape), both rank stages are the two-phase per-query top-k,
+    and no SMJ/SHJ/cartesian ever touches the corpus."""
+    with no_aqe(spark):
+        a = audit_plan(_q("embedding_matryoshka_topk")(spark, SF_SMOKE))
+    assert a.python_stages == 0, a.text
+    assert a.sort_merge_joins == 0 and a.shuffle_hash_joins == 0, a.text
+    assert "CartesianProduct" not in a.text
+    assert a.broadcast_nl_joins >= 1, a.text
+    assert "SPARK_PARTITION_ID" in a.text.upper(), a.text
+
+
+def test_hybrid_rrf_fusion_is_bounded_no_corpus_sort(spark):
+    """doc_hybrid_rrf_topk (r14): the fusion layer only ever sees the two
+    pre-bounded top-k lists — the corpus-side work stays inside the BM25
+    and cosine rank stages (both two-phase), so the plan carries their
+    pins (no cartesian, no Python stages) and the fused window adds no
+    corpus-wide sort (every Sort under the final window follows a rank
+    exchange over bounded rows)."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_hybrid_rrf_topk")(spark, SF_SMOKE))
+    assert a.python_stages == 0, a.text
+    assert "CartesianProduct" not in a.text
+    assert "SPARK_PARTITION_ID" in a.text.upper(), a.text
