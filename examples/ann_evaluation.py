@@ -74,6 +74,7 @@ from duckpipe_spark.functions.similarity import (
     kmeans_cells,
     lsh_multiprobe_topk,
     lsh_topk,
+    matryoshka_topk,
     pq_adc_topk,
     sq8_topk,
     topk_recall,
@@ -134,6 +135,15 @@ def main() -> None:
         "sq8": lambda: sq8_topk(emb, QUERY_IDS, K),
         "pq_adc": lambda: pq_adc_topk(emb, QUERY_IDS, K),
         "hamming": lambda: hamming_topk(emb, QUERY_IDS, K),
+        # r14: MRL prefix-dim scan — recall is governed by how much of the
+        # neighbor ordering the first 16 components preserve; the rerank
+        # window (32 >> k) recovers most prefix misrankings
+        "matryoshka": lambda: matryoshka_topk(
+            emb, QUERY_IDS, K, prefix_dim=16, rerank=32
+        ),
+        "matryoshka_p8": lambda: matryoshka_topk(
+            emb, QUERY_IDS, K, prefix_dim=8, rerank=32
+        ),
     }
     out: dict = {"metric": "ann_evaluation", "k": K, "n_vectors": int(n), "sf_dir": sf_dir}
     out["query_ids"] = [QUERY_IDS[0], QUERY_IDS[-1]]

@@ -37,9 +37,16 @@ def canonicalize(df: pd.DataFrame) -> list[str]:
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships flat files; the local .scale/sf1 corpus is
+        # Spark-written table DIRECTORIES (part-*.parquet + _SUCCESS), which
+        # DuckDB reads via a glob
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con.execute(sql).df()
 
 
