@@ -1455,3 +1455,42 @@ def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_dim=_MRL_PREFIX,
         rerank=_MRL_RERANK,
     )
+
+
+@register(
+    "doc_hybrid_rrf_artifact_topk",
+    _hybrid_rrf_oracle(),
+    "hybrid retrieval with the sparse leg served from the persisted BM25 index artifact",
+)
+def doc_hybrid_rrf_artifact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — the PRODUCTION hybrid serve shape: the sparse leg scores
+    entirely off the persisted BM25 parquet index (no corpus scan in the
+    sparse plan — same serve doctrine as doc_bm25_artifact_topk /
+    doc_curation_medianear_artifact), the dense leg scans the embedding
+    column it would serve from anyway, and the fusion is the same integer
+    RRF. Reusing doc_hybrid_rrf_topk's oracle pins index-served fusion ==
+    corpus-derived fusion end-to-end (rank lists, fused scores, and tie
+    order all bit-identical through the save->load round trip)."""
+    from duckpipe_spark.functions.similarity import rrf_fuse
+    from duckpipe_spark.functions.text import bm25_topk_from_index
+    from duckpipe_spark.queries.text_q import _BM25_QUERIES, _bm25_index_artifact
+
+    path = _bm25_index_artifact(spark, sf_dir)
+    sparse = bm25_topk_from_index(spark, path, _BM25_QUERIES, k=_HYBRID_CAND_K)
+    dense = brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _HYBRID_QUERY_IDS, _HYBRID_CAND_K
+    )
+    return rrf_fuse(
+        [
+            ("sparse", sparse.select("query_id", "rank", "doc_id")),
+            (
+                "dense",
+                dense.select(
+                    "query_id", "rank", F.col("neighbor_id").alias("doc_id")
+                ),
+            ),
+        ],
+        k=_HYBRID_K,
+        k_rrf=_HYBRID_RRF_K,
+        scale=_HYBRID_SCALE,
+    )

@@ -826,3 +826,17 @@ def test_hybrid_rrf_fusion_is_bounded_no_corpus_sort(spark):
     assert a.python_stages == 0, a.text
     assert "CartesianProduct" not in a.text
     assert "SPARK_PARTITION_ID" in a.text.upper(), a.text
+
+
+def test_hybrid_artifact_sparse_leg_reads_only_the_index(spark):
+    """doc_hybrid_rrf_artifact_topk (r14): the fused plan's scans are the
+    BM25 index parquet (sparse leg) and embeddings.parquet (dense leg) —
+    documents.parquet appears NOWHERE, so the sparse leg provably serves
+    from the artifact inside the fusion too, not just standalone."""
+    with no_aqe(spark):
+        a = audit_plan(_q("doc_hybrid_rrf_artifact_topk")(spark, SF_SMOKE))
+    locs = " ".join(s.get("location", "") for s in a.scans)
+    assert "bm25_index_" in locs, locs
+    assert "embeddings.parquet" in locs, locs
+    assert "documents.parquet" not in locs, locs
+    assert a.python_stages == 0
