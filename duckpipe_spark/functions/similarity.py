@@ -1605,3 +1605,34 @@ def matryoshka_topk(
         k,
     )
     return ranked.select("query_id", "rank", "neighbor_id", "cos")
+
+
+def brute_force_topk_queries(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """``brute_force_topk`` against an EXTERNAL query table (the
+    ``hamming_topk_queries`` pattern): a fresh batch of query vectors in
+    its OWN id namespace scores against the corpus — no same-id exclusion,
+    since an id collision across namespaces is a coincidence, not a
+    self-match. Same determinism (ordered-fold cosine, 6 dp, id ties) and
+    the same scale shape: the query batch broadcasts, the corpus scan is
+    the index, both rank phases are the two-phase per-query top-k."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    pairs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(q))
+    cos = F.round(cosine_col(F.col("qvec"), F.col("vec")), 6)
+    ranked = _topk_per_query(
+        pairs.select("query_id", F.col("id").alias("neighbor_id"), cos.alias("cos")),
+        [F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+    return ranked.select("query_id", "rank", "neighbor_id", "cos")

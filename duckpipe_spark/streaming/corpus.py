@@ -211,3 +211,75 @@ def phash_probe_static(
         .where(F.col("hamming") <= max_distance)
         .select(F.col("blob_id").alias(id_col), "index_id", "hamming")
     )
+
+
+def hybrid_serve_stream(
+    query_stream: DataFrame,
+    index_path: str,
+    embeddings: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    k: int = 10,
+    cand_k: int = 20,
+    k_rrf: int = 60,
+    scale: int = 1_000_000,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Serve HYBRID retrieval over a stream of arriving queries (r14): each
+    query row carries BOTH legs — ``terms array<string>`` for the BM25
+    index artifact and ``qvec array<float>`` for the embedding corpus —
+    and each micro-batch scores through the SAME batch code paths the
+    hybrid twin test composes (`bm25_topk_from_index` +
+    `brute_force_topk_queries` + `rrf_fuse`), so incremental == batch by
+    construction and the twin pytest pins it.
+
+    Same micro-batch discipline as ``bm25_serve_stream``: per-query top-k
+    needs aggregation + rank, which append-mode streaming cannot express,
+    so the server is ``foreachBatch``; each batch overwrites its own
+    ``batch_id=<n>`` subdirectory so at-least-once re-delivery replays in
+    place. Queries are independent rows — batch composition cannot change
+    any query's result.
+
+    Scale shape: the arriving query batch broadcasts in both legs; the
+    embedding corpus and the BM25 postings are the static scan sides; the
+    fusion only touches the two pre-bounded top-k lists.
+
+    Returns the started StreamingQuery."""
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        from duckpipe_spark.functions.similarity import (
+            brute_force_topk_queries,
+            rrf_fuse,
+        )
+        from duckpipe_spark.functions.text import bm25_topk_from_index
+
+        qt = batch.select("query_id", F.explode("terms").alias("term"))
+        sparse = bm25_topk_from_index(
+            batch.sparkSession, index_path, qt, k=cand_k, k1=k1, b=b
+        )
+        dense = brute_force_topk_queries(
+            embeddings, batch, cand_k, query_vec_col="qvec"
+        )
+        fused = rrf_fuse(
+            [
+                ("sparse", sparse.select("query_id", "rank", "doc_id")),
+                (
+                    "dense",
+                    dense.select(
+                        "query_id", "rank", F.col("neighbor_id").alias("doc_id")
+                    ),
+                ),
+            ],
+            k=k,
+            k_rrf=k_rrf,
+            scale=scale,
+        )
+        fused.write.mode("overwrite").parquet(f"{sink_path}/batch_id={batch_id}")
+
+    return (
+        query_stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

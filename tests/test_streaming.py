@@ -1026,3 +1026,72 @@ def test_phash_probe_stream_matches_batch(spark, tmp_path):
         assert hits == {(100, 1): 0}, hits
     finally:
         index.unpersist()
+
+
+def test_hybrid_serve_stream_matches_batch(spark, tmp_path):
+    """Hybrid serve streaming twin (r14): queries carrying BOTH legs
+    (BM25 terms + dense qvec) arrive one per micro-batch and score
+    against the loaded BM25 index artifact + the static embedding corpus
+    through foreachBatch. The drained sink equals the batch composition
+    (bm25_topk_from_index + brute_force_topk_queries + rrf_fuse) over the
+    union of queries row-for-row; a terms-only query still fuses from its
+    dense leg alone (NULL sparse_rank), so a hybrid server degrades
+    gracefully to single-leg retrieval."""
+    import numpy as np
+
+    from duckpipe_spark.functions.similarity import (
+        brute_force_topk_queries,
+        rrf_fuse,
+    )
+    from duckpipe_spark.functions.text import bm25_topk_from_index, save_bm25_index
+    from duckpipe_spark.sources.tables import load_table
+    from duckpipe_spark.streaming.corpus import hybrid_serve_stream
+    from tests.oracle_harness import canonicalize
+
+    idx = str(tmp_path / "bm25_index")
+    save_bm25_index(load_table(spark, SF_SMOKE, "documents"), idx)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    rng = np.random.default_rng(11)
+    dim = len(emb.select("embedding").first()[0])
+    queries = [
+        (1, ["data", "pipeline"], rng.standard_normal(dim).astype("float32").tolist()),
+        (2, ["model", "training"], rng.standard_normal(dim).astype("float32").tolist()),
+        # planted no-match sparse leg: fuses from the dense leg alone
+        (3, ["zzz_no_such_term"], rng.standard_normal(dim).astype("float32").tolist()),
+    ]
+    schema = "query_id int, terms array<string>, qvec array<float>"
+    qdir = tmp_path / "query_batches"
+    qdir.mkdir()
+    for i, q in enumerate(queries):  # one query per micro-batch
+        spark.createDataFrame([q], schema).coalesce(1).write.parquet(
+            str(qdir / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(qdir / "b*"))
+    )
+    sink = str(tmp_path / "fused")
+    q = hybrid_serve_stream(
+        stream, idx, emb, sink, str(tmp_path / "hybrid_ckpt"), k=5, cand_k=8
+    )
+    assert q.awaitTermination(180), "hybrid serve stream did not terminate in 180s"
+
+    got = spark.read.parquet(sink).drop("batch_id")
+    qdf = spark.createDataFrame(queries, schema)
+    sparse = bm25_topk_from_index(
+        spark, idx, qdf.select("query_id", F.explode("terms").alias("term")), k=8
+    )
+    dense = brute_force_topk_queries(emb, qdf, 8, query_vec_col="qvec")
+    want = rrf_fuse(
+        [
+            ("sparse", sparse.select("query_id", "rank", "doc_id")),
+            ("dense", dense.select("query_id", "rank", F.col("neighbor_id").alias("doc_id"))),
+        ],
+        k=5,
+    )
+    assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
+    three = [r for r in got.collect() if r.query_id == 3]
+    assert len(three) == 5  # dense-only leg still serves a full top-k
+    assert all(r.sparse_rank is None for r in three)
