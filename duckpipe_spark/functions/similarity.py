@@ -1312,6 +1312,28 @@ def ivf_recall(
     return topk_recall(exact, approx, k)
 
 
+def matryoshka_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    prefix_dim: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of the Matryoshka prefix-scan path vs exact — the same
+    evaluation loop as ``lsh_recall``/``ivf_recall`` for the truncatable-
+    embedding rung: the number the prefix-width knob is tuned against
+    (recall rises toward 1.0 as prefix_dim -> dim or rerank -> corpus,
+    both pinned as identities in the pytest)."""
+    exact = brute_force_topk(embeddings, query_ids, k, id_col=id_col, vec_col=vec_col)
+    approx = matryoshka_topk(
+        embeddings, query_ids, k, prefix_dim=prefix_dim, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return topk_recall(exact, approx, k)
+
+
 def topk_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     """Generic (query_id, neighbor_id)-ranking comparison → per-query
     (query_id, n_hits, recall). Works for any ANN variant that emits the

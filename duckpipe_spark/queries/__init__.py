@@ -75,10 +75,11 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # being 4 rounds old at r15, they are scheduled to LEAD the r15 window:
 # r15 window plan: any queries NEW in r14 or r14-changed-and-not-
 # windowed FIRST — the never-attested r14-new image_gif_phash_neardup,
-# doc_hybrid_rrf_topk, doc_hybrid_rrf_artifact_topk, and
-# embedding_matryoshka_topk (all registered after the r14 window froze;
-# judge-attestable from the local 3-scale runs — the three retrieval
-# queries additionally hash-green at the .scale/sf1 corpus), then the
+# doc_hybrid_rrf_topk, doc_hybrid_rrf_artifact_topk,
+# embedding_matryoshka_topk, and embedding_matryoshka_recall (all
+# registered after the r14 window froze; judge-attestable from the
+# local 3-scale runs — the four retrieval queries additionally
+# hash-green at the .scale/sf1 corpus), then the
 # r14 CHANGED
 # members whose latest driver
 # row predates their r14 change, in this order: doc_lm_quality,
@@ -171,6 +172,11 @@ CHANGED_THIS_ROUND: list[str] = [
     # oracle as doc_hybrid_rrf_topk, so index-served == corpus-derived
     # is pinned end-to-end; hash-green at sf0.001/0.01/0.1 (+sf1)
     "doc_hybrid_rrf_artifact_topk",
+    # NEW in r14: the tuning measurement for the matryoshka prefix-width
+    # knob — recall@k of the prefix-scan path vs exact, same in-engine
+    # evaluation loop as the lsh/multiprobe/ivf recall rows; hash-green
+    # at sf0.001/0.01/0.1 (+sf1)
+    "embedding_matryoshka_recall",
 ]
 
 base.DRIVER_ORDER[:] = [

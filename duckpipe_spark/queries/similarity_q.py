@@ -1494,3 +1494,72 @@ def doc_hybrid_rrf_artifact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_rrf=_HYBRID_RRF_K,
         scale=_HYBRID_SCALE,
     )
+
+
+_MRL_RECALL_ORACLE = f"""
+WITH exactp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qvec', 'e.embedding')} AS cos
+  FROM embeddings e CROSS JOIN (
+    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+    WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) q
+  WHERE e.vec_id <> q.query_id
+),
+exactk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM exactp
+  ) WHERE rank <= {_K}
+),
+mscored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS nvec, q.qvec,
+         {_cos_sql(f'(q.qvec[1:{_MRL_PREFIX}])', f'(e.embedding[1:{_MRL_PREFIX}])')} AS pcos
+  FROM embeddings e CROSS JOIN (
+    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+    WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) q
+  WHERE e.vec_id <> q.query_id
+),
+mcand AS (
+  SELECT query_id, neighbor_id, nvec, qvec,
+         row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rn
+  FROM mscored
+),
+mk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_cos_sql('qvec', 'nvec')} DESC, neighbor_id
+           ) AS rank
+    FROM mcand WHERE rn <= {_MRL_RERANK}
+  ) WHERE rank <= {_K}
+)
+SELECT e.query_id,
+       CAST(count(m.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(m.neighbor_id) AS DOUBLE) / {_K}.0 AS recall
+FROM exactk e LEFT JOIN mk m
+  ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "embedding_matryoshka_recall",
+    _MRL_RECALL_ORACLE,
+    "ANN evaluation: recall@k of the Matryoshka prefix-scan path vs exact top-k",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 — the tuning measurement for the prefix-width knob, in-engine
+    like the lsh/multiprobe/ivf recall rows (the evaluation scales exactly
+    like the search; the exact side is the only corpus-sized term)."""
+    from duckpipe_spark.functions.similarity import matryoshka_recall
+
+    return matryoshka_recall(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        _K,
+        prefix_dim=_MRL_PREFIX,
+        rerank=_MRL_RERANK,
+    )
