@@ -839,3 +839,69 @@ def op_audio_mulaw_fingerprint(spark, scramble):
 
 
 _OPS.append(op_audio_mulaw_fingerprint)
+
+
+def op_matryoshka_topk(spark, scramble):
+    # r14: the prefix-scan candidate stage ranks per (query, INPUT
+    # partition) — the direct proof that the prefix survivors (hence the
+    # full-cosine rerank values) do not depend on how the corpus is split
+    from duckpipe_spark.functions.similarity import matryoshka_topk
+
+    return matryoshka_topk(
+        scramble(_embs(spark)), [0, 1, 2], k=4, prefix_dim=16, rerank=8
+    )
+
+
+_OPS.append(op_matryoshka_topk)
+
+
+def op_hybrid_rrf(spark, scramble):
+    # r14: integer-RRF fusion of two rank lists whose own stages are
+    # partition-invariant; the fused BIGINT sum and per-system rank
+    # columns must be a pure function of the ranks
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from duckpipe_spark.functions.text import bm25_topk
+
+    sparse = bm25_topk(
+        scramble(_docs(spark)), [(0, ["data", "model"]), (1, ["the"])], k=8
+    )
+    dense = brute_force_topk(scramble(_embs(spark)), [0, 1], k=8)
+    return rrf_fuse(
+        [
+            ("sparse", sparse.select("query_id", "rank", "doc_id")),
+            (
+                "dense",
+                dense.select(
+                    "query_id", "rank", F.col("neighbor_id").alias("doc_id")
+                ),
+            ),
+        ],
+        k=5,
+    )
+
+
+_OPS.append(op_hybrid_rrf)
+
+
+def op_brute_force_topk_queries(spark, scramble):
+    # r14: external-namespace cosine leg — the streamed-query serving
+    # path must rank identically however the corpus is split
+    import pyspark.sql.functions as F
+
+    from duckpipe_spark.functions.similarity import brute_force_topk_queries
+
+    queries = _embs(spark).limit(0).sparkSession.createDataFrame(
+        [(100, [0.25] * 64), (101, [-0.5] * 32 + [0.5] * 32)],
+        "query_id int, qvec array<float>",
+    )
+    return brute_force_topk_queries(
+        scramble(_embs(spark)), queries, k=4, query_vec_col="qvec"
+    )
+
+
+_OPS.append(op_brute_force_topk_queries)
