@@ -519,6 +519,14 @@ def curation_pipeline(
     if mix_weights is None:
         mix_weights = {"en": 3, "de": 1, "es": 1, "fr": 1, "zh": 1}
 
+    # Optimization r14 note: repartitioning each persisted boundary to the
+    # session parallelism before caching (so consumers' per-row compute
+    # parallelizes instead of re-running on the narrow scan layout) was
+    # MEASURED ~2x WORSE at sf0.1 (paired in-session ABBA: min 5.23 s
+    # spread vs 3.25 s plain) — the extra exchanges plus 32-task stage
+    # scheduling across the pipeline's ~30 stages dwarf the parallelism
+    # win at this data size, and at 100 TB the boundaries are already
+    # wide. Deliberately left alone.
     def _persist(df: DataFrame) -> DataFrame:
         if not persist_stages:
             return df

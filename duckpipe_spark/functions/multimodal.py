@@ -261,6 +261,7 @@ def phash_neardup_pairs(
     max_band_df: int = 50,
     id_col: str = "blob_id",
     partition_col: str | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs from perceptual-hash codes →
     (id_a, id_b, hamming): band each 64-bit code into FOUR 16-bit slices;
@@ -287,7 +288,16 @@ def phash_neardup_pairs(
     the same 64-bit layout), a band match across modalities is numerology,
     not similarity — pass the modality column and it joins into every
     band key (hot-band counting AND the candidate equi-join), so pairs
-    only ever form within a partition."""
+    only ever form within a partition.
+
+    ``distinct=False`` (optimization r14, guide §2.4) skips the final
+    cross-pair dedup exchange: a pair within distance ``d`` agrees on
+    ``4 - d`` or more bands and is emitted once per agreeing band, so the
+    row stream is a small-multiplicity multiset over the same pair SET.
+    Consumers that dedup downstream anyway (``media_neardup_drops`` feeds
+    `connected_components`, whose union-find/distinct absorbs duplicates)
+    save one full exchange per invocation; set-valued consumers (the
+    *_neardup oracle queries) keep the default."""
     keys = [partition_col] if partition_col is not None else []
     bands = hashes.select(
         *keys,
@@ -324,13 +334,13 @@ def phash_neardup_pairs(
         F.bit_count(F.col("h0a").bitwiseXOR(F.col("h0b")))
         + F.bit_count(F.col("h1a").bitwiseXOR(F.col("h1b")))
     ).cast("bigint")
-    return (
+    out = (
         a.join(b, keys + ["bi", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_distance)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def media_neardup_drops(
@@ -371,6 +381,10 @@ def media_neardup_drops(
         max_band_df=max_band_df,
         id_col=id_col,
         partition_col=modality_col,
+        # the closure dedups (union-find / sym.distinct) — the per-band
+        # duplicate pair rows are harmless there, so the dedup exchange
+        # here would be paid twice (optimization r14, guide §2.4)
+        distinct=False,
     )
     comps = connected_components(pairs.select("id_a", "id_b"))
     return comps.where(F.col("id") != F.col("component")).select(

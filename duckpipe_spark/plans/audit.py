@@ -32,6 +32,7 @@ class PlanAudit:
     sort_merge_joins: int = 0
     shuffle_hash_joins: int = 0
     exchanges: int = 0
+    spread_exchanges: int = 0
     codegen_spans: int = 0
     python_stages: int = 0
 
@@ -69,9 +70,23 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     a.sort_merge_joins = len(re.findall(r"SortMergeJoin", text))
     a.shuffle_hash_joins = len(re.findall(r"ShuffledHashJoin", text))
     # count unique Exchange nodes via their detail-section headers
-    # ("(12) Exchange"); falls back to tree lines when no detail section
+    # ("(12) Exchange"); falls back to tree lines when no detail section.
+    # Round-robin exchanges are counted SEPARATELY (`spread_exchanges`):
+    # they come only from explicit input spreading
+    # (`sources.tables.spread_small_scan`, a no-op on well-split 100 TB
+    # inputs), never from joins/aggregations/sorts — the `exchanges` pins
+    # guard against accidental KEY-partitioned shuffles of corpus bytes,
+    # which all plan as HashPartitioning/RangePartitioning and stay counted.
     headers = re.findall(r"\n\(\d+\) Exchange", text)
-    a.exchanges = len(headers) if headers else len(re.findall(r"\+- Exchange", text))
+    if headers:
+        spread = 0
+        for section in text.split("\n\n"):
+            if re.match(r"\(\d+\) Exchange", section) and "RoundRobinPartitioning" in section:
+                spread += 1
+        a.spread_exchanges = spread
+        a.exchanges = len(headers) - spread
+    else:
+        a.exchanges = len(re.findall(r"\+- Exchange", text))
     # whole-stage-codegen span ids appear as `*(N)` in the simple plan
     a.codegen_spans = len(set(re.findall(r"\*\((\d+)\)", simple)))
     a.python_stages = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", text))

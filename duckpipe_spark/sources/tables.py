@@ -58,6 +58,38 @@ def invalidate_scan_memo(spark: SparkSession | None = None) -> None:
         _SCAN_MEMO.pop(spark, None)
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Guide §2.5 "input skew" fix: a parquet file with a single row group
+    scans as ONE task no matter how it is split, so every expression between
+    the scan and the first exchange — tokenize/explode/hash pipelines that
+    dominate the text operators — runs on one core while the rest idle.
+    Round-robin repartition to the session default parallelism when the
+    planned scan has fewer partitions than that.
+
+    Scale-adaptive by construction: at 100 TB the input has thousands of
+    splits, ``parts >= defaultParallelism`` holds, and this is a no-op — the
+    exchange only exists in the regime where it wins (small/badly-laid-out
+    inputs). Determinism: keyless repartition sorts rows within each input
+    partition first (``spark.sql.execution.sortBeforeRepartition``, on by
+    default), so the row→partition assignment is reproducible and retry-safe;
+    all downstream operators are partition-count invariant (pinned by the
+    partition-invariance test suite and the DuckDB oracle hashes).
+
+    Apply SURGICALLY, not blanket: a measured bench sweep with every
+    documents/embeddings scan spread showed the exchange + extra scheduled
+    stage LOSES on the many short queries whose scan-stage fusion
+    (scan→compute→partial-agg in one task) already bounds their cost, and
+    wins only where serialized per-row compute dominates (the bigram-LM
+    hashing passes: doc_lm_quality best-rep 2.69 → 2.06 s at sf0.1)."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans; spreading is optional
+        return df
+    return df.repartition(n) if parts < n else df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Filters/projections applied by callers are
     pushed into the scan by Catalyst (verify via .explain → PushedFilters).
