@@ -542,9 +542,18 @@ def doc_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs per round (no shared symbol ⇒ counts invariant ⇒ commuting
     replaces) amortizes the job floor over K merges. Deterministic and
     exactly mirrored by the unrolled SQL above; k=1 degenerates to the
-    sequential trainer (pytest pins 3-seed equivalence)."""
+    sequential trainer (pytest pins 3-seed equivalence).
+
+    The scan is spread (`spread_small_scan`, optimization r14 / guide
+    §2.5): the trainer's first job materializes the word-frequency cache
+    via tokenize + explode evaluated before any exchange — single-core on
+    a one-row-group input; no-op on split inputs. The word table itself
+    and the per-round pair jobs are unaffected (partition-invariant
+    aggregates)."""
+    from duckpipe_spark.sources.tables import spread_small_scan
+
     return learn_bpe_merges_batched(
-        load_table(spark, sf_dir, "documents"),
+        spread_small_scan(load_table(spark, sf_dir, "documents")),
         n_merges=_BATCH_N,
         k_per_round=_BATCH_K,
         cand_m=_BATCH_M,

@@ -858,8 +858,15 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_supps = COUNT(DISTINCT suppkey), n_late_supps = COUNT(DISTINCT suppkey
     WHERE late). A late line qualifies iff its order has n_supps > 1 and
     n_late_supps = 1 (that distinct late supplier is necessarily this line's).
-    One shuffle on l_orderkey + a broadcast-back; row multiplicity of l1 is
-    preserved by joining the per-order stats onto the late lines.
+
+    The fact table is scanned ONCE: the (order, supplier) rollup also
+    carries n_late_lines = SUM(is_late), so the qualifying count per
+    supplier is a sum over rollup rows — the former second lineitem pass
+    (filter late lines + re-join per-order stats) collapses into a filter
+    on the already-aggregated pair relation. Row multiplicity of l1 is
+    preserved exactly: a qualifying order's single late supplier
+    contributes its n_late_lines late lines, which is precisely the set of
+    qualifying l1 rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -875,21 +882,22 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads the already-shuffled (orderkey, suppkey) relation — no Expand
     # (which would triple the shuffle rows to serve two DISTINCT branches)
     per_supp = lif.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("is_late").alias("supp_late")
+        F.max("is_late").alias("supp_late"),
+        F.sum("is_late").cast("bigint").alias("n_late_lines"),
     )
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supps"),
         F.sum("supp_late").alias("n_late_supps"),
     )
-    late = lif.where(F.col("is_late") == 1).select("l_orderkey", "l_suppkey")
     qualifying = (
-        late.join(per_order, "l_orderkey")
+        per_supp.where(F.col("supp_late") == 1)
+        .join(per_order, "l_orderkey")
         .where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
     )
     return (
         qualifying.join(F.broadcast(supp), qualifying.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
     )
 
 

@@ -324,7 +324,11 @@ FROM (
 )
 def doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference surface: none (beyond-reference; DSIR = Xie et al. 2023,
-    log-free first-order surrogate — see functions/selection.py)."""
+    log-free first-order surrogate — see functions/selection.py).
+
+    NOT spread: a paired r14 sweep measured the scan-spread exchange a
+    small LOSS here (min 1.29 → 1.40 s at sf0.1) — the unigram hash fold
+    is light enough that scan-stage fusion wins (guide §1.2)."""
     from duckpipe_spark.functions.selection import dsir_scores
 
     docs = load_table(spark, sf_dir, "documents")

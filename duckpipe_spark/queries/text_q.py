@@ -498,6 +498,8 @@ GROUP BY 1, 2
     bench=True,  # r8: every r7 family ratio-tracked round-over-round (VERDICT r7 item 8)
 )
 def doc_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread: a paired r14 sweep measured scan-spread neutral here
+    # (min 0.932 → 0.935 s at sf0.1) — kept fused per guide §1.2
     return feature_hash_embed(load_table(spark, sf_dir, "documents"), dim=_EMBED_DIM)
 
 
