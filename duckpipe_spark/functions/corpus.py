@@ -519,17 +519,37 @@ def curation_pipeline(
     if mix_weights is None:
         mix_weights = {"en": 3, "de": 1, "es": 1, "fr": 1, "zh": 1}
 
-    # Optimization r14 note: repartitioning each persisted boundary to the
-    # session parallelism before caching (so consumers' per-row compute
-    # parallelizes instead of re-running on the narrow scan layout) was
-    # MEASURED ~2x WORSE at sf0.1 (paired in-session ABBA: min 5.23 s
-    # spread vs 3.25 s plain) — the extra exchanges plus 32-task stage
-    # scheduling across the pipeline's ~30 stages dwarf the parallelism
-    # win at this data size, and at 100 TB the boundaries are already
-    # wide. Deliberately left alone.
-    def _persist(df: DataFrame) -> DataFrame:
+    # Optimization r14 note: ROUND-ROBIN repartitioning the persisted
+    # boundaries to the session parallelism was measured ~2x worse (min
+    # 5.23 s vs 3.25 s) and a first-boundary-only variant ~7x worse —
+    # root cause: keyless round-robin is NONDETERMINISTIC, so the cached
+    # plan no longer `sameResult`-matches the next invocation's plan and
+    # CacheManager recomputes the whole upstream per run. The working
+    # form is `spread_key` below: a DETERMINISTIC hash repartition on the
+    # id column (plans stay equal across invocations → cache hits
+    # survive), applied ONLY to the first boundary when the planned
+    # layout is narrower than the session parallelism (one-row-group
+    # scans plan ONE task; its consumers each re-ran their shingle/hash
+    # kernels single-core — profiled as three concurrent ~1.4 s
+    # single-task exchange-map jobs per rep). No-op on wide inputs, so at
+    # 100 TB this costs nothing (guide §2.5).
+    # the narrow-layout probe runs on the RAW INPUT SCAN, not the
+    # boundary plan: under AQE, `.rdd` on a plan containing exchanges
+    # eagerly executes those query stages at build time (measured: the
+    # probe alone re-ran the gate+dedup subtree per invocation). A scan
+    # has no query stages, so this probe is free, and the boundary's
+    # layout follows the scan's (document bodies never shuffle).
+    _n_par = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        _narrow_input = docs.rdd.getNumPartitions() < _n_par
+    except Exception:  # pragma: no cover - exotic plans; spreading optional
+        _narrow_input = False
+
+    def _persist(df: DataFrame, spread_key: str | None = None) -> DataFrame:
         if not persist_stages:
             return df
+        if spread_key is not None and _narrow_input:
+            df = df.repartition(_n_par, F.col(spread_key))
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         if stage_handles is not None:
             stage_handles.append(df)
@@ -606,6 +626,11 @@ def curation_pipeline(
         )
     else:
         raise ValueError(f"unknown election {election!r}: use 'min_id' or 'keep_best'")
+    # NOT spread: a paired sweep measured spreading this first boundary a
+    # net loss for the base pipeline (min 3.8 → 5.3 s at sf0.1 — the
+    # conditioning exchange plus 32-task scheduling across its many
+    # short consumer stages outweigh the parallelism win); only the
+    # media-stage boundary below has consumers heavy enough to pay for it
     uniq = _persist(gated.join(canon, id_col, "left_semi"))
 
     # 2.5 (optional) SemDeDup: LSH-bucketed cosine closure over the
@@ -668,12 +693,18 @@ def curation_pipeline(
             id_col=media_id_col,
             modality_col=media_modality_col,
         )
+        # spread by id (deterministic — see _persist note): this
+        # boundary's three consumers (two span-dedup reads + the lang
+        # join) each re-ran their shingle/hash kernels as ~1.4 s
+        # single-task stages per rep when the cache kept the scan's ONE
+        # partition (profiled on doc_curation_medianear_artifact)
         uniq = _persist(
             uniq.join(
                 mdrop,
                 F.col(id_col).cast("bigint") == F.col("drop_id"),
                 "left_anti",
-            )
+            ),
+            spread_key=id_col,
         )
 
     # 3. duplicate-span removal over the survivor set → cleaned text
