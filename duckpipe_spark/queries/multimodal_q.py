@@ -14,7 +14,7 @@ from duckpipe_spark.functions.multimodal import (
     with_blob_metadata,
 )
 from duckpipe_spark.queries.base import register
-from duckpipe_spark.sources.tables import load_table
+from duckpipe_spark.sources.tables import load_table, spread_small_scan
 
 _BLOB_META_ORACLE = """
 SELECT doc_id AS blob_id, octet_length(encode(text)) AS n_bytes
@@ -1089,11 +1089,12 @@ def audio_adpcm_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFra
         wav_adpcm_container,
     )
 
-    # 32-way repartition BEFORE the kernel chain: the predictive decode
-    # costs ~17 ms/blob (504 sequential reconstruction steps), so a
+    # spread BEFORE the kernel chain: the predictive decode costs
+    # ~17 ms/blob (504 sequential reconstruction steps), so a
     # single-row-group parquet would otherwise serialize the whole
-    # fingerprint pass into one task; the shuffle moves only bare ids
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    # fingerprint pass into one task; the shuffle moves only bare ids,
+    # sizes to the session parallelism, and no-ops on multi-split input
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         spb, nb = _ADPCM_SPB, (_ADPCM_N + _ADPCM_SPB - 1) // _ADPCM_SPB
@@ -1278,7 +1279,8 @@ def audio_msadpcm_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataF
         wav_msadpcm_container,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(32)
+    # same spread rationale as the IMA ADPCM twin above
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         spb, nb = _MSADPCM_SPB, (_MSADPCM_N + _MSADPCM_SPB - 1) // _MSADPCM_SPB
