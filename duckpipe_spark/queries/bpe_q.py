@@ -16,7 +16,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from duckpipe_spark.functions.bpe import MERGE_SCHEMA, bpe_token_counts, learn_bpe_merges
+from duckpipe_spark.functions.bpe import (
+    MERGE_SCHEMA,
+    bpe_token_counts,
+    learn_bpe_merges,
+    local_rows_df,
+)
 from duckpipe_spark.queries.base import register
 from duckpipe_spark.sources.tables import load_table
 
@@ -61,7 +66,7 @@ def trained_merges(
             load_table(spark, sf_dir, "documents"), n_merges=n_merges
         ).collect()
         _MERGES_MEMO[key] = [tuple(r) for r in rows]
-    return spark.createDataFrame(_MERGES_MEMO[key], MERGE_SCHEMA)
+    return local_rows_df(spark, _MERGES_MEMO[key], MERGE_SCHEMA)
 
 
 def _bpe_ctes(n_merges: int) -> str:
@@ -151,7 +156,7 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trainer row always retrains (that IS what it measures); refresh the
     # session artifact so consumer queries get the fresh table for free
     _MERGES_MEMO[_memo_key(spark, sf_dir, N_MERGES)] = [tuple(r) for r in out.collect()]
-    return spark.createDataFrame(_MERGES_MEMO[_memo_key(spark, sf_dir, N_MERGES)], MERGE_SCHEMA)
+    return local_rows_df(spark, _MERGES_MEMO[_memo_key(spark, sf_dir, N_MERGES)], MERGE_SCHEMA)
 
 
 @register(
@@ -314,8 +319,8 @@ def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = trained_merges(spark, sf_dir)
     vocab = bpe_vocab_ids(docs, merges)
-    return spark.createDataFrame(
-        [(s, i) for s, i in vocab.items()], "sym string, token_id bigint"
+    return local_rows_df(
+        spark, [(s, i) for s, i in vocab.items()], "sym string, token_id bigint"
     )
 
 
