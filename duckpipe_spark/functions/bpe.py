@@ -125,27 +125,123 @@ def _pair_counts(cur: DataFrame) -> DataFrame:
     return pairs.groupBy("p.lhs", "p.rhs").agg(F.sum("wf").alias("pf"))
 
 
+_DRIVER_WORDS_CAP = 65536  # max word-table rows the driver fast path holds
+_DRIVER_WORK_BUDGET = 1 << 22  # max (rows x n_merges) Python sym-ops budget
+
+
+def _merge_syms(syms: list[str], lhs: str, rhs: str) -> list[str]:
+    """Apply one merge to a symbol list, leftmost-first non-overlapping —
+    the exact semantics of the distributed path's disjoint-occurrence
+    string ``replace`` (e.g. [a,a,a] + merge(a,a) -> [aa, a])."""
+    res: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+            res.append(lhs + rhs)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def _driver_words(base: DataFrame, cap: int) -> list[tuple[list[str], int]] | None:
+    """ONE bounded action (the connected-components fast-path pattern):
+    ``limit(cap+1)`` decides driver-vs-distributed AND carries the data.
+    Returns the (symbols, freq) word list when the table fits, else None
+    (the caller falls through to the distributed loop — base is already
+    localCheckpoint-materialized, so nothing is recomputed)."""
+    pdf = base.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        return None
+    return [
+        ([x for x in s.split(SEP) if x], int(wf))
+        for s, wf in zip(pdf["s"], pdf["wf"])
+    ]
+
+
+def _driver_rounds(
+    words: list[tuple[list[str], int]],
+    n_merges: int,
+    k_per_round: int,
+    cand_m: int,
+) -> list[tuple[int, int, str, str, int]]:
+    """The batched merge rounds run driver-side over a bounded word list —
+    bit-exact mirror of the distributed loop: per round, exact integer
+    adjacent-pair counts (sum over words weighted by freq), candidates
+    ranked (pf DESC, lhs ASC, rhs ASC) — Python's code-point string order
+    equals Spark/DuckDB binary UTF-8 order — top ``cand_m`` kept, the
+    shared ``_select_noninteracting`` acceptance rule, and the selected
+    merges applied leftmost-first to every word. pair_freq is recorded
+    from the pre-round counts exactly like the distributed collect."""
+    out: list[tuple[int, int, str, str, int]] = []
+    rnd = 0
+    while len(out) < n_merges:
+        rnd += 1
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wf in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wf
+        if not counts:
+            break
+        top = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:cand_m]
+        cands = [(l, r, pf) for (l, r), pf in top]
+        sel = _select_noninteracting(cands, min(k_per_round, n_merges - len(out)))
+        for lhs, rhs, pf in sel:
+            out.append((len(out) + 1, rnd, lhs, rhs, pf))
+            words = [(_merge_syms(syms, lhs, rhs), wf) for syms, wf in words]
+    return out
+
+
+def _driver_cap(n_merges: int, driver_cap: int | None) -> int:
+    """Row cap for the driver fast path: the static row bound AND a
+    work-budget bound (rows x n_merges), so a 32k-merge training on a
+    large-but-under-row-cap vocabulary still takes the distributed loop
+    (driver rounds cost O(rounds x total symbols) in Python)."""
+    if driver_cap is not None:
+        return driver_cap
+    return min(_DRIVER_WORDS_CAP, _DRIVER_WORK_BUDGET // max(1, n_merges))
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus → DataFrame
     (merge_rank, lhs, rhs, pair_freq), merge_rank 1..n (stops early if
     the vocabulary runs out of adjacent pairs).
 
-    Iterative like ``pagerank``/``kmeans_cells``: each round launches one
-    bounded aggregate job whose argmax row is collected (a single row —
-    the merge table is driver-state in every real BPE trainer). The
-    (word, freq) base is cached once; ``localCheckpoint`` every 4 rounds
-    cuts the replace-chain lineage."""
+    The (word, freq) base is built distributed (one map-side-combinable
+    corpus aggregate) and ``localCheckpoint``-materialized — measured
+    faster than ``cache()`` at optimization r15 (lineage truncation makes
+    every per-round plan an ExistingRDD scan instead of a deep
+    InMemoryRelation match). When the vocabulary fits the bounded driver
+    cap, the merge rounds run driver-side with zero further jobs (the
+    merge table is driver-state in every real BPE trainer; Sennrich-style
+    trainers all count words distributed and merge in memory) — exact
+    same algorithm, pinned equal by tests and the SQL oracle. Over-cap
+    vocabularies take the distributed loop: each round launches one
+    bounded aggregate job whose argmax row is collected (a single row);
+    ``localCheckpoint`` every 4 rounds cuts the replace-chain lineage.
+    ``driver_cap=0`` forces the distributed loop (tests pin equality)."""
     spark = docs.sparkSession
     base = _clean_words(docs, text_col).select(
         wrapped_symbols_col(F.col("w")).alias("s"), "wf"
-    ).cache()
+    ).localCheckpoint()
+    words = _driver_words(base, _driver_cap(n_merges, driver_cap))
+    if words is not None:
+        rows = _driver_rounds(words, n_merges, k_per_round=1, cand_m=1)
+        merges = [(rank, lhs, rhs, pf) for rank, _rnd, lhs, rhs, pf in rows]
+        return local_rows_df(spark, merges, MERGE_SCHEMA)
     cur = base
-    merges: list[tuple[int, str, str, int]] = []
+    merges = []
     for rank in range(1, n_merges + 1):
         top = (
             _pair_counts(cur)
@@ -161,7 +257,6 @@ def learn_bpe_merges(
         cur = cur.withColumn("s", F.replace("s", F.lit(pat), F.lit(rep)))
         if rank % 4 == 0 and rank < n_merges:
             cur = cur.localCheckpoint()
-    base.unpersist()
     return local_rows_df(spark, merges, MERGE_SCHEMA)
 
 
@@ -202,6 +297,7 @@ def learn_bpe_merges_batched(
     cand_m: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """BPE merge learning with TOP-K BATCHED rounds → DataFrame
     (merge_rank, round, lhs, rhs, pair_freq): per round, accept up to
@@ -228,7 +324,21 @@ def learn_bpe_merges_batched(
     spark = docs.sparkSession
     base = _clean_words(docs, text_col).select(
         wrapped_symbols_col(F.col("w")).alias("s"), "wf"
-    ).cache()
+    ).localCheckpoint()
+    # bounded driver fast path (optimization r15, the CC fast-path
+    # pattern): the per-round aggregate jobs are pure scheduling overhead
+    # once the vocabulary fits in driver memory — one limit-bounded
+    # action, then the exact same rounds in Python (see _driver_rounds;
+    # equality pinned by tests + the unrolled SQL oracle). Over-cap
+    # vocabularies fall through to the distributed loop below with the
+    # base already materialized by the checkpoint.
+    words = _driver_words(base, _driver_cap(n_merges, driver_cap))
+    if words is not None:
+        return local_rows_df(
+            spark,
+            _driver_rounds(words, n_merges, k_per_round, cand_m),
+            BATCH_MERGE_SCHEMA,
+        )
     cur = base
     out: list[tuple[int, int, str, str, int]] = []
     rnd = 0
@@ -262,7 +372,6 @@ def learn_bpe_merges_batched(
         if pending and rnd % 4 == 0 and len(out) < n_merges:
             cur = cur.localCheckpoint()
             pending = 0
-    base.unpersist()
     return local_rows_df(spark, out, BATCH_MERGE_SCHEMA)
 
 

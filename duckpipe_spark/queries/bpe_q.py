@@ -549,16 +549,16 @@ def doc_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly mirrored by the unrolled SQL above; k=1 degenerates to the
     sequential trainer (pytest pins 3-seed equivalence).
 
-    The scan is spread (`spread_small_scan`, optimization r14 / guide
-    §2.5): the trainer's first job materializes the word-frequency cache
-    via tokenize + explode evaluated before any exchange — single-core on
-    a one-row-group input; no-op on split inputs. The word table itself
-    and the per-round pair jobs are unaffected (partition-invariant
-    aggregates)."""
-    from duckpipe_spark.sources.tables import spread_small_scan
-
+    Optimization r15: the merge rounds take the bounded driver fast path
+    when the word table fits the cap (see learn_bpe_merges_batched) — the
+    only Spark work left is the one word-frequency aggregate, whose
+    single-task tokenize is CHEAPER unspread at this scale (paired A/B:
+    plain min 0.42 s vs spread 0.86 s; the r14 spread paid for the
+    per-round jobs that re-read the base, which the fast path removed).
+    At 100 TB the scan has thousands of splits and the spread was a no-op
+    there anyway; the over-cap distributed loop is unchanged."""
     return learn_bpe_merges_batched(
-        spread_small_scan(load_table(spark, sf_dir, "documents")),
+        load_table(spark, sf_dir, "documents"),
         n_merges=_BATCH_N,
         k_per_round=_BATCH_K,
         cand_m=_BATCH_M,

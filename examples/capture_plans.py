@@ -1,4 +1,4 @@
-"""Capture .explain('formatted') for every bench query into plans/r14/.
+"""Capture .explain("formatted") for every bench query into plans/$SPARK_GRAFT_PLANS_DIR (default r15)/.
 
 Usage: python examples/capture_plans.py [suffix] [name ...]
 
@@ -29,7 +29,7 @@ def main() -> None:
     names = args[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15")
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("duckpipe-spark-plan-capture")

@@ -629,3 +629,55 @@ def test_tokenizer_artifact_round_trip(spark, tmp_path):
     a = sorted(tuple(r) for r in bpe_encode_ids(docs, merges, vocab=vocab).collect())
     b = sorted(tuple(r) for r in bpe_encode_ids(docs, m2, vocab=v2).collect())
     assert a == b
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_driver_fastpath_equals_distributed(spark, seed):
+    """Optimization r15: the bounded driver fast path (word table collected
+    once, rounds in Python) and the distributed per-round loop
+    (driver_cap=0 forces it) produce IDENTICAL merge tables — ranks,
+    rounds, pairs and exact pair frequencies — for both trainers."""
+    from duckpipe_spark.functions.bpe import learn_bpe_merges_batched
+
+    docs = _seeded_docs(spark, seed, n_docs=50)
+    fast = [
+        tuple(r)
+        for r in learn_bpe_merges_batched(docs, n_merges=9, k_per_round=3, cand_m=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in learn_bpe_merges_batched(
+            docs, n_merges=9, k_per_round=3, cand_m=6, driver_cap=0
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert fast == dist and len(fast) > 0
+    seq_fast = [
+        tuple(r)
+        for r in learn_bpe_merges(docs, n_merges=7).orderBy("merge_rank").collect()
+    ]
+    seq_dist = [
+        tuple(r)
+        for r in learn_bpe_merges(docs, n_merges=7, driver_cap=0)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert seq_fast == seq_dist and len(seq_fast) > 0
+
+
+def test_driver_fastpath_cap_shrinks_with_merge_count():
+    """The fast-path row cap honors both the row bound and the
+    (rows x n_merges) work budget, so huge-vocabulary trainings route to
+    the distributed loop."""
+    from duckpipe_spark.functions.bpe import (
+        _DRIVER_WORDS_CAP,
+        _DRIVER_WORK_BUDGET,
+        _driver_cap,
+    )
+
+    assert _driver_cap(12, None) == _DRIVER_WORDS_CAP
+    assert _driver_cap(32768, None) == _DRIVER_WORK_BUDGET // 32768
+    assert _driver_cap(12, 0) == 0  # explicit override forces distributed
