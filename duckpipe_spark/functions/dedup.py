@@ -782,11 +782,21 @@ def connected_components(
     direction-blind and idempotent), so the former
     symmetrize→distinct→cache→count→toPandas chain (two extra exchanges
     and two extra jobs per invocation) was pure overhead; the cap is
-    therefore now a bound on raw pair ROWS — stricter than the old
-    distinct-symmetrized-edge bound, so no graph that previously took the
-    distributed loop can newly land on the driver, and the collect itself
-    is limit-bounded at 16 bytes/row. Graphs over the cap fall through to
+    therefore now a bound on raw pair ROWS, and the collect itself is
+    limit-bounded at 16 bytes/row. Graphs over the cap fall through to
     the distributed loop exactly as before.
+
+    CAP SEMANTICS (r15, VERDICT r14 item 2 — the raw-row and the old
+    distinct-symmetrized-edge bounds are INCOMPARABLE, not one "tighter"):
+    a duplicate-free pair stream counts ~half the old symmetrized count
+    (some graphs newly fit the driver — harmless, the collect stays
+    ≤ cap rows); a duplicate-heavy stream (the ``distinct=False`` media
+    feed deliberately keeps its small banding multiplicity) counts MORE
+    rows than its distinct edge set, so such a graph can newly take the
+    distributed loop — the safe, label-identical fallback. Measured
+    multiplicity of the media feed at sf1: see OPTIMIZATION_r15.md (the
+    banding rule bounds it at ≤ 4 rows/pair; the cap is sized with that
+    multiset in mind).
 
     Distributed algorithm: iterative neighbor-min label propagation. Each
     round is one equi-join of the (static, cached) symmetrized adjacency

@@ -31,10 +31,43 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from duckpipe_spark.functions.dedup import POLY_MOD, WORD_BASE, char_poly_hash
+from duckpipe_spark.functions.dedup import POLY_BASE, POLY_MOD, WORD_BASE, char_poly_hash
 
 # hashed-feature bucket count for DSIR (mirrored into oracle SQL)
 DSIR_BUCKETS = 512
+
+# Java ASCII \s — the exact class tokens_col/_lower_tokens split on
+_WS_CLASS = r"[ \t\n\x0b\f\r]+"
+
+
+def _lower_token_list(text: str):
+    """Python twin of ``_lower_tokens`` for the Arrow kernels: lower,
+    trim SPACES ONLY (Spark trim), split on Java ASCII \\s keeping the
+    leading/trailing empties the JVM split(limit=-1) keeps — the ''
+    token hashes to 0 and is COUNTED by the hof twins, so the kernels
+    must not filter it."""
+    import re
+
+    return re.split(_WS_CLASS, text.lower().strip(" "))
+
+
+def _make_whash():
+    """Per-task memoized 31-base char-fold (the exact ``char_poly_hash``
+    integers): the corpus vocabulary is far smaller than its token count,
+    so the interpreted-per-element JVM fold cost collapses to one dict
+    lookup per occurrence (the shingle-kernel precedent, guide §4.2)."""
+    cache: dict[str, int] = {}
+
+    def whash(w: str) -> int:
+        h = cache.get(w)
+        if h is None:
+            h = 0
+            for ch in w:
+                h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+            cache[w] = h
+        return h
+
+    return whash
 
 
 def _lower_tokens(text_col: str) -> Column:
@@ -180,6 +213,7 @@ def lm_quality_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 1,
+    impl: str = "arrow",
 ) -> DataFrame:
     """CCNet-shape bigram-LM quality score → (id, n_bigrams, lm_score).
 
@@ -227,24 +261,76 @@ def lm_quality_score(
     """
     # train side: one explode pass over the train slice → (kind, key, c),
     # materialized once, sliced three ways (values identical to the
-    # separate big/uni/vstats aggregations by construction)
-    t = _lower_tokens(text_col)
-    wh = F.transform(t, lambda w: char_poly_hash(w))
-    nw = F.size(t)
-    tleft = F.slice(wh, 1, nw - 1)
-    tright = F.slice(wh, 2, nw - 1)
-    tbks = F.zip_with(tleft, tright, lambda a, b: (a * WORD_BASE + b) % POLY_MOD)
-    entries = F.concat(
-        F.transform(tbks, lambda x: F.struct(F.lit("b").alias("kind"), x.alias("key"))),
-        F.transform(tleft, lambda x: F.struct(F.lit("u").alias("kind"), x.alias("key"))),
-        F.transform(wh, lambda x: F.struct(F.lit("w").alias("kind"), x.alias("key"))),
+    # separate big/uni/vstats aggregations by construction).
+    #
+    # impl="arrow" (optimization r15, guide §4.2 — the shingle-kernel
+    # precedent): both the train entry stream and the corpus bigram
+    # stream are per-token 31-base char folds that the JVM evaluates as
+    # an interpreted higher-order expression per occurrence — the
+    # measured cost of this query. The kernels compute the exact same
+    # integers with a per-task memoized word hash (once per DISTINCT
+    # word) and, train-side, pre-aggregate per batch so the exchange
+    # shrinks. Floats never enter the kernels; the probability math and
+    # the position-ordered fold stay in the JVM unchanged, so scores are
+    # bit-identical (pinned by tests + the oracle).
+    id_type = docs.schema[id_col].dataType.simpleString()
+    use_arrow = (
+        impl == "arrow"
+        and not docs.isStreaming
+        and id_type in ("bigint", "int", "smallint", "tinyint")
     )
-    counts = (
-        docs.where(train_pred)
-        .select(F.explode(entries).alias("e"))
-        .groupBy(F.col("e.kind").alias("kind"), F.col("e.key").alias("key"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    if use_arrow:
+        def _train_map(pdf_iter):
+            import pandas as pd
+
+            whash = _make_whash()
+            for pdf in pdf_iter:
+                agg: dict[tuple[str, int], int] = {}
+                for text in pdf.iloc[:, 0]:
+                    if not isinstance(text, str):
+                        continue
+                    ws = [whash(w) for w in _lower_token_list(text)]
+                    for i in range(len(ws) - 1):
+                        bk = (ws[i] * WORD_BASE + ws[i + 1]) % POLY_MOD
+                        agg[("b", bk)] = agg.get(("b", bk), 0) + 1
+                        agg[("u", ws[i])] = agg.get(("u", ws[i]), 0) + 1
+                    for h in ws:
+                        agg[("w", h)] = agg.get(("w", h), 0) + 1
+                if agg:
+                    ks = list(agg)
+                    yield pd.DataFrame(
+                        {
+                            "kind": [k[0] for k in ks],
+                            "key": [k[1] for k in ks],
+                            "c": [agg[k] for k in ks],
+                        }
+                    )
+
+        counts = (
+            docs.where(train_pred)
+            .select(text_col)
+            .mapInPandas(_train_map, "kind string, key bigint, c bigint")
+            .groupBy("kind", "key")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+    else:
+        t = _lower_tokens(text_col)
+        wh = F.transform(t, lambda w: char_poly_hash(w))
+        nw = F.size(t)
+        tleft = F.slice(wh, 1, nw - 1)
+        tright = F.slice(wh, 2, nw - 1)
+        tbks = F.zip_with(tleft, tright, lambda a, b: (a * WORD_BASE + b) % POLY_MOD)
+        entries = F.concat(
+            F.transform(tbks, lambda x: F.struct(F.lit("b").alias("kind"), x.alias("key"))),
+            F.transform(tleft, lambda x: F.struct(F.lit("u").alias("kind"), x.alias("key"))),
+            F.transform(wh, lambda x: F.struct(F.lit("w").alias("kind"), x.alias("key"))),
+        )
+        counts = (
+            docs.where(train_pred)
+            .select(F.explode(entries).alias("e"))
+            .groupBy(F.col("e.kind").alias("kind"), F.col("e.key").alias("key"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     if min_count > 1:  # CCNet-style count-floor prune — see lm_train
         counts = counts.where((F.col("kind") != "b") | (F.col("c") >= min_count))
     counts = counts.localCheckpoint()
@@ -259,31 +345,57 @@ def lm_quality_score(
         .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     )
 
-    # corpus side: bigram slots with position, hashed after the explode so
-    # every expression runs inside whole-stage codegen
-    toks = docs.select(
-        F.col(id_col).alias("id"), _lower_tokens(text_col).alias("t")
-    )
-    n = F.size("t")
-    pairs = (
-        toks.where(n >= 2)
-        .select(
-            "id",
-            F.posexplode(
-                F.arrays_zip(
-                    F.slice("t", 1, n - 1).alias("a"),
-                    F.slice(F.col("t"), 2, n - 1).alias("b"),
-                )
-            ).alias("pos", "s"),
+    # corpus side: bigram slots with position — kernel twin when
+    # use_arrow (one memoized fold per distinct word instead of THREE
+    # interpreted folds per bigram row), hof expression otherwise
+    if use_arrow:
+        def _pairs_map(pdf_iter):
+            import pandas as pd
+
+            whash = _make_whash()
+            for pdf in pdf_iter:
+                ids, poss, bks_, pks_ = [], [], [], []
+                for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                    if not isinstance(text, str):
+                        continue
+                    ws = [whash(w) for w in _lower_token_list(text)]
+                    for i in range(len(ws) - 1):
+                        ids.append(doc_id)
+                        poss.append(i)
+                        bks_.append((ws[i] * WORD_BASE + ws[i + 1]) % POLY_MOD)
+                        pks_.append(ws[i])
+                if ids:
+                    yield pd.DataFrame(
+                        {"id": ids, "pos": poss, "bk": bks_, "pk": pks_}
+                    )
+
+        pairs = docs.select(F.col(id_col).alias("id"), text_col).mapInPandas(
+            _pairs_map, f"id {id_type}, pos int, bk bigint, pk bigint"
         )
-        .select(
-            "id",
-            "pos",
-            ((char_poly_hash(F.col("s.a")) * WORD_BASE + char_poly_hash(F.col("s.b")))
-             % POLY_MOD).alias("bk"),
-            char_poly_hash(F.col("s.a")).alias("pk"),
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("id"), _lower_tokens(text_col).alias("t")
         )
-    )
+        n = F.size("t")
+        pairs = (
+            toks.where(n >= 2)
+            .select(
+                "id",
+                F.posexplode(
+                    F.arrays_zip(
+                        F.slice("t", 1, n - 1).alias("a"),
+                        F.slice(F.col("t"), 2, n - 1).alias("b"),
+                    )
+                ).alias("pos", "s"),
+            )
+            .select(
+                "id",
+                "pos",
+                ((char_poly_hash(F.col("s.a")) * WORD_BASE + char_poly_hash(F.col("s.b")))
+                 % POLY_MOD).alias("bk"),
+                char_poly_hash(F.col("s.a")).alias("pk"),
+            )
+        )
     p = (F.coalesce(F.col("c_bi"), F.lit(0)) + 1).cast("double") / (
         F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v")
     )
@@ -316,6 +428,7 @@ def dsir_scores(
     n_buckets: int = DSIR_BUCKETS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "hof",
 ) -> DataFrame:
     """DSIR-shape hashed-n-gram importance score → (id, n_tokens,
     dsir_score).
@@ -350,11 +463,6 @@ def dsir_scores(
     join → one groupBy on id with an ordered fold over bucket id. The
     global T/R totals ride 1-row crossJoins, never a collect.
     """
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        target_pred.alias("is_target"),
-        F.explode(_lower_tokens(text_col)).alias("w"),
-    ).select("id", "is_target", (char_poly_hash(F.col("w")) % n_buckets).alias("b"))
     # ONE corpus-side aggregation: (id, bucket) counts with the per-doc
     # target flag riding along. BOTH distributions collapse into a single
     # B-row table (raw = sum, target = conditional sum over the same
@@ -362,10 +470,76 @@ def dsir_scores(
     # the corpus explode feeds exactly TWO consumers (the distribution
     # rollup and the per-doc scorer), not four. Values identical to
     # direct counts (sums of disjoint groups).
-    doc_counts = (
-        tok.groupBy("id", "is_target", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    #
+    # impl="arrow" kernel (optimization r15, guide §4.2): the per-token
+    # char fold runs once per DISTINCT word via the per-task memo and the
+    # (id, is_target, b) counts pre-aggregate per batch — the same
+    # integers, strictly fewer exchanged rows. target_pred evaluates in
+    # the JVM BEFORE the kernel (it is an arbitrary Column). DEFAULT IS
+    # "hof": unlike lm_quality_score (3 folds per bigram + a train pass,
+    # arrow min 2.85 → 2.37 s), dsir folds each token ONCE and the r15
+    # paired A/B read hof 1.49 / arrow 1.48 / arrow+spread 1.67 min —
+    # a measured wash, twin kept equality-pinned for the record.
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if (
+        impl == "arrow"
+        and not docs.isStreaming
+        and id_type in ("bigint", "int", "smallint", "tinyint")
+    ):
+        def _bucket_map(pdf_iter):
+            import pandas as pd
+
+            whash = _make_whash()
+            bmemo: dict[str, int] = {}
+            for pdf in pdf_iter:
+                agg: dict[tuple, int] = {}
+                for doc_id, is_t, text in zip(
+                    pdf.iloc[:, 0], pdf.iloc[:, 1], pdf.iloc[:, 2]
+                ):
+                    if not isinstance(text, str):
+                        continue
+                    if is_t is not None:
+                        is_t = bool(is_t)
+                    for w in _lower_token_list(text):
+                        b = bmemo.get(w)
+                        if b is None:
+                            b = whash(w) % n_buckets
+                            bmemo[w] = b
+                        key = (doc_id, is_t, b)
+                        agg[key] = agg.get(key, 0) + 1
+                if agg:
+                    ks = list(agg)
+                    yield pd.DataFrame(
+                        {
+                            "id": [k[0] for k in ks],
+                            "is_target": [k[1] for k in ks],
+                            "b": [k[2] for k in ks],
+                            "c": [agg[k] for k in ks],
+                        }
+                    )
+
+        doc_counts = (
+            docs.select(
+                F.col(id_col).alias("id"),
+                target_pred.alias("is_target"),
+                F.col(text_col),
+            )
+            .mapInPandas(
+                _bucket_map, f"id {id_type}, is_target boolean, b bigint, c bigint"
+            )
+            .groupBy("id", "is_target", "b")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+    else:
+        tok = docs.select(
+            F.col(id_col).alias("id"),
+            target_pred.alias("is_target"),
+            F.explode(_lower_tokens(text_col)).alias("w"),
+        ).select("id", "is_target", (char_poly_hash(F.col("w")) % n_buckets).alias("b"))
+        doc_counts = (
+            tok.groupBy("id", "is_target", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
     raw_tgt = doc_counts.groupBy("b").agg(
         F.sum("c").cast("bigint").alias("r"),
         F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0)))

@@ -451,6 +451,7 @@ def feature_hash_embed(
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Feature-hashing document vectors (the hashing trick, Weinberger et
     al. 2009) → exploded (id_col, j, v): bucket j = word_hash % dim, sign
@@ -462,13 +463,76 @@ def feature_hash_embed(
     column. Groups with sign-cancelled sums are emitted as v = 0 (bucket
     presence is data-determined, not value-determined).
 
-    Scale shape: explode is a projection; one map-side-combinable
-    aggregate on (id, j) — output ≤ |docs|·dim rows, usually far sparser.
+    Two bit-identical impls (the shingle/minhash twin pattern —
+    optimization r15, guide §4.2):
+
+    * ``impl="arrow"`` (default): a ``mapInPandas`` kernel with a
+      per-task memoized word→(bucket, sign) map (the 31-base char fold
+      runs once per DISTINCT word, not per occurrence — the JVM
+      higher-order fold is interpreted per element and was the measured
+      stage cost) and per-batch (id, j) pre-aggregation, so the exchange
+      carries strictly fewer rows than the explode. One final
+      map-side-combinable merge aggregate.
+    * ``impl="hof"``: the all-JVM expression twin (explode + per-token
+      ``char_poly_hash`` fold + one (id, j) aggregate) — the
+      cross-checkable form, and the fallback for non-integral ids and
+      streams.
+
+    Scale shape (both): one corpus pass; output ≤ |docs|·dim rows.
     """
-    from duckpipe_spark.functions.dedup import char_poly_hash
+    from duckpipe_spark.functions.dedup import POLY_BASE, POLY_MOD, char_poly_hash
 
     if dim < 1:
         raise ValueError("feature_hash_embed needs dim >= 1")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if (
+        impl == "arrow"
+        and not df.isStreaming
+        and id_type in ("bigint", "int", "smallint", "tinyint")
+    ):
+        def _map(pdf_iter):
+            import re
+
+            import pandas as pd
+
+            ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java ASCII \s (tokens_col)
+            memo: dict[str, tuple[int, int]] = {}
+
+            def wsig(w: str) -> tuple[int, int]:
+                t = memo.get(w)
+                if t is None:
+                    h = 0
+                    for ch in w:
+                        h = (h * POLY_BASE + ord(ch)) % POLY_MOD
+                    t = (h % dim, 1 - 2 * ((h // dim) % 2))
+                    memo[w] = t
+                return t
+
+            for pdf in pdf_iter:
+                agg: dict[tuple[int, int], int] = {}
+                for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                    if not isinstance(text, str):
+                        continue  # NULL text: the explode twin emits nothing
+                    for w in ws.split(text.strip(" ")):
+                        if w == "":
+                            continue
+                        j, s = wsig(w)
+                        key = (doc_id, j)
+                        agg[key] = agg.get(key, 0) + s
+                if agg:
+                    ks = list(agg)
+                    yield pd.DataFrame(
+                        {
+                            id_col: [k[0] for k in ks],
+                            "j": [k[1] for k in ks],
+                            "v": [agg[k] for k in ks],
+                        }
+                    )
+
+        part = df.select(id_col, text_col).mapInPandas(
+            _map, f"{id_col} {id_type}, j int, v bigint"
+        )
+        return part.groupBy(id_col, "j").agg(F.sum("v").cast("bigint").alias("v"))
     toks = df.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("w")
     ).where(F.col("w") != "")

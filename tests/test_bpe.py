@@ -681,3 +681,23 @@ def test_driver_fastpath_cap_shrinks_with_merge_count():
     assert _driver_cap(12, None) == _DRIVER_WORDS_CAP
     assert _driver_cap(32768, None) == _DRIVER_WORK_BUDGET // 32768
     assert _driver_cap(12, 0) == 0  # explicit override forces distributed
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_feature_hash_embed_arrow_matches_hof(spark, seed):
+    """Optimization r15: the mapInPandas kernel (memoized word hash,
+    per-batch pre-aggregation) and the all-JVM explode+fold twin are
+    bit-identical — including NULL/empty/whitespace texts and a non-64
+    dim whose sign bit exercises the (wh // dim) parity path."""
+    from duckpipe_spark.functions.text import feature_hash_embed
+
+    docs = _seeded_docs(spark, seed, n_docs=40).union(
+        spark.createDataFrame(
+            [(900, None), (901, ""), (902, "   "), (903, "cat  cat\tdog")],
+            "doc_id bigint, text string",
+        )
+    )
+    for dim in (64, 5):
+        a = sorted(map(tuple, feature_hash_embed(docs, dim=dim, impl="arrow").collect()))
+        h = sorted(map(tuple, feature_hash_embed(docs, dim=dim, impl="hof").collect()))
+        assert a == h and len(a) > 0

@@ -436,3 +436,30 @@ def test_lm_bucket_sample_exactly_k_per_stratum(spark):
     assert set(by_stratum) == set(sizes)  # every stratum represented
     again = REGISTRY["doc_lm_bucket_sample"].fn(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_lm_and_dsir_arrow_kernels_bit_identical_to_hof(spark):
+    """Optimization r15: the mapInPandas hash kernels (memoized word fold,
+    batch pre-aggregation) and the all-JVM expression twins produce
+    identical rows — including NULL text, empty text, and the
+    leading-tab row whose '' token (hash 0) the space-only trim keeps."""
+    from duckpipe_spark.functions.selection import dsir_scores, lm_quality_score
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "le chat est la", "fr"),
+        (3, None, "en"),
+        (4, "", "en"),
+        (5, "\tcat dog", "en"),     # leading tab -> leading '' token
+        (6, "cat dog\t", "fr"),     # trailing tab -> trailing '' token
+        (7, "solo", "en"),          # 1 token: no bigram
+        (8, "THE CAT the cat", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    pred = F.col("lang") == "en"
+    a = sorted(map(tuple, lm_quality_score(docs, pred, impl="arrow").collect()))
+    h = sorted(map(tuple, lm_quality_score(docs, pred, impl="hof").collect()))
+    assert a == h and len(a) > 0
+    da = sorted(map(tuple, dsir_scores(docs, pred, impl="arrow").collect()))
+    dh = sorted(map(tuple, dsir_scores(docs, pred, impl="hof").collect()))
+    assert da == dh and len(da) > 0
