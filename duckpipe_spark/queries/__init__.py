@@ -112,127 +112,108 @@ from duckpipe_spark.queries.base import REGISTRY, oracle_queries, spark_queries
 # scale — so scale-sensitive divergence in touched code surfaces locally
 # before the gate does. Update each round alongside DRIVER_ORDER.
 CHANGED_THIS_ROUND: list[str] = [
-    # r14 (VERDICT r13 item 3): LM/DSIR training is single-pass —
-    # lm_train folds V into its one grouped explode (kind 'w'),
-    # lm_quality_score delegates to the pinned-bit-identical
-    # train+serve path (the join path re-executed its train side per
-    # broadcast branch: 4 runtime scans → 2), dsir collapses its model
-    # to ONE row in a single aggregation chain. All direct consumers:
+    # r15 (optimization): BPE trainers gained the bounded driver fast
+    # path (one limit-bounded collect, rounds in Python, distributed
+    # loop unchanged over the cap) and the base table moved from cache()
+    # to localCheckpoint(); values pinned identical by 3-seed
+    # driver-vs-distributed tests and the unrolled SQL oracles. Direct
+    # consumers via trained_merges / the artifact chain:
+    "doc_bpe_merges",
+    "doc_bpe_merges_batched",
+    "doc_bpe_encoded",
+    "doc_bpe_token_counts",
+    "doc_bpe_pack",
+    "doc_bpe_vocab",
+    "doc_bpe_roundtrip",
+    "doc_bpe_bytefallback",
+    "doc_maxmatch_encoded",
+    "doc_bpe_artifact_encode",
+    "lang_tokenizer_fertility",
+    # r15 (optimization): feature_hash_embed + lm_quality_score default
+    # to mapInPandas hash kernels (memoized per-distinct-word char fold,
+    # batch pre-aggregation); all float math stays in the JVM, outputs
+    # bit-identical (twin tests). Direct consumers:
+    "doc_feature_hash_embed",
+    # lm_quality_score consumer set (the r14 single-pass entries for the
+    # same names rotate out with this update — the r15 kernel change
+    # supersedes them as the reason these need the sf0.01 differential):
     "doc_lm_quality",
-    "doc_lm_serve_scores",
     "doc_lm_quality_pruned",
     "doc_lm_buckets",
     "doc_lm_bucket_sample",
     "doc_quality_calibration",
     "doc_lm_auc",
-    "doc_dsir_scores",
-    "doc_dsir_serve_scores",
     "doc_curation_lmgate",
     "doc_curation_lmgate_pruned",
-    # r14 (VERDICT r13 item 4): connected_components starts from the
-    # 1-hop init min(u, min(N(u))) (one fewer join round) and
-    # checkpoints lazily so the convergence count is the materializing
-    # job (one action per round). Labels provably unchanged. Direct CC
-    # consumers:
-    "doc_dup_components",
-    "doc_fingerprint_dedup",
-    "embedding_semantic_dedup",
-    "doc_curation_semdedup",
-    "doc_dedup_keep_best",
-    "doc_incremental_dedup",
-    "doc_curation_medianear",
-    "doc_curation_medianear_artifact",
-    "doc_curation_keepbest",
-    # r14 (ADVICE r13 item 3): msadpcm_decode raises on out-of-table
-    # predictor indices (valid wires decode identically)
-    "audio_msadpcm_fingerprint_neardup",
-    # NEW in r14 (VERDICT r13 item 5): third vendored image codec — GIF
-    # (LZW) as CROSS-CODEC dHash twins (PNG even docs vs animated-GIF
-    # odd docs); conformance-pinned against an independent scalar LZW
-    # transcription and real encoder-written files; hash-green at
-    # sf0.001/0.01/0.1 locally; registered after the r14 window froze,
-    # so it leads the r15 window
-    "image_gif_phash_neardup",
-    # NEW in r14: hybrid sparse+dense retrieval — BM25 top-20 and exact
-    # cosine top-20 over the shared doc/vec id space fused by integer
-    # Reciprocal Rank Fusion (1e6 DIV (60 + rank), rank-only → no new
-    # float surface); hash-green at sf0.001/0.01/0.1 locally; registered
-    # after the r14 window froze, so it leads the r15 window with the GIF
-    # query
-    "doc_hybrid_rrf_topk",
-    # NEW in r14: Matryoshka adaptive retrieval — prefix-16 cosine
-    # candidate scan + full-dim exact rerank (the MRL truncatable-
-    # embedding serving shape; 4x scan cut with zero auxiliary index
-    # structure); hash-green at sf0.001/0.01/0.1 locally; registered
-    # after the r14 window froze, leads the r15 window
-    "embedding_matryoshka_topk",
-    # NEW in r14: the production hybrid serve shape — sparse leg scores
-    # entirely off the persisted BM25 parquet index (plan-pinned: no
-    # documents scan inside the fusion), same integer-RRF fusion and
-    # oracle as doc_hybrid_rrf_topk, so index-served == corpus-derived
-    # is pinned end-to-end; hash-green at sf0.001/0.01/0.1 (+sf1)
-    "doc_hybrid_rrf_artifact_topk",
-    # NEW in r14: the tuning measurement for the matryoshka prefix-width
-    # knob — recall@k of the prefix-scan path vs exact, same in-engine
-    # evaluation loop as the lsh/multiprobe/ivf recall rows; hash-green
-    # at sf0.001/0.01/0.1 (+sf1)
-    "embedding_matryoshka_recall",
 ]
 
 base.DRIVER_ORDER[:] = [
-    # r13-new (never driver-attested) + changed-not-windowed lead
-    "doc_curation_medianear_artifact",
-    "audio_adpcm_fingerprint_neardup",
-    "audio_msadpcm_fingerprint_neardup",
-    "embedding_ivfpq_topk",
-    "embedding_semantic_dedup",
-    "doc_curation_semdedup",
-    "doc_dedup_keep_best",
-    "doc_incremental_dedup",
-    "doc_curation_pipeline",
-    "doc_curation_lmgate_pruned",
-    # 28 remaining r10-cohort leftovers, alphabetical
-    "doc_feature_hash_embed",
-    "doc_gopher_quality",
-    "doc_jaccard_pairs",
-    "doc_lm_quality_pruned",
-    "doc_lm_serve_scores",
-    "doc_lsh_candidates",
-    "doc_minhash_signatures",
-    "doc_simhash",
-    "doc_strip_boilerplate",
-    "embedding_int8_quant",
-    "embedding_kmeanspar_cells",
-    "events_anomaly_zscore",
-    "events_dau_wau",
-    "events_funnel",
-    "events_gap_fill",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_ohlc_bars",
-    "events_props_rollup",
-    "geo_elevation_pipeline",
-    "image_decode_jpeg",
-    "lang_top_bigrams",
-    "lang_unimax_budgets",
-    "lineitem_price_quantiles",
-    "orders_bloom_blocklist",
-    "parts_triangle_counts",
-    "sessionize_users",
-    "video_frame_sample",
-    # r11-cohort alphabetical fill (first 12 not already above)
-    "blob_byte_entropy",
-    "brand_min_price",
-    "custkeys_f_and_o_intersect",
-    "customer_cumulative_spend",
-    "customers_without_orders",
-    "doc_bm25_topk",
+    # ROUND-15 WINDOW — executes the rotation plan published in the r14
+    # comment block above, extended by this round's own changes:
+    # (a) the 5 r14-NEW never-driver-attested queries lead;
+    # (b) the published r14-changed-not-windowed list, in its published
+    #     order (several of these are ALSO r15-changed — the lm kernel
+    #     consumers — so this window re-attests them post-change);
+    # (c) the r15-changed queries not already above (BPE trainer fast
+    #     path + trained_merges/artifact consumers, the feature-hash
+    #     kernel, the remaining lm_quality_score consumers);
+    # (d) the aged r11-cohort leftovers ALPHABETICALLY (first 19 of the
+    #     34; the remaining 15 — events_transition_matrix ..
+    #     parts_hll_distinct — are scheduled to LEAD the r16 window).
+    # (a) r14-new
+    "image_gif_phash_neardup",
+    "doc_hybrid_rrf_topk",
+    "doc_hybrid_rrf_artifact_topk",
+    "embedding_matryoshka_topk",
+    "embedding_matryoshka_recall",
+    # (b) r14-changed, not in the r14 window (published order)
+    "doc_lm_quality",
+    "doc_lm_buckets",
+    "doc_quality_calibration",
+    "doc_dsir_scores",
+    "doc_dsir_serve_scores",
+    "doc_curation_lmgate",
+    "doc_dup_components",
+    "doc_fingerprint_dedup",
+    "doc_curation_medianear",
+    "doc_curation_keepbest",
+    # (c) r15-changed (see CHANGED_THIS_ROUND) not already above
+    "doc_bpe_merges_batched",
+    "doc_bpe_merges",
+    "doc_bpe_encoded",
+    "doc_bpe_token_counts",
+    "doc_bpe_pack",
+    "doc_bpe_vocab",
+    "doc_bpe_roundtrip",
+    "doc_bpe_bytefallback",
+    "doc_maxmatch_encoded",
     "doc_bpe_artifact_encode",
-    "doc_lm_auc",
+    "lang_tokenizer_fertility",
+    "doc_feature_hash_embed",
+    "doc_lm_quality_pruned",
     "doc_lm_bucket_sample",
-    "doc_mask_contaminated",
-    "doc_priority_sample",
-    "doc_winnow_decontam",
+    "doc_lm_auc",
+    "doc_curation_lmgate_pruned",
+    # (d) r11-cohort leftovers, alphabetical (19 of 34)
+    "doc_winnow_fingerprints",
+    "doc_winnow_matches",
+    "embedding_cosine_topk",
+    "embedding_hamming_external_topk",
+    "embedding_hamming_topk",
+    "embedding_ivf_recall",
+    "embedding_ivf_trained_topk",
+    "embedding_lsh_multiprobe_topk",
+    "embedding_lsh_recall",
+    "embedding_lsh_topk",
+    "embedding_multiprobe_recall",
+    "embedding_neardup_pairs",
+    "events_moving_avg",
+    "events_purchase_window_clicks",
+    "events_retention_cohorts",
+    "events_salted_counts",
+    "events_salted_join",
+    "events_session_window",
+    "events_sliding_rollup",
 ]
 
 

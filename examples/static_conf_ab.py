@@ -26,12 +26,15 @@ def main() -> None:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--reps"):
-            if "=" in a:
-                reps = int(a.split("=", 1)[1])
-            else:
-                reps = int(argv[i + 1])
-                i += 1
+        if a == "--reps":  # ADVICE r14: exact match, loud errors
+            if i + 1 >= len(argv):
+                sys.exit("--reps needs a value")
+            reps = int(argv[i + 1])
+            i += 1
+        elif a.startswith("--reps="):
+            reps = int(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a!r}")
         else:
             names.append(a)
         i += 1
@@ -53,6 +56,9 @@ def main() -> None:
         n = len(s)
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"unknown queries {unknown!r}; see duckpipe_spark.queries.REGISTRY")
     for name in names:
         fn = REGISTRY[name].fn
         fn(spark, sf_dir).collect()  # warm

@@ -517,15 +517,21 @@ def test_curation_semdedup_no_cartesian_no_extra_python(spark):
 def test_lm_quality_broadcast_lm_tables_no_smj(spark):
     """doc_lm_quality: the trained LM tables (bigram counts, prefix
     counts, 1-row vocab stats) are vocabulary-bounded and must BROADCAST
-    onto the corpus explode — a sort-merge join here would shuffle every
-    (id, pos, hash) row of the corpus against the LM at 100 TB. The only
-    nested-loop joins allowed are the 1-row scalar crossJoins."""
+    onto the corpus bigram stream — a sort-merge join here would shuffle
+    every (id, pos, hash) row of the corpus against the LM at 100 TB.
+    The only nested-loop joins allowed are the 1-row scalar crossJoins.
+    Optimization r15: the corpus bigram stream comes from exactly ONE
+    MapInPandas hash kernel (the train-side kernel lives behind the
+    localCheckpoint boundary and is not in this lazy plan) — more than
+    one would mean the memoized fold re-entered Python per consumer."""
     with no_aqe(spark):
         a = audit_plan(_q("doc_lm_quality")(spark, SF_SMOKE))
     assert a.sort_merge_joins == 0
     assert a.shuffle_hash_joins == 0
     assert a.broadcast_hash_joins >= 2  # bigram + prefix count tables
-    assert a.python_stages == 0
+    # one physical MapInPandas node == 2 formatted-text mentions (tree +
+    # detail header), same counting note as the dsir BNLJ pin below
+    assert a.python_stages == 2, a.python_stages  # the corpus bigram kernel
     assert "CartesianProduct" not in a.text
 
 
